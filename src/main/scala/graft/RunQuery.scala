@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Debug runner: execute one named query with plan + timing.
+  * Usage: runMain graft.RunQuery <queryName> [sfDir] [explain|noexplain]
+  */
+object RunQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val doExplain = args.length <= 2 || args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (doExplain) df.explain("formatted")
+    var t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[runquery] $name count=$n first_run=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    t0 = System.nanoTime()
+    df.count()
+    println(f"[runquery] $name second_run=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

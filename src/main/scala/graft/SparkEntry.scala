@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Extensions, Oracles, Parity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one named query per implemented operator family
+  * (SURVEY.md §2 parity + the training-data-pipeline extensions); every
+  * entry has an exact DuckDB oracle in `oracleSql` (graft.queries.Oracles).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Parity.q11StarJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_clean_tokens" -> (Parity.q01CleanTokens _),
+    "q02_clean_dates" -> (Parity.q02CleanDates _),
+    "q03_filter_project" -> (Parity.q03FilterProject _),
+    "q04_dedup_exact" -> (Parity.q04DedupExact _),
+    "q05_dedup_latest" -> (Parity.q05DedupLatest _),
+    "q06_scd2_merge" -> (Parity.q06Scd2Merge _),
+    "q07_explode_pos" -> (Parity.q07ExplodePos _),
+    "q08_date_dim" -> (Parity.q08DateDim _),
+    "q09_agg_month_revenue" -> (Parity.q09AggMonthRevenue _),
+    "q10_agg_priority_month" -> (Parity.q10AggPriorityMonth _),
+    "q11_star_join" -> (Parity.q11StarJoin _),
+    "q12_anti_join" -> (Parity.q12AntiJoin _),
+    "q13_semi_join" -> (Parity.q13SemiJoin _),
+    "q14_topk" -> (Parity.q14TopK _),
+    "q15_window_running" -> (Parity.q15WindowRunning _),
+    "q16_dedup_hash" -> (Extensions.q16DedupHash _),
+    "q17_minhash_sig" -> (Extensions.q17MinhashSig _),
+    "q18_lsh_pairs" -> (Extensions.q18LshPairs _),
+    "q19_simhash" -> (Extensions.q19Simhash _),
+    "q20_jaccard_pairs" -> (Extensions.q20JaccardPairs _),
+    "q21_knn_cosine" -> (Extensions.q21KnnCosine _),
+    "q22_ann_lsh_bucket" -> (Extensions.q22AnnLshBucket _),
+    "q23_lang_id" -> (Extensions.q23LangId _),
+    "q24_quality_score" -> (Extensions.q24QualityScore _),
+    "q25_token_count" -> (Extensions.q25TokenCount _),
+    "q26_fingerprint" -> (Extensions.q26Fingerprint _),
+    "q27_multimodal_meta" -> (Extensions.q27MultimodalMeta _),
+    "q28_rollup_agg" -> (Parity.q28RollupAgg _),
+    "q29_distinct_count" -> (Parity.q29DistinctCount _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Oracles.all
 }

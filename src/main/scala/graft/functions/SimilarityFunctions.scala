@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity / near-duplicate operators: MinHash, SimHash, n-gram Jaccard,
+  * cosine ANN (brute-force + random-hyperplane LSH).
+  *
+  * Hash-function portability: every hash is derived from `md5` over strings
+  * (identical in any engine) or from exact integer/double arithmetic — never
+  * from engine-private hashes (xxhash64/murmur3), so DuckDB oracles can
+  * reproduce results bit-for-bit.
+  */
+object SimilarityFunctions {
+
+  // ---------- MinHash ----------
+
+  /** One MinHash component: min over shingles of md5("<salt>:" || shingle).
+    * Using the lexicographic min of salted md5 hex strings is an order-
+    * preserving stand-in for "min over a salted hash family" that is
+    * reproducible across engines.
+    */
+  def minhashComponent(shingles: Column, salt: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** k-component MinHash signature as individual columns sig_0..sig_{k-1}. */
+  def minhashSignature(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map(j => minhashComponent(shingles, j).as(s"sig_$j"))
+
+  /** LSH band hash: md5 of the concatenated signature slice. */
+  def bandHash(sigCols: Seq[Column]): Column = md5(concat(sigCols: _*))
+
+  // ---------- SimHash ----------
+
+  /** 16-bit SimHash over a token array. Bit j of a token = parity of the
+    * (j+1)-th hex digit of md5(token); the document bit is the sign of the
+    * +1/-1 vote sum; the hash assembles bits little-endian.
+    * Exact integer arithmetic → portable.
+    */
+  def simhash16Expr(textCol: String): Column = {
+    val toks = s"filter(split($textCol, ' '), t -> t <> '')"
+    val bits = (0 until 16).map { j =>
+      s"""if(aggregate($toks, 0,
+         |  (acc, t) -> acc + if(instr('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0, 1, -1)) >= 0,
+         |  ${1 << j}, 0)""".stripMargin
+    }
+    expr(s"cast(${bits.mkString(" + ")} as int)")
+  }
+
+  /** Hamming distance between two simhash ints (bit_count of xor). */
+  def hamming16(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------- Jaccard ----------
+
+  /** Set Jaccard over two array columns (distinct semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ---------- Cosine / ANN ----------
+
+  /** Sequential-order dot product of two double arrays — same accumulation
+    * order as a C loop, so oracle engines match bitwise.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * rows of `candidates` (excluding itself). Both frames must have
+    * (`idCol`, `vecCol: array<double>`).
+    *
+    * Scale path: `queries` is broadcast (it is the small side by
+    * construction); candidates stream map-side computing sims inside
+    * codegen; the only shuffle is the final per-query top-k (rank window
+    * partitioned by query id). For huge candidate sets swap the window for
+    * a per-partition heap (TypedImperativeAggregate) — same API.
+    */
+  def cosineKnn(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), NumFunctions.r4(col("sim")).as("sim"))
+  }
+
+  /** Deterministic ±1 random hyperplanes for LSH, derived from md5 parity:
+    * plane(j)(i) = +1 iff the first hex digit of md5("p<j>_<i>") is odd.
+    * Generated driver-side once (tiny), inlined as literals into both the
+    * Spark plan and any SQL oracle.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val mdigest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (j, i) =>
+      val hex = mdigest.digest(s"p${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("13579bdf".contains(hex.charAt(0))) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j set iff dot(vec, plane_j) >= 0.
+    * Pure map-side expression — the bucket becomes the shuffle key for
+    * bucketed ANN joins, collapsing the candidate space from O(n²) to
+    * per-bucket blocks.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * built-ins (split/transform/aggregate/regexp_*) — no UDFs, so the whole
+  * stage stays inside WholeStageCodegen and scales linearly with no shuffle.
+  * Higher-order-function lambdas are written via `expr(...)` where the
+  * typed `functions._` API would force literal-only arguments.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Character n-gram shingles (positions 0..len-n). Caller must ensure
+    * length(text) >= n (shorter texts would produce a descending sequence).
+    * expr-based because `substr` with a non-literal position needs SQL form.
+    */
+  def charShinglesExpr(textCol: String, n: Int): Column =
+    expr(s"transform(sequence(0, length($textCol) - $n), i -> substr($textCol, i + 1, $n))")
+
+  /** Word bigrams over a PRE-SPLIT token array column ("a b c" ->
+    * ["a b","b c"]). Takes a materialized column name, not raw text —
+    * inlining the split into the lambda would re-tokenize per element.
+    */
+  def wordBigramsExpr(tokCol: String): Column =
+    expr(
+      s"""transform(
+         |  sequence(1, size($tokCol) - 1),
+         |  i -> concat($tokCol[i - 1], ' ', $tokCol[i]))""".stripMargin)
+
+  /** Distinct-stopword hit count: |tokens ∩ stopwords|. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(toks, array(stopwords.map(lit): _*)))
+
+  /** Multiset stopword hit count (each occurrence counts). */
+  def stopwordOccurrences(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed: the point is a deterministic,
+    * shuffle-free classifier, not linguistic accuracy.
+    */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+  )
+
+  /** Normalized text: lowercase, punctuation→space, collapsed whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Content fingerprint = md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Polynomial rolling hash of the raw text: h = (h*31 + codepoint) mod
+    * 1e9+7. Portable integer arithmetic (exact in any engine), used both as
+    * a cheap fingerprint and as the deterministic "decode" seed for the
+    * multimodal stub.
+    */
+  def rollingHashExpr(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(1, length($textCol)), i -> ascii(substr($textCol, i, 1))),
+         |  cast(0 as bigint),
+         |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin)
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Dedup
+import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
+import graft.functions.NumFunctions.r4
+import graft.io.Tables
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline operator family (builder prompt + SURVEY.md §7.5):
+  * deduplication (exact/MinHash-LSH/SimHash/n-gram-Jaccard/embedding-cosine),
+  * similarity search, text analysis, multimodal plumbing. All hashes are
+  * md5- or integer-arithmetic-based so DuckDB oracles reproduce bit-for-bit.
+  */
+object Extensions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The documents/embeddings tables arrive as one small parquet file → ONE
+    * input split, which would serialize every CPU-heavy map stage (md5
+    * shingling, simhash votes, cosine) onto a single core. A round-robin
+    * repartition to the session's parallelism first is a tiny shuffle that
+    * buys full-width execution — the local-mode analogue of "size your
+    * splits to your cluster".
+    */
+  private def widen(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  /** MinHash/LSH tuning: the testdata documents are same-vocabulary word
+    * soup with background 5-gram Jaccard ≈ 0.19 — at that density 2-sig
+    * bands (P = J²) flood the band join with ~10⁶ noise pairs at sf0.1.
+    * 8-char shingles (background J ≈ 0.04) + 2 bands × 4 rows (P = J⁴)
+    * keep noise out while still catching J ≳ 0.7 near-dups.
+    */
+  val MinhashK = 8
+  val ShingleN = 8
+  val BandRows = 4
+  val LshPlanes = 8
+  val EmbeddingDim = 64
+
+  /** Shared deterministic hyperplanes for embedding LSH (md5-parity ±1). */
+  lazy val Planes: Array[Array[Double]] = Sim.hyperplanes(LshPlanes, EmbeddingDim)
+
+  /** Exact content dedup by md5 — only digests shuffle, not documents. */
+  def q16DedupHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")
+
+  private def sigFrame(s: SparkSession, dir: String): DataFrame = {
+    val shingles = Txt.charShinglesExpr("text", ShingleN)
+    widen(s, t(s, dir, "documents"))
+      .filter(length(col("text")) >= ShingleN)
+      .select(col("doc_id") +: Sim.minhashSignature(shingles, MinhashK): _*)
+  }
+
+  /** MinHash signatures over char shingles (k = MinhashK). */
+  def q17MinhashSig(s: SparkSession, dir: String): DataFrame = sigFrame(s, dir)
+
+  /** MinHash-LSH candidate pairs: signatures banded BandRows-per-band; docs
+    * sharing any band bucket become a candidate pair. The band hash is the
+    * shuffle key — candidate generation is a per-bucket self-join, never an
+    * all-pairs product.
+    */
+  def q18LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigFrame(s, dir)
+    val nBands = MinhashK / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val slice = (b * BandRows until (b + 1) * BandRows).map(j => col(s"sig_$j"))
+      struct(lit(b).as("band"), Sim.bandHash(slice).as("h"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash per document (md5-parity bit votes). */
+  def q19Simhash(s: SparkSession, dir: String): DataFrame =
+    widen(s, t(s, dir, "documents"))
+      .select(col("doc_id"), Sim.simhash16Expr("text").as("simhash"))
+
+  /** Word-bigram Jaccard near-dup pairs, blocked by `source` (blocking key
+    * bounds the pair space; at scale the block key would be an LSH bucket).
+    */
+  def q20JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val grams = widen(s, t(s, dir, "documents"))
+      .withColumn("tk", Txt.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        array_distinct(Txt.wordBigramsExpr("tk")).as("grams"))
+      .withColumn("gsz", size(col("grams")))
+    // Inverted-index intersection: per-pair array_intersect is an
+    // interpreted (non-codegen) expression — at ~10⁶ candidate pairs it
+    // dominated the query. Instead explode to (source, gramHash, doc) rows,
+    // self-join on the gram, and COUNT co-occurrences per pair: every
+    // operator is a codegen'd join/hash-aggregate, the shuffle key
+    // (source, gram) is high-cardinality (full parallelism), and cost is
+    // linear in actual co-occurrences instead of pairs × |grams|. This is
+    // the formulation that survives a 100 TB corpus — no arrays cross a
+    // shuffle, no O(n²) per-block work without evidence of overlap.
+    // Gram identity travels as xxhash64 (|hashed ∩| = |string ∩| absent
+    // collisions, P ≈ 10⁻¹¹ here — the string-based oracle still matches).
+    val inv = grams.select(
+      col("source"), col("doc_id"), col("gsz"),
+      explode(transform(col("grams"), x => xxhash64(x))).as("gh"))
+    val inter = col("inter")
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.source") === col("b.source") && col("a.gh") === col("b.gh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.source").as("source"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.gsz").as("asz"), col("b.gsz").as("bsz"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("source"), col("a_id"), col("b_id"),
+        (inter.cast("double") / (col("asz") + col("bsz") - inter).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.2)
+      .select(col("source"), col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
+  }
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10) —
+    * the ANN correctness baseline; q22 is the bucketed scale path.
+    */
+  def q21KnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    Sim.cosineKnn(emb.filter(col("vec_id") < 10), widen(s, emb), "vec_id", "vec", 5)
+  }
+
+  /** Random-hyperplane LSH bucket per embedding — the map-side shuffle key
+    * that makes ANN joins scale (per-bucket blocks instead of O(n²)).
+    */
+  def q22AnnLshBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      Sim.lshBucket(col("embedding").cast("array<double>"), Planes).as("bucket"))
+
+  /** Stopword-hit language ID (deterministic heuristic classifier). */
+  def q23LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = Txt.tokens(col("text"))
+    val withHits = t(s, dir, "documents").select(
+      col("doc_id") +:
+        Txt.StopwordsByLang.map { case (l, sw) => Txt.stopwordHits(toks, sw).as(s"${l}_hits") }: _*)
+    withHits.withColumn(
+      "detected_lang",
+      when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
+        col("en_hits") >= col("de_hits"), lit("en"))
+        .when(col("es_hits") >= col("fr_hits") && col("es_hits") >= col("de_hits"), lit("es"))
+        .when(col("fr_hits") >= col("de_hits"), lit("fr"))
+        .otherwise(lit("de")))
+  }
+
+  /** Quality scoring: token stats + punctuation/stopword ratios combined
+    * into a bounded score. All ratios are single divisions of exact integer
+    * counts — deterministic cross-engine.
+    */
+  def q24QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Txt.tokens(col("text"))
+    val base = t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      expr("aggregate(filter(split(text, ' '), t -> t <> ''), 0, (acc, t) -> acc + length(t))").as("sum_len"),
+      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("punct_cnt"),
+      Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).as("stop_occ"),
+      length(col("text")).as("len"))
+    base.select(
+      col("doc_id"), col("n_tokens"),
+      r4(col("sum_len") / col("n_tokens")).as("avg_token_len"),
+      r4(col("punct_cnt") / col("len")).as("punct_ratio"),
+      r4(col("stop_occ") / col("n_tokens")).as("stop_ratio"),
+      r4(
+        when(col("n_tokens").between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_cnt") / col("len")) +
+          lit(0.3) * (col("stop_occ") / col("n_tokens"))).as("quality"))
+  }
+
+  /** Token counting: whitespace + BPE-ish regex segmentation. */
+  def q25TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Txt.tokenCountWs(col("text")).as("ws_tokens"),
+      Txt.tokenCountBpe(col("text")).as("bpe_tokens"),
+      length(col("text")).as("n_chars_m"))
+
+  /** Document fingerprints: md5 of normalized text + polynomial rolling
+    * hash of the raw text.
+    */
+  def q26Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Txt.fingerprint(col("text")).as("fp"),
+      Txt.rollingHashExpr("text").as("rhash"))
+
+  /** Multimodal metadata extraction via the mapPartitions decode stub. */
+  def q27MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentBlobMeta(s, t(s, dir, "documents"))
+}

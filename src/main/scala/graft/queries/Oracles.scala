@@ -1,0 +1,296 @@
+package graft.queries
+
+import graft.functions.{NumFunctions, SimilarityFunctions => Sim, TextFunctions => Txt}
+
+/** DuckDB oracle SQL for every query in [[Parity]]/[[Extensions]].
+  *
+  * The driver registers each testdata parquet as a view named after the
+  * table, runs these against the same sf directory, and hash-compares
+  * (rows sorted, columns sorted by name) with the Spark result — so column
+  * NAMES and TYPES must line up exactly:
+  *   - Spark int  ↔ CAST(... AS INTEGER) (DuckDB date-part fns return BIGINT)
+  *   - doubles rounded with the portable floor-form on BOTH sides
+  *   - big SUMs through DECIMAL(18,6) on BOTH sides
+  * Programmatic fragments (minhash/simhash/LSH planes/stopwords) are
+  * generated from the same Scala constants the Spark plans use, so the two
+  * sides cannot drift.
+  */
+object Oracles {
+
+  private def r(expr: String, digits: Int): String = NumFunctions.roundSql(expr, digits)
+
+  // ---- shared generated fragments ----
+
+  /** DuckDB minhash component j over char 5-gram shingles (= Sim.minhashComponent). */
+  private def sigSql(j: Int): String =
+    s"list_min([md5('$j:' || substr(text, CAST(i AS INTEGER) + 1, ${Extensions.ShingleN})) " +
+      s"for i in range(0, len(text) - ${Extensions.ShingleN - 1})])"
+
+  private val sigCols: String =
+    (0 until Extensions.MinhashK).map(j => s"${sigSql(j)} AS sig_$j").mkString(",\n    ")
+
+  /** DuckDB 16-bit simhash (= Sim.simhash16Expr). */
+  private val simhashSql: String = {
+    val bits = (0 until 16).map { j =>
+      s"(CASE WHEN list_sum([CASE WHEN strpos('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0 " +
+        s"THEN 1 ELSE -1 END for t in str_split(text, ' ') if t != '']) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS INTEGER)"
+  }
+
+  private def stoplistSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val toksSql = "[t for t in str_split(text, ' ') if t != '']"
+
+  /** DuckDB ±1 hyperplane literal for plane j (= Extensions.Planes(j)). */
+  private def planeSql(j: Int): String =
+    Sim.hyperplanes(Extensions.LshPlanes, Extensions.EmbeddingDim)(j)
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  val all: Map[String, String] = Map(
+    "q01_clean_tokens" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type IN ('click','view','purchase') THEN event_type ELSE NULL END AS event_type_clean,
+        |  TRY_CAST(regexp_replace(props, '[^0-9]', '', 'g') AS INTEGER) AS k_val,
+        |  CASE WHEN value < 0 THEN NULL ELSE value END AS value_clean
+        |FROM events""".stripMargin,
+
+    "q02_clean_dates" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+        |FROM orders""".stripMargin,
+
+    "q03_filter_project" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars >= 200""".stripMargin,
+
+    "q04_dedup_exact" ->
+      "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
+
+    "q05_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q06_scd2_merge" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0),
+        |b2 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer)
+        |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
+        |       DATE '2024-01-01' AS effective_date, CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+        |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal = b2.c_acctbal
+        |UNION ALL
+        |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
+        |       DATE '2024-01-01', DATE '2024-06-01', FALSE
+        |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
+        |UNION ALL
+        |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
+        |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
+        |UNION ALL
+        |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
+        |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        |FROM b2 LEFT JOIN b1 ON b1.c_custkey = b2.c_custkey WHERE b1.c_custkey IS NULL""".stripMargin,
+
+    "q07_explode_pos" ->
+      """SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings""".stripMargin,
+
+    "q08_date_dim" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS s, CAST(max(o_orderdate) AS DATE) AS e FROM orders),
+        |d AS (SELECT unnest(generate_series(s, e, INTERVAL 1 DAY)) AS gs FROM bounds)
+        |SELECT CAST(gs AS DATE) AS "date",
+        |  CAST(year(gs) AS INTEGER) AS year, CAST(month(gs) AS INTEGER) AS month,
+        |  CAST(day(gs) AS INTEGER) AS day, CAST(week(gs) AS INTEGER) AS week,
+        |  strftime(gs, '%a') AS weekday, monthname(CAST(gs AS DATE)) AS month_name
+        |FROM d""".stripMargin,
+
+    "q09_agg_month_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
+        |  count(*) AS orders_count
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q10_agg_priority_month" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+         |  count(*) AS orders_count,
+         |  ${r("avg(o_totalprice)", 2)} AS avg_price
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q11_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
+
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q15_window_running" ->
+      s"""SELECT user_id, event_id,
+         |  ${r("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value
+         |FROM events""".stripMargin,
+
+    "q16_dedup_hash" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q17_minhash_sig" ->
+      s"""SELECT doc_id,
+         |    $sigCols
+         |FROM documents WHERE len(text) >= ${Extensions.ShingleN}""".stripMargin,
+
+    "q18_lsh_pairs" -> {
+      val nBands = Extensions.MinhashK / Extensions.BandRows
+      val bandSelects = (0 until nBands).map { b =>
+        val slice = (b * Extensions.BandRows until (b + 1) * Extensions.BandRows)
+          .map(j => s"sig_$j").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($slice) AS h FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM documents WHERE len(text) >= ${Extensions.ShingleN}),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "q19_simhash" ->
+      s"SELECT doc_id, $simhashSql AS simhash FROM documents",
+
+    "q20_jaccard_pairs" -> {
+      val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
+      s"""WITH tok AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, source, $bigrams AS grams FROM tok),
+         |sz AS (SELECT doc_id, source, grams, len(grams) AS gsz FROM g),
+         |i AS (
+         |  SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.grams, b.grams)) AS inter, a.gsz AS asz, b.gsz AS bsz
+         |  FROM sz a JOIN sz b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT source, a_id, b_id,
+         |    CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) AS jac
+         |  FROM i)
+         |SELECT source, a_id, b_id, ${r("jac", 4)} AS jaccard FROM p WHERE jac >= 0.2""".stripMargin
+    },
+
+    "q21_knn_cosine" -> {
+      val dot = "list_dot_product(q.vec, c.vec) / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec)))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $dot AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |rr AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
+         |FROM rr WHERE rank <= 5""".stripMargin
+    },
+
+    "q22_ann_lsh_bucket" -> {
+      val bits = (0 until Extensions.LshPlanes).map { j =>
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }
+      s"SELECT vec_id, CAST(${bits.mkString(" + ")} AS INTEGER) AS bucket FROM embeddings"
+    },
+
+    "q23_lang_id" -> {
+      val hitCols = Txt.StopwordsByLang.map { case (l, sw) =>
+        s"CAST(len(list_intersect($toksSql, ${stoplistSql(sw)})) AS INTEGER) AS ${l}_hits"
+      }.mkString(",\n  ")
+      s"""WITH h AS (SELECT doc_id,
+         |  $hitCols
+         |FROM documents)
+         |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |       WHEN fr_hits >= de_hits THEN 'fr'
+         |       ELSE 'de' END AS detected_lang
+         |FROM h""".stripMargin
+    },
+
+    "q24_quality_score" -> {
+      val en = stoplistSql(Txt.StopwordsByLang.head._2)
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |  CAST(list_sum([len(t) for t in str_split(text, ' ') if t != '']) AS INTEGER) AS sum_len,
+         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS punct_cnt,
+         |  CAST(len([t for t in str_split(text, ' ') if t != '' AND list_contains($en, t)]) AS INTEGER) AS stop_occ,
+         |  CAST(len(text) AS INTEGER) AS len
+         |FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  ${r("sum_len / n_tokens", 4)} AS avg_token_len,
+         |  ${r("punct_cnt / len", 4)} AS punct_ratio,
+         |  ${r("stop_occ / n_tokens", 4)} AS stop_ratio,
+         |  ${r("(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) " +
+             "+ CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_cnt / len) " +
+             "+ CAST(0.3 AS DOUBLE) * (stop_occ / n_tokens)", 4)} AS quality
+         |FROM b""".stripMargin
+    },
+
+    "q25_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${Txt.BpePattern}')) AS INTEGER) AS bpe_tokens,
+         |  CAST(len(text) AS INTEGER) AS n_chars_m
+         |FROM documents""".stripMargin,
+
+    "q26_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) for i in range(0, len(text))]),
+        |    (x, y) -> (x * 31 + y) % 1000000007) AS rhash
+        |FROM documents""".stripMargin,
+
+    "q27_multimodal_meta" ->
+      """WITH h AS (SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) for i in range(0, len(text))]),
+        |    (x, y) -> (x * 31 + y) % 1000000007) AS rh
+        |FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(rh % 1024 + 1 AS INTEGER) AS width,
+        |  CAST((rh // 1024) % 768 + 1 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM h""".stripMargin,
+
+    "q28_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q29_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  )
+}

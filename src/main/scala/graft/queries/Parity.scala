@@ -1,0 +1,189 @@
+package graft.queries
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Cleaning, DateDim, Dedup, Scd2}
+import graft.functions.NumFunctions.r2
+import graft.io.Tables
+
+/** Reference-parity operator family (SURVEY.md §2), phrased against the
+  * driver's testdata star schema (TESTDATA.md). Each query maps 1:1 to an
+  * operator inventory row and has an exact DuckDB oracle in
+  * [[graft.queries.Oracles]].
+  *
+  * Numeric-determinism policy (so oracle hashes match bit-for-bit):
+  *  - large double SUMs go through DECIMAL(18,6) (associative, exact);
+  *  - AVGs and window prefix-sums stay double (accumulation order is
+  *    identical on both engines) and are rounded;
+  *  - timestamps are emitted as formatted strings or DATEs, never raw
+  *    (the testdata mixes ms/ns parquet timestamp units).
+  */
+object Parity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** P3/P4/P5/P8: error-token cleaning — whitelist, digit scrub, conditional
+    * null-out (reference: Silver Layer.py:399-416).
+    */
+  def q01CleanTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      Cleaning.whitelist(col("event_type"), Seq("click", "view", "purchase")).as("event_type_clean"),
+      Cleaning.digitsOnly(col("props")).try_cast("int").as("k_val"),
+      when(col("value") < 0, lit(null)).otherwise(col("value")).as("value_clean"))
+
+  /** F1/F6/P8: date parsing + calendar derivations (SL:26-43, GL:169-181). */
+  def q02CleanDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("order_date"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      quarter(col("o_orderdate")).as("order_quarter"))
+
+  /** P6/P7: essential-column dropna + row filter (SL:69, GL:30). */
+  def q03FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .na.drop(Seq("text", "lang"))
+      .filter(col("n_chars") >= 200)
+      .select("doc_id", "lang", "source", "n_chars")
+
+  /** A1: subset dedup (SL:175 etc.) — projected to the key so the result is
+    * deterministic (dropDuplicates keeps an arbitrary survivor row).
+    */
+  def q04DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+  /** Window latest-row dedup — the scalable deterministic alternative to A1
+    * (SURVEY.md §7.5).
+    */
+  def q05DedupLatest(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestBy(t(s, dir, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+
+  /** O15/§2.6: SCD Type-2 merge — the reference's signature operator, run
+    * over a deterministic two-batch split of `customer`:
+    * batch1 = keys with c_custkey % 5 != 0 (as-of 2024-01-01);
+    * batch2 = all keys, with c_acctbal + 100 for c_custkey % 3 == 0
+    * (as-of 2024-06-01). Exercises unchanged/changed-expire+reinsert/
+    * brand-new classification with null-safe change detection.
+    */
+  def q06Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val batch1 = cust.filter(col("c_custkey") % 5 =!= 0)
+    val batch2 = cust.withColumn(
+      "c_acctbal",
+      when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+    val target = Scd2.bootstrap(batch1, LocalDate.parse("2024-01-01"))
+    Scd2.merge(target, batch2,
+      keys = Seq("c_custkey"),
+      compareCols = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      asOf = LocalDate.parse("2024-06-01"))
+  }
+
+  /** N1/N2: array explode with position (billing line_items pattern,
+    * SL:151-157, applied to the embedding column).
+    */
+  def q07ExplodePos(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+
+  /** N3/F6/F7/F9: calendar dimension via sequence+explode (GL:84-125),
+    * bounds taken fully in-plan from orders.o_orderdate.
+    */
+  def q08DateDim(s: SparkSession, dir: String): DataFrame =
+    DateDim.fromColumn(t(s, dir, "orders"), col("o_orderdate"))
+
+  /** A4: grouped SUM/COUNT — agg_revenue_month shape (GL:262-271).
+    * SUM through DECIMAL for cross-engine exactness.
+    */
+  def q09AggMonthRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total_revenue"),
+        count(lit(1)).as("orders_count"))
+
+  /** A5: grouped COUNT/AVG — agg_admissions_reason_month shape (GL:277-287). */
+  def q10AggPriorityMonth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("orders_count"),
+        r2(avg(col("o_totalprice"))).as("avg_price"))
+
+  /** Star-schema join: fact ⋈ dims with broadcast small sides — the query
+    * shape the reference's gold layer exists to serve (SURVEY.md §2.7).
+    * nation/region are broadcast explicitly; customer is left to AQE.
+    */
+  def q11StarJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+
+  /** Anti join (used inside Scd2Merge for brand-new rows; SURVEY.md §2.7). */
+  def q12AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Semi join: suppliers with at least one lineitem. */
+  def q13SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+
+  /** Sort + limit (top-k) with total tie-break. */
+  def q14TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  /** Window running aggregate per key (prefix sum — accumulation order is
+    * frame-defined, so double is deterministic cross-engine).
+    */
+  def q15WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      r2(sum(col("value")).over(w)).as("running_value"))
+  }
+
+  /** ROLLUP aggregate — beyond-reference OLAP staple; l_quantity is
+    * integral-valued so its double SUM is exact and associative.
+    */
+  def q28RollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** Exact distinct counts per group (the exact twin of the
+    * approx_count_distinct sketch extension).
+    */
+  def q29DistinctCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"))
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet (Spark result), runs the matching SQL
+from <outDir>/oracle_sql.json in DuckDB over <sfDir>'s tables, and compares
+after sorting rows and sorting columns by name. Reports schema/row/value
+mismatches per query. Exact compare (no float tolerance) — matches the
+worst-case interpretation of the driver's hash compare.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = sorted(
+                tuple(canon(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {', '.join(spark_cols)} FROM spark_rel"
+                ).fetchall()
+            )
+            duck_rel = con.sql(sql)
+            duck_cols = sorted(duck_rel.columns)
+            dtypes = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+            stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+            duck_rows = sorted(
+                tuple(canon(v) for v in row)
+                for row in con.sql(f"SELECT {', '.join(duck_cols)} FROM duck_rel").fetchall()
+            )
+            if spark_cols != duck_cols:
+                print(f"FAIL {name}: columns differ spark={spark_cols} duck={duck_cols}")
+                fails += 1
+                continue
+            tdiff = {c: (stypes[c], dtypes[c]) for c in spark_cols if stypes[c] != dtypes[c]}
+            if spark_rows != duck_rows:
+                n = len(spark_rows)
+                m = len(duck_rows)
+                diff = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b][:3]
+                only_s = [r for r in spark_rows[:5000] if r not in set(duck_rows)][:2]
+                print(f"FAIL {name}: rows spark={n} duck={m} typediff={tdiff}")
+                for a, b in diff:
+                    print(f"   spark={a}\n   duck ={b}")
+                if not diff and only_s:
+                    print(f"   spark-only={only_s}")
+                fails += 1
+            else:
+                note = f" [typediff={tdiff}]" if tdiff else ""
+                print(f"OK   {name}: {len(spark_rows)} rows{note}")
+        except Exception as e:
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}")
+            fails += 1
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
