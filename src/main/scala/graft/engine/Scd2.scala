@@ -61,29 +61,34 @@ object Scd2 {
     val history = target.filter(!col(IsCurrent))
     val current = target.filter(col(IsCurrent))
 
-    // One shuffle on `keys` shared by every branch below; Spark reuses the
-    // exchange across the self-referencing branches where plans align.
-    val src = source.select(bizCols.map(col).toIndexedSeq: _*)
-    val joined = current.alias("t").join(src.alias("s"), keys, "full_outer")
+    // Physically rename the source side before joining: alias-based "t"/"s"
+    // disambiguation breaks when `target` is itself the output of a previous
+    // merge over the same source lineage (Spark resolves both aliases to the
+    // same attribute ids). Renamed columns make the plan self-join-proof.
+    def s_(c: String) = s"__s_$c"
+    val src = source.select(bizCols.map(c => col(c).as(s_(c))).toIndexedSeq: _*)
+    // Business keys are assumed non-null (the reference dropna's essential
+    // columns before merging, SL:69) — plain equality, null keys never match.
+    val joinCond = keys.map(k => col(k) === col(s_(k))).reduce(_ && _)
+    val joined = current.join(src, joinCond, "full_outer")
 
     def anyDiff = compareCols
-      .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
+      .map(c => !(col(c) <=> col(s_(c))))
       .reduce(_ || _)
 
-    val tCols = bizCols.map(c => col(s"t.$c").as(c)).toIndexedSeq
-    val sCols = bizCols.map(c => col(s"s.$c").as(c)).toIndexedSeq
-    val tTriplet = Seq(col(s"t.$EffectiveDate").as(EffectiveDate),
-      col(s"t.$EndDate").as(EndDate), col(s"t.$IsCurrent").as(IsCurrent))
+    val tCols = bizCols.map(col).toIndexedSeq
+    val sCols = bizCols.map(c => col(s_(c)).as(c)).toIndexedSeq
+    val tTriplet = Seq(col(EffectiveDate), col(EndDate), col(IsCurrent))
 
-    val matched = joined.filter(col(s"t.${keys.head}").isNotNull && col(s"s.${keys.head}").isNotNull)
+    val matched = joined.filter(col(keys.head).isNotNull && col(s_(keys.head)).isNotNull)
     val unchangedRows = matched.filter(!anyDiff).select(tCols ++ tTriplet: _*)
     val expiredRows = matched.filter(anyDiff).select(
-      tCols :+ col(s"t.$EffectiveDate").as(EffectiveDate)
+      tCols :+ col(EffectiveDate)
         :+ lit(asOf.toString).cast("date").as(EndDate)
         :+ lit(false).as(IsCurrent): _*)
     val newVersionRows = matched.filter(anyDiff).select(sCols: _*)
-    val targetOnly = joined.filter(col(s"s.${keys.head}").isNull).select(tCols ++ tTriplet: _*)
-    val sourceOnly = joined.filter(col(s"t.${keys.head}").isNull).select(sCols: _*)
+    val targetOnly = joined.filter(col(s_(keys.head)).isNull).select(tCols ++ tTriplet: _*)
+    val sourceOnly = joined.filter(col(keys.head).isNull).select(sCols: _*)
 
     val inserts = withScd2Columns(newVersionRows.unionByName(sourceOnly), asOf)
 
