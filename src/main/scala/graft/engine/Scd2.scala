@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.time.LocalDate
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SCD Type-2 merge — the reference's signature operator: six structurally
@@ -76,27 +76,32 @@ object Scd2 {
       .map(c => !(col(c) <=> col(s_(c))))
       .reduce(_ || _)
 
+    // SINGLE-PASS emission: a filter-per-outcome union would re-execute the
+    // full-outer join once per branch (the dominant shuffle, 5× at scale).
+    // Instead each joined row emits an ARRAY of output rows — two for
+    // changed keys (expired version + new current version), one otherwise —
+    // and one explode flattens them. One join, one pass, same result.
+    val asOfDate = lit(asOf.toString).cast("date")
+    val nullDate = lit(null).cast("date")
+
+    def mk(cols: Seq[Column], eff: Column, end: Column, cur: Column) =
+      struct(cols.zip(bizCols).map { case (c, n) => c.as(n) } :+
+        eff.as(EffectiveDate) :+ end.as(EndDate) :+ cur.as(IsCurrent): _*)
+
     val tCols = bizCols.map(col).toIndexedSeq
-    val sCols = bizCols.map(c => col(s_(c)).as(c)).toIndexedSeq
-    val tTriplet = Seq(col(EffectiveDate), col(EndDate), col(IsCurrent))
+    val srcCols = bizCols.map(c => col(s_(c))).toIndexedSeq
+    val keepTarget = mk(tCols, col(EffectiveDate), col(EndDate), col(IsCurrent))
+    val expired = mk(tCols, col(EffectiveDate), asOfDate, lit(false))
+    val newVersion = mk(srcCols, asOfDate, nullDate, lit(true))
 
-    val matched = joined.filter(col(keys.head).isNotNull && col(s_(keys.head)).isNotNull)
-    val unchangedRows = matched.filter(!anyDiff).select(tCols ++ tTriplet: _*)
-    val expiredRows = matched.filter(anyDiff).select(
-      tCols :+ col(EffectiveDate)
-        :+ lit(asOf.toString).cast("date").as(EndDate)
-        :+ lit(false).as(IsCurrent): _*)
-    val newVersionRows = matched.filter(anyDiff).select(sCols: _*)
-    val targetOnly = joined.filter(col(s_(keys.head)).isNull).select(tCols ++ tTriplet: _*)
-    val sourceOnly = joined.filter(col(keys.head).isNull).select(sCols: _*)
+    val emitted =
+      when(col(keys.head).isNull, array(newVersion))            // brand-new key
+        .when(col(s_(keys.head)).isNull, array(keepTarget))     // target-only
+        .when(anyDiff, array(expired, newVersion))              // changed: expire + reinsert
+        .otherwise(array(keepTarget))                           // unchanged
 
-    val inserts = withScd2Columns(newVersionRows.unionByName(sourceOnly), asOf)
-
-    history
-      .unionByName(unchangedRows)
-      .unionByName(expiredRows)
-      .unionByName(targetOnly)
-      .unionByName(inserts)
+    history.unionByName(
+      joined.select(explode(emitted).as("r")).select(col("r.*")))
   }
 
   /** Bootstrap: first run just stamps the triplet (Silver Layer.py:120). */
