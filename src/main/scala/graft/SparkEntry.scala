@@ -46,6 +46,8 @@ object SparkEntry {
     "q27_multimodal_meta" -> (Extensions.q27MultimodalMeta _),
     "q28_rollup_agg" -> (Parity.q28RollupAgg _),
     "q29_distinct_count" -> (Parity.q29DistinctCount _),
+    "q30_approx_distinct" -> (Parity.q30ApproxDistinct _),
+    "q31_sql_text" -> (Parity.q31SqlText _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -292,5 +292,17 @@ object Oracles {
     "q29_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // q30_approx_distinct: deliberately NO oracle — Spark's HLL++ and
+    // DuckDB's HLL produce different estimates; driver records rows-only.
+
+    "q31_sql_text" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

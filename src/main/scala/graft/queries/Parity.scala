@@ -186,4 +186,32 @@ object Parity {
       .agg(
         countDistinct(col("l_partkey")).as("parts"),
         countDistinct(col("l_suppkey")).as("supps"))
+
+  /** HLL++ sketch distinct counts (SURVEY.md §7.5 extension): at 100 TB the
+    * sketch replaces the exact distinct's full shuffle of the key space
+    * with fixed-size mergeable state. No DuckDB oracle (different HLL
+    * implementation) — the driver records a rows-only check; SketchSpec
+    * asserts the error envelope against q29's exact counts.
+    */
+  def q30ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
+
+  /** SQL-text entry shape (GL:260-288 runs its aggregates as SQL strings):
+    * same engine lifecycle, parsed instead of built.
+    */
+  def q31SqlText(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base,
+        |  count(*) AS cnt
+        |FROM v_lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
 }
