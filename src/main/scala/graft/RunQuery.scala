@@ -19,6 +19,20 @@ object RunQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stage-level profile: duration + task time + GC + spill per stage
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+        val m = i.taskMetrics
+        stages.add(f"[stage ${i.stageId}%3d] ${i.numTasks}%4d tasks wall=${wall / 1e3}%6.2fs " +
+          f"taskTime=${m.executorRunTime / 1e3}%7.2fs gc=${m.jvmGCTime / 1e3}%6.2fs " +
+          f"shuffleRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+          f"spill=${m.memoryBytesSpilled / 1e6}%6.1fMB  ${i.name.take(60)}")
+      }
+    })
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (doExplain) df.explain("formatted")
     var t0 = System.nanoTime()
@@ -27,6 +41,8 @@ object RunQuery {
     t0 = System.nanoTime()
     df.count()
     println(f"[runquery] $name second_run=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    Thread.sleep(500) // let listener drain
+    stages.forEach(s => println(s))
     spark.stop()
   }
 }

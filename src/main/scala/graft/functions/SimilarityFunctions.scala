@@ -16,17 +16,25 @@ object SimilarityFunctions {
 
   // ---------- MinHash ----------
 
-  /** One MinHash component: min over shingles of md5("<salt>:" || shingle).
-    * Using the lexicographic min of salted md5 hex strings is an order-
-    * preserving stand-in for "min over a salted hash family" that is
-    * reproducible across engines.
+  /** Per-shingle digest material: md5(s) || md5("x:" || s) — 64 hex chars,
+    * computed ONCE per shingle. Signature components are 8-hex-char (32-bit)
+    * slices of this, so a k=8 signature costs 2 md5 calls per shingle
+    * instead of 8 salted ones. Lexicographic min over fixed-width hex ==
+    * numeric min, and 32-bit slices keep cross-doc min-collision noise at
+    * ~|union|²/2³² — negligible.
     */
-  def minhashComponent(shingles: Column, salt: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$salt:"), s))))
+  def shingleDigests(shingles: Column): Column =
+    transform(shingles, s => concat(md5(s), md5(concat(lit("x:"), s))))
 
-  /** k-component MinHash signature as individual columns sig_0..sig_{k-1}. */
-  def minhashSignature(shingles: Column, k: Int): Seq[Column] =
-    (0 until k).map(j => minhashComponent(shingles, j).as(s"sig_$j"))
+  /** k MinHash components (k ≤ 8) as columns sig_0..sig_{k-1}: component j
+    * is the min over shingles of hex slice [j*8+1, j*8+8] of the digest.
+    */
+  def minhashFromDigests(digests: Column, k: Int): Seq[Column] = {
+    require(k <= 8, "8 slices of 32 bits per 2-md5 digest")
+    (0 until k).map { j =>
+      array_min(transform(digests, d => substring(d, j * 8 + 1, 8))).as(s"sig_$j")
+    }
+  }
 
   /** LSH band hash: md5 of the concatenated signature slice. */
   def bandHash(sigCols: Seq[Column]): Column = md5(concat(sigCols: _*))

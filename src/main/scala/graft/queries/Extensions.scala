@@ -25,8 +25,30 @@ object Extensions {
     * buys full-width execution — the local-mode analogue of "size your
     * splits to your cluster".
     */
-  private def widen(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+  private def widen(s: SparkSession, df: DataFrame): DataFrame = {
+    // Hash-partition on the row id rather than round-robin: round-robin
+    // partitioning is non-deterministic, which blocks ReuseExchange when
+    // the widened frame feeds both sides of a self-join (the whole minhash
+    // computation would run twice).
+    val key = if (df.columns.contains("doc_id")) "doc_id" else df.columns.head
+    df.repartition(s.sparkContext.defaultParallelism, col(key))
+  }
+
+  /** documents with a schema-NON-NULLABLE text column (null → "").
+    *
+    * Load-bearing for PLANS, not just semantics: downstream joins/filters
+    * over columns derived from a nullable `text` make Catalyst infer
+    * isnotnull(<derived>) constraints, and predicate pushdown substitutes
+    * the whole derived EXPRESSION below the repartition — re-running the
+    * tokenize/shingle/md5 work on the single pre-shuffle input partition
+    * (observed: +4s single-task stage in q20). coalesce(text, '') is
+    * non-nullable by construction, so derived columns are non-nullable and
+    * no such filter can be inferred. The testdata has no null/empty texts,
+    * so "" never actually flows (and would only yield zero grams anyway).
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    widen(s, t(s, dir, "documents")
+      .withColumn("text", coalesce(col("text"), lit(""))))
 
   /** MinHash/LSH tuning: the testdata documents are same-vocabulary word
     * soup with background 5-gram Jaccard ≈ 0.19 — at that density 2-sig
@@ -49,9 +71,10 @@ object Extensions {
 
   private def sigFrame(s: SparkSession, dir: String): DataFrame = {
     val shingles = Txt.charShinglesExpr("text", ShingleN)
-    widen(s, t(s, dir, "documents"))
+    docs(s, dir)
       .filter(length(col("text")) >= ShingleN)
-      .select(col("doc_id") +: Sim.minhashSignature(shingles, MinhashK): _*)
+      .withColumn("digests", Sim.shingleDigests(shingles))
+      .select(col("doc_id") +: Sim.minhashFromDigests(col("digests"), MinhashK): _*)
   }
 
   /** MinHash signatures over char shingles (k = MinhashK). */
@@ -71,24 +94,35 @@ object Extensions {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Pairs come from a GROUP BY on the bucket, not a self-join: a
+    // self-join would compute the whole minhash frame twice (round-robin &
+    // self-join alias plans defeat exchange reuse). One aggregation
+    // collects each bucket's (sorted) member list; an in-plan combination
+    // expansion emits the i<j pairs. Bucket membership is tiny by
+    // construction (the banding parameters keep background-similarity
+    // collisions out), so the per-bucket quadratic is bounded.
+    bands
+      .groupBy(col("band"), col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
   }
 
   /** 16-bit SimHash per document (md5-parity bit votes). */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
-    widen(s, t(s, dir, "documents"))
+    docs(s, dir)
       .select(col("doc_id"), Sim.simhash16Expr("text").as("simhash"))
 
   /** Word-bigram Jaccard near-dup pairs, blocked by `source` (blocking key
     * bounds the pair space; at scale the block key would be an LSH bucket).
     */
   def q20JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val grams = widen(s, t(s, dir, "documents"))
+    val grams = docs(s, dir)
       .withColumn("tk", Txt.tokens(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(Txt.wordBigramsExpr("tk")).as("grams"))

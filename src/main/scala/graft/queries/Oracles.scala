@@ -21,13 +21,22 @@ object Oracles {
 
   // ---- shared generated fragments ----
 
-  /** DuckDB minhash component j over char 5-gram shingles (= Sim.minhashComponent). */
-  private def sigSql(j: Int): String =
-    s"list_min([md5('$j:' || substr(text, CAST(i AS INTEGER) + 1, ${Extensions.ShingleN})) " +
-      s"for i in range(0, len(text) - ${Extensions.ShingleN - 1})])"
+  /** DuckDB twin of Sim.shingleDigests + minhashFromDigests: one digest
+    * list per doc (2 md5s per shingle), signature j = min of hex slice
+    * [j*8+1, 8].
+    */
+  private val digestsCte: String = {
+    val sh = s"substr(text, CAST(i AS INTEGER) + 1, ${Extensions.ShingleN})"
+    s"""dg AS (
+       |  SELECT doc_id,
+       |    [md5($sh) || md5('x:' || $sh) for i in range(0, len(text) - ${Extensions.ShingleN - 1})] AS digests
+       |  FROM documents WHERE len(text) >= ${Extensions.ShingleN})""".stripMargin
+  }
 
   private val sigCols: String =
-    (0 until Extensions.MinhashK).map(j => s"${sigSql(j)} AS sig_$j").mkString(",\n    ")
+    (0 until Extensions.MinhashK)
+      .map(j => s"list_min([substr(d, ${j * 8 + 1}, 8) for d in digests]) AS sig_$j")
+      .mkString(",\n    ")
 
   /** DuckDB 16-bit simhash (= Sim.simhash16Expr). */
   private val simhashSql: String = {
@@ -162,9 +171,10 @@ object Oracles {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q17_minhash_sig" ->
-      s"""SELECT doc_id,
+      s"""WITH $digestsCte
+         |SELECT doc_id,
          |    $sigCols
-         |FROM documents WHERE len(text) >= ${Extensions.ShingleN}""".stripMargin,
+         |FROM dg""".stripMargin,
 
     "q18_lsh_pairs" -> {
       val nBands = Extensions.MinhashK / Extensions.BandRows
@@ -173,10 +183,11 @@ object Oracles {
           .map(j => s"sig_$j").mkString(" || ")
         s"SELECT doc_id, $b AS band, md5($slice) AS h FROM sig"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH sig AS (
+      s"""WITH $digestsCte,
+         |sig AS (
          |  SELECT doc_id,
          |    $sigCols
-         |  FROM documents WHERE len(text) >= ${Extensions.ShingleN}),
+         |  FROM dg),
          |bands AS (
          |  $bandSelects)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

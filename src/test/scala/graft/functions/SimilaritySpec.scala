@@ -17,14 +17,16 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (c, want) => assert(math.abs(c - want) < 1e-12) }
   }
 
-  test("minhash: identical texts share all components; containment raises match odds") {
+  test("minhash: identical texts share all components; disjoint texts differ") {
     val df = Seq((1L, "abcdefghij klmnop qrstu"), (2L, "abcdefghij klmnop qrstu"), (3L, "zzzzzzzzzzzzzz"))
       .toDF("doc_id", "text")
-    val sh = Txt.charShinglesExpr("text", 5)
-    val sig = df.select(col("doc_id") +: Sim.minhashSignature(sh, 4): _*)
+    val sig = df
+      .withColumn("digests", Sim.shingleDigests(Txt.charShinglesExpr("text", 5)))
+      .select(col("doc_id") +: Sim.minhashFromDigests(col("digests"), 4): _*)
       .as[(Long, String, String, String, String)].collect().sortBy(_._1)
     assert(sig(0)._2 == sig(1)._2 && sig(0)._5 == sig(1)._5) // identical docs: identical sigs
     assert(sig(0)._2 != sig(2)._2 || sig(0)._3 != sig(2)._3) // disjoint docs: differ somewhere
+    sig.foreach(s => assert(s._2.length == 8 && s._5.length == 8)) // 32-bit hex slices
   }
 
   test("simhash16: deterministic, equal for equal text, in 16-bit range") {
