@@ -77,6 +77,14 @@ object SimilarityFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine via the native codegen'd expression when the session has
+    * graft.GraftExtensions registered; the composable HOF form otherwise.
+    * Both produce bit-identical doubles (same accumulation order).
+    */
+  def cosineByName(s: org.apache.spark.sql.SparkSession, aName: String, bName: String): Column =
+    if (s.catalog.functionExists("cosine_sim")) expr(s"cosine_sim($aName, $bName)")
+    else cosine(col(aName), col(bName))
+
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * rows of `candidates` (excluding itself). Both frames must have
     * (`idCol`, `vecCol: array<double>`).
@@ -91,7 +99,7 @@ object SimilarityFunctions {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", cosineByName(candidates.sparkSession, "q_vec", "n_vec"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
