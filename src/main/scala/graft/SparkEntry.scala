@@ -48,6 +48,8 @@ object SparkEntry {
     "q29_distinct_count" -> (Parity.q29DistinctCount _),
     "q30_approx_distinct" -> (Parity.q30ApproxDistinct _),
     "q31_sql_text" -> (Parity.q31SqlText _),
+    "q32_cosine_neardup" -> (Extensions.q32CosineNeardup _),
+    "q33_ann_search" -> (Extensions.q33AnnSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

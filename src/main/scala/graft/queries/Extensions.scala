@@ -174,6 +174,61 @@ object Extensions {
       col("vec_id"),
       Sim.lshBucket(col("embedding").cast("array<double>"), Planes).as("bucket"))
 
+  private def bucketedEmb(s: SparkSession, dir: String): DataFrame =
+    widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .withColumn("bucket", Sim.lshBucket(col("vec"), Planes))
+
+  /** Embedding-cosine near-duplicate dedup, blocked by LSH bucket: pairs
+    * sharing a hyperplane bucket with cosine ≥ 0.3 (the testdata embeddings
+    * are random — no true near-dups exist, and 0.3 captures the top
+    * percentile of same-bucket similarity so the filter path is exercised;
+    * a real corpus would use ~0.9); keep = lower vec_id.
+    * The bucket bounds candidate generation (per-bucket combinations, not
+    * all-pairs); cosine runs through the native codegen'd expression.
+    */
+  def q32CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketedEmb(s, dir)
+    val pairs = b
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('keep_id', x, 'dup_id', y))))""".stripMargin)).as("p"))
+      .select(col("p.keep_id").as("keep_id"), col("p.dup_id").as("dup_id"))
+    val vecs = b.select(col("vec_id"), col("vec"))
+    pairs
+      .join(broadcast(vecs.as("va")), col("keep_id") === col("va.vec_id"))
+      .join(broadcast(vecs.as("vb")), col("dup_id") === col("vb.vec_id"))
+      .select(col("keep_id"), col("dup_id"),
+        Sim.cosineByName(s, "va.vec", "vb.vec").as("sim"))
+      .filter(col("sim") >= 0.3)
+      .select(col("keep_id"), col("dup_id"), r4(col("sim")).as("sim"))
+  }
+
+  /** LSH-bucketed ANN search — the scale path of q21's brute force: each
+    * query probes only its own hyperplane bucket (candidate set ~n/2^planes)
+    * for top-3 neighbors. Recall is tunable via planes/multi-probe; the
+    * plan shape (bucket equi-join + per-query top-k) is what survives 10⁹
+    * vectors.
+    */
+  def q33AnnSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bucketedEmb(s, dir)
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
+    val sims = b.as("c")
+      .join(broadcast(q), col("c.bucket") === q("bucket") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        Sim.cosineByName(s, "q_vec", "c.vec").as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim"))
+  }
+
   /** Stopword-hit language ID (deterministic heuristic classifier). */
   def q23LangId(s: SparkSession, dir: String): DataFrame = {
     val toks = Txt.tokens(col("text"))

@@ -57,6 +57,16 @@ object Oracles {
     Sim.hyperplanes(Extensions.LshPlanes, Extensions.EmbeddingDim)(j)
       .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
+  /** LSH bucket id over a DOUBLE[] column (= Sim.lshBucket). */
+  private def bucketSql(vec: String): String =
+    (0 until Extensions.LshPlanes).map { j =>
+      s"(CASE WHEN list_dot_product($vec, ${planeSql(j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS INTEGER)")
+
+  /** Explicit cosine with the same accumulation order as cosine_sim. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   val all: Map[String, String] = Map(
     "q01_clean_tokens" ->
       """SELECT event_id,
@@ -226,12 +236,27 @@ object Oracles {
          |FROM rr WHERE rank <= 5""".stripMargin
     },
 
-    "q22_ann_lsh_bucket" -> {
-      val bits = (0 until Extensions.LshPlanes).map { j =>
-        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
-      }
-      s"SELECT vec_id, CAST(${bits.mkString(" + ")} AS INTEGER) AS bucket FROM embeddings"
-    },
+    "q22_ann_lsh_bucket" ->
+      s"SELECT vec_id, ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings",
+
+    "q32_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT keep_id, dup_id, ${r("sim", 4)} AS sim FROM p WHERE sim >= 0.3""".stripMargin,
+
+    "q33_ann_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosSql("q.vec", "c.vec")} AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |rr AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
+         |FROM rr WHERE rank <= 3""".stripMargin,
 
     "q23_lang_id" -> {
       val hitCols = Txt.StopwordsByLang.map { case (l, sw) =>
