@@ -215,7 +215,6 @@ object Extensions {
     * vectors.
     */
   def q33AnnSearch(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val b = bucketedEmb(s, dir)
     val q = b.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
@@ -223,10 +222,15 @@ object Extensions {
       .join(broadcast(q), col("c.bucket") === q("bucket") && col("q_id") =!= col("c.vec_id"))
       .select(col("q_id"), col("c.vec_id").as("n_id"),
         Sim.cosineByName(s, "q_vec", "c.vec").as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim"))
+    // per-query top-k via the bounded-heap aggregate (graft.expressions
+    // .TopKPairs): map-side state is O(k) per (query, partition) and
+    // partials merge — no per-query sort of the full candidate set, unlike
+    // a rank window. Same output contract (ties → lower id).
+    sims.groupBy(col("q_id"))
+      .agg(expr("topk_pairs(3, sim, n_id)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("sim"))
   }
 
   /** Stopword-hit language ID (deterministic heuristic classifier). */
