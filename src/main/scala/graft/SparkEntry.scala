@@ -50,6 +50,7 @@ object SparkEntry {
     "q31_sql_text" -> (Parity.q31SqlText _),
     "q32_cosine_neardup" -> (Extensions.q32CosineNeardup _),
     "q33_ann_search" -> (Extensions.q33AnnSearch _),
+    "q34_ivf_assign" -> (Extensions.q34IvfAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,4 +63,17 @@ object Tables {
     */
   def overwritePartitioned(df: DataFrame, path: String, parts: Seq[String]): Unit =
     overwrite(df, path, parts)
+
+  /** Bucketed managed-table sink: pre-shuffles rows into `numBuckets` files
+    * by `bucketCols` so every later equi-join/aggregation on those keys is
+    * exchange-free (Spark reads the bucket spec from the catalog and plans
+    * a zero-shuffle sort-merge join). The 100 TB pattern for fact⋈fact
+    * joins that repeat across a workload: pay the shuffle once at write.
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

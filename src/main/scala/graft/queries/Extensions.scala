@@ -233,6 +233,25 @@ object Extensions {
         (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("sim"))
   }
 
+  /** IVF-style cell assignment — the coarse-quantizer half of an IVF ANN
+    * index: each vector joins the cell of its most-aligned centroid
+    * (argmax dot). Centroids here are the deterministic ±1 hyperplanes
+    * (a trained k-means codebook would drop in as different literals —
+    * the plan shape is identical). Search then probes only the query's
+    * cell(s), exactly like q33 does for sign buckets.
+    */
+  def q34IvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val vec = col("vec")
+    val dots = array(Planes.map(p => Sim.dot(vec, typedlit(p.toSeq))): _*)
+    widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .withColumn("dots", dots)
+      .select(
+        col("vec_id"),
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"),
+        r4(array_max(col("dots"))).as("cell_score"))
+  }
+
   /** Stopword-hit language ID (deterministic heuristic classifier). */
   def q23LangId(s: SparkSession, dir: String): DataFrame = {
     val toks = Txt.tokens(col("text"))

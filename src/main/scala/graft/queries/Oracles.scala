@@ -247,6 +247,17 @@ object Oracles {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT keep_id, dup_id, ${r("sim", 4)} AS sim FROM p WHERE sim >= 0.3""".stripMargin,
 
+    "q34_ivf_assign" -> {
+      val dots = (0 until Extensions.LshPlanes)
+        .map(j => s"list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(j)})")
+        .mkString("[", ",\n    ", "]")
+      s"""WITH d AS (SELECT vec_id, $dots AS dots FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell,
+         |  ${r("list_max(dots)", 4)} AS cell_score
+         |FROM d""".stripMargin
+    },
+
     "q33_ann_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
          |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
