@@ -51,6 +51,8 @@ object SparkEntry {
     "q32_cosine_neardup" -> (Extensions.q32CosineNeardup _),
     "q33_ann_search" -> (Extensions.q33AnnSearch _),
     "q34_ivf_assign" -> (Extensions.q34IvfAssign _),
+    "q35_ann_multiprobe" -> (Extensions.q35AnnMultiprobe _),
+    "q36_profile_stats" -> (Parity.q36ProfileStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

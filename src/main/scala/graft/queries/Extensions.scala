@@ -233,6 +233,31 @@ object Extensions {
         (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("sim"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS the 8
+    * buckets at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall lever for hyperplane LSH: vectors near a hyperplane land on
+    * either side, and flipping the corresponding bit recovers them without
+    * growing the index. Candidate set is ~9n/2^planes per query; output
+    * contract matches q33 (top-3, ties → lower id).
+    */
+  def q35AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketedEmb(s, dir)
+    val probeCols = col("bucket") +:
+      (0 until LshPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(array(probeCols: _*)).as("pbucket"))
+    val sims = b.as("c")
+      .join(broadcast(q), col("c.bucket") === col("pbucket") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        Sim.cosineByName(s, "q_vec", "c.vec").as("sim"))
+    sims.groupBy(col("q_id"))
+      .agg(expr("topk_pairs(3, sim, n_id)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("sim"))
+  }
+
   /** IVF-style cell assignment — the coarse-quantizer half of an IVF ANN
     * index: each vector joins the cell of its most-aligned centroid
     * (argmax dot). Centroids here are the deterministic ±1 hyperplanes

@@ -247,6 +247,31 @@ object Oracles {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT keep_id, dup_id, ${r("sim", 4)} AS sim FROM p WHERE sim >= 0.3""".stripMargin,
 
+    "q35_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec,
+         |  unnest([bucket] || [xor(bucket, ${(0 until Extensions.LshPlanes).map(j => 1 << j).mkString("), xor(bucket, ")})]) AS pbucket
+         |  FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.q_id, c.vec_id AS n_id, ${cosSql("q.q_vec", "c.vec")} AS sim
+         |  FROM e c JOIN q ON c.bucket = q.pbucket AND q.q_id <> c.vec_id),
+         |rr AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
+         |FROM rr WHERE rank <= 3""".stripMargin,
+
+    "q36_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS d_orderkey,
+        |  count(DISTINCT l_returnflag) AS d_returnflag,
+        |  count(*) FILTER (WHERE l_returnflag IS NULL) AS nulls_returnflag,
+        |  count(*) FILTER (WHERE l_shipdate IS NULL) AS nulls_shipdate,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
     "q34_ivf_assign" -> {
       val dots = (0 until Extensions.LshPlanes)
         .map(j => s"list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(j)})")

@@ -200,6 +200,22 @@ object Parity {
         approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
 
+  /** Table profiling — the data-quality sweep every ingest pipeline runs
+    * first: row count, per-column null counts, distinct cardinalities,
+    * numeric ranges. One pass, one row out (all aggregates fuse into a
+    * single HashAggregate).
+    */
+  def q36ProfileStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("d_orderkey"),
+      countDistinct(col("l_returnflag")).as("d_returnflag"),
+      count(when(col("l_returnflag").isNull, 1)).as("nulls_returnflag"),
+      count(when(col("l_shipdate").isNull, 1)).as("nulls_shipdate"),
+      round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
   /** SQL-text entry shape (GL:260-288 runs its aggregates as SQL strings):
     * same engine lifecycle, parsed instead of built.
     */

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.{SimilarityFunctions => Sim}
+import org.apache.spark.sql.functions._
+
+/** ANN quality contract: probe expansion must monotonically improve recall
+  * against brute-force ground truth.
+  *
+  * Plane count is a recall/candidate-set tradeoff: at 500 random vectors
+  * the production setting (8 planes = 256 buckets) leaves ~2 vectors per
+  * bucket and near-zero recall — correct behavior for that geometry, but
+  * useless as a quality probe. This spec uses 4 planes (16 buckets,
+  * ~31 candidates/bucket) where hyperplane LSH has signal at this scale;
+  * the sizing rule (buckets ∝ n / wanted-candidates) is the point.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val planes = Sim.hyperplanes(4, 64)
+
+  private lazy val emb = graft.io.Tables.load(spark, dir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    .withColumn("bucket", Sim.lshBucket(col("vec"), planes))
+    .cache()
+
+  private def retrieved(probesOf: org.apache.spark.sql.Column): Set[(Long, Long)] = {
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(probesOf).as("pbucket"))
+    emb.as("c")
+      .join(q, col("c.bucket") === col("pbucket") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        Sim.cosine(col("q_vec"), col("c.vec")).as("sim"))
+      .groupBy("q_id").agg(expr("topk_pairs(3, sim, n_id)").as("t"))
+      .select(col("q_id"), explode(col("t")).as("p"))
+      .select(col("q_id"), col("p.id").as("n_id"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("multi-probe recall >= single-probe recall, both nontrivial vs brute force") {
+    val truth = Extensions.q21KnnCosine(spark, dir).filter("rank <= 3")
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val single = retrieved(array(col("bucket")))
+    val multi = retrieved(array(
+      col("bucket") +: (0 until 4).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
+    val rSingle = (truth intersect single).size.toDouble / truth.size
+    val rMulti = (truth intersect multi).size.toDouble / truth.size
+    info(f"recall single-probe=$rSingle%.2f multi-probe=$rMulti%.2f (truth=${truth.size})")
+    assert(rMulti >= rSingle)
+    assert(rMulti > 0.3, s"multi-probe recall $rMulti below the 4-plane expectation")
+  }
+}
