@@ -53,6 +53,7 @@ object SparkEntry {
     "q34_ivf_assign" -> (Extensions.q34IvfAssign _),
     "q35_ann_multiprobe" -> (Extensions.q35AnnMultiprobe _),
     "q36_profile_stats" -> (Parity.q36ProfileStats _),
+    "q37_simhash_pairs" -> (Extensions.q37SimhashPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

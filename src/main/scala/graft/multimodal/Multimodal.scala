@@ -52,6 +52,45 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame": parent id, frame index, byte offset, and a
+    * rolling-hash fingerprint of the frame's byte window.
+    */
+  case class FrameSample(doc_id: Long, frame_no: Int, byte_offset: Int, frame_hash: Long)
+
+  /** STUB frame sampler: treats the payload as `frameCount` fixed-stride
+    * windows and fingerprints each (a real implementation would seek to
+    * container keyframes — only this function's body changes). One input
+    * row fans out to `frameCount` rows via flatMap-style mapPartitions:
+    * the batch shape a GPU/codec stage needs (iterator in, iterator out,
+    * per-partition init).
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], frameCount: Int): Dataset[FrameSample] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        val stride = math.max(1, b.bytes.length / frameCount)
+        (0 until math.min(frameCount, b.bytes.length)).iterator.map { f =>
+          val off = f * stride
+          val end = math.min(b.bytes.length, off + stride)
+          var h = 0L
+          var i = off
+          while (i < end) { h = (h * 31 + (b.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+          FrameSample(b.doc_id, f, off, h)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: recompute target dimensions preserving aspect ratio
+    * against a max edge — pure metadata math (the pixel work would slot
+    * into the same mapPartitions stage as decodeStub).
+    */
+  def resizeDims(width: Int, height: Int, maxEdge: Int): (Int, Int) = {
+    val scale = maxEdge.toDouble / math.max(width, height)
+    if (scale >= 1.0) (width, height)
+    else (math.max(1, (width * scale).toInt), math.max(1, (height * scale).toInt))
+  }
+
   /** End-to-end stub pipeline over the documents table: text bytes stand in
     * for media payloads (UTF-8 encode = the "file read").
     */

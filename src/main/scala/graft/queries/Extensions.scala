@@ -118,6 +118,24 @@ object Extensions {
     docs(s, dir)
       .select(col("doc_id"), Sim.simhash16Expr("text").as("simhash"))
 
+  /** SimHash near-duplicate pairs: same-source doc pairs whose 16-bit
+    * simhashes differ in ≤ 2 bits. Each doc carries one int through the
+    * join — the cheapest near-dup signal per byte shuffled; the Hamming
+    * test is a codegen'd xor+bit_count.
+    */
+  def q37SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val h = docs(s, dir)
+      .select(col("doc_id"), col("source"), Sim.simhash16Expr("text").as("simhash"))
+    val hd = Sim.hamming16(col("a.simhash"), col("b.simhash"))
+    h.as("a")
+      .join(h.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        hd.as("hamming"))
+      .filter(col("hamming") <= 2)
+  }
+
   /** Word-bigram Jaccard near-dup pairs, blocked by `source` (blocking key
     * bounds the pair space; at scale the block key would be an LSH bucket).
     */

@@ -208,6 +208,13 @@ object Oracles {
     "q19_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents",
 
+    "q37_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, source, $simhashSql AS simhash FROM documents)
+         |SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
     "q20_jaccard_pairs" -> {
       val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
       s"""WITH tok AS (SELECT doc_id, source, $toksSql AS tk FROM documents),

@@ -25,6 +25,25 @@ class MultimodalSpec extends SparkSpec {
     assert((out(1).width, out(1).height, out(1).channels) == (w, h, c))
   }
 
+  test("sampleFrames fans one blob out to N fingerprinted windows") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaBlob(7L, payload)).toDS(), frameCount = 4).collect().sortBy(_.frame_no)
+    assert(frames.length == 4)
+    assert(frames.map(_.byte_offset).toSeq == Seq(0, 25, 50, 75))
+    assert(frames.map(_.frame_hash).distinct.length == 4) // distinct windows → distinct hashes
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaBlob(7L, payload)).toDS(), 4).collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_hash).toSeq == again.map(_.frame_hash).toSeq)
+  }
+
+  test("resizeDims preserves aspect ratio and never upscales") {
+    assert(Multimodal.resizeDims(1024, 768, 512) == (512, 384))
+    assert(Multimodal.resizeDims(300, 200, 512) == (300, 200))
+    assert(Multimodal.resizeDims(2000, 10, 100) == (100, 1))
+  }
+
   test("documentBlobMeta: byte length = UTF-8 length of text") {
     val df = Seq((1L, "abc"), (2L, "héllo")).toDF("doc_id", "text")
     val out = Multimodal.documentBlobMeta(spark, df)
