@@ -54,6 +54,7 @@ object SparkEntry {
     "q35_ann_multiprobe" -> (Extensions.q35AnnMultiprobe _),
     "q36_profile_stats" -> (Parity.q36ProfileStats _),
     "q37_simhash_pairs" -> (Extensions.q37SimhashPairs _),
+    "q38_json_extract" -> (Parity.q38JsonExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -268,6 +268,12 @@ object Oracles {
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
 
+    "q38_json_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path
+        |FROM events""".stripMargin,
+
     "q36_profile_stats" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS d_orderkey,

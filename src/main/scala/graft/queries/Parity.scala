@@ -200,6 +200,16 @@ object Parity {
         approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
 
+  /** Semi-structured JSON column extraction — the in-row twin of the
+    * billing NDJSON scan (S2/S3): schema-on-read over a string column via
+    * from_json, plus the path-extraction form. Both codegen'd, no UDF.
+    */
+  def q38JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k_struct"),
+      get_json_object(col("props"), "$.k").try_cast("int").as("k_path"))
+
   /** Table profiling — the data-quality sweep every ingest pipeline runs
     * first: row count, per-column null counts, distinct cardinalities,
     * numeric ranges. One pass, one row out (all aggregates fuse into a
