@@ -55,6 +55,9 @@ object SparkEntry {
     "q36_profile_stats" -> (Parity.q36ProfileStats _),
     "q37_simhash_pairs" -> (Extensions.q37SimhashPairs _),
     "q38_json_extract" -> (Parity.q38JsonExtract _),
+    "q39_sessionize" -> (Parity.q39Sessionize _),
+    "q40_pivot" -> (Parity.q40Pivot _),
+    "q41_percentiles" -> (Parity.q41Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -268,6 +268,39 @@ object Oracles {
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
 
+    "q39_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, value, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |y AS (
+         |  SELECT *, CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM x),
+         |z AS (
+         |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+         |  FROM y)
+         |SELECT user_id, session_no, count(*) AS n_events,
+         |  max(tsec) - min(tsec) AS duration_s,
+         |  ${r("sum(value)", 2)} AS session_value
+         |FROM z GROUP BY user_id, session_no""".stripMargin,
+
+    "q40_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q41_percentiles" ->
+      s"""SELECT l_returnflag,
+         |  ${r("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+         |  ${r("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
+         |  ${r("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q38_json_extract" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Cleaning, DateDim, Dedup, Scd2}
-import graft.functions.NumFunctions.r2
+import graft.functions.NumFunctions.{r2, r4}
 import graft.io.Tables
 
 /** Reference-parity operator family (SURVEY.md §2), phrased against the
@@ -199,6 +199,50 @@ object Parity {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
+
+  /** Gap-based sessionization — the canonical event-pipeline operator:
+    * a new session starts after a 30-minute silence; the session id is the
+    * running count of session starts (two layered windows, both on the
+    * same (user_id, ts) ordering → a single sort+shuffle).
+    */
+  def q39Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+      .otherwise(lit(0))
+    val withSession = t(s, dir, "events")
+      .withColumn("new_s", coalesce(newSession, lit(0)))
+      .withColumn("session_no", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSession
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
+        r2(sum(col("value"))).as("session_value"))
+  }
+
+  /** Pivot: per-user event counts spread across event-type columns
+    * (fixed value list → deterministic schema; compiles to one grouped
+    * conditional aggregation, not N passes).
+    */
+  def q40Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0) // empty cells: 0, matching conditional-aggregation SQL
+
+  /** Exact percentiles per group (sort-based; the approx twin at scale is
+    * approx_percentile, mirroring q29/q30's exact/sketch split).
+    */
+  def q41Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+        r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
 
   /** Semi-structured JSON column extraction — the in-row twin of the
     * billing NDJSON scan (S2/S3): schema-on-read over a string column via
