@@ -58,6 +58,7 @@ object SparkEntry {
     "q39_sessionize" -> (Parity.q39Sessionize _),
     "q40_pivot" -> (Parity.q40Pivot _),
     "q41_percentiles" -> (Parity.q41Percentiles _),
+    "q42_asof_join" -> (Parity.q42AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

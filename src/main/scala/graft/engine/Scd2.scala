@@ -107,4 +107,34 @@ object Scd2 {
   /** Bootstrap: first run just stamps the triplet (Silver Layer.py:120). */
   def bootstrap(source: DataFrame, asOf: LocalDate): DataFrame =
     withScd2Columns(source, asOf)
+
+  /** Snapshot of the table as it was on `date`: the version whose validity
+    * interval [effective_date, end_date) covers it.
+    */
+  def snapshotAt(history: DataFrame, date: LocalDate): DataFrame = {
+    val d = lit(date.toString).cast("date")
+    history.filter(
+      col(EffectiveDate) <= d && (col(EndDate).isNull || d < col(EndDate)))
+      .drop(EffectiveDate, EndDate, IsCurrent)
+  }
+
+  /** Point-in-time (as-of) join — the read side SCD2 exists for: each fact
+    * row matches the dimension VERSION that was valid on the fact's own
+    * date (equi-join on the key + validity-interval predicate). Facts dated
+    * before the key's first version drop out (inner semantics). The range
+    * predicate rides the key equi-join, so the plan is a plain hash/merge
+    * join with a post-probe filter — no custom operator needed, and at
+    * scale the per-key version count stays small so the probe amplification
+    * is bounded.
+    */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      factDate: Column): DataFrame = {
+    val validity =
+      col(EffectiveDate) <= factDate &&
+        (col(EndDate).isNull || factDate < col(EndDate))
+    facts.join(history, keys).filter(validity)
+  }
 }

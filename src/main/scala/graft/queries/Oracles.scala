@@ -67,6 +67,32 @@ object Oracles {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** q06's SCD2 end-state, shared with the as-of join oracle (q42). */
+  private val scd2Sql: String =
+    """WITH b1 AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |b2 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer)
+      |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
+      |       DATE '2024-01-01' AS effective_date, CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+      |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal = b2.c_acctbal
+      |UNION ALL
+      |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
+      |       DATE '2024-01-01', DATE '2024-06-01', FALSE
+      |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
+      |UNION ALL
+      |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
+      |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+      |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
+      |UNION ALL
+      |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
+      |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+      |FROM b2 LEFT JOIN b1 ON b1.c_custkey = b2.c_custkey WHERE b1.c_custkey IS NULL""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_clean_tokens" ->
       """SELECT event_id,
@@ -95,30 +121,20 @@ object Oracles {
         |      FROM events) t
         |WHERE rn = 1""".stripMargin,
 
-    "q06_scd2_merge" ->
-      """WITH b1 AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 5 <> 0),
-        |b2 AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
-        |    c_mktsegment
-        |  FROM customer)
-        |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
-        |       DATE '2024-01-01' AS effective_date, CAST(NULL AS DATE) AS end_date, TRUE AS is_current
-        |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal = b2.c_acctbal
-        |UNION ALL
-        |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
-        |       DATE '2024-01-01', DATE '2024-06-01', FALSE
-        |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
-        |UNION ALL
-        |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
-        |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
-        |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
-        |UNION ALL
-        |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
-        |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
-        |FROM b2 LEFT JOIN b1 ON b1.c_custkey = b2.c_custkey WHERE b1.c_custkey IS NULL""".stripMargin,
+    "q06_scd2_merge" -> scd2Sql,
+
+    "q42_asof_join" ->
+      s"""WITH hist AS (
+         |$scd2Sql),
+         |f AS (
+         |  SELECT o_orderkey, o_custkey AS c_custkey,
+         |    CAST(CASE WHEN o_orderkey % 2 = 0 THEN '2024-03-15' ELSE '2024-09-15' END AS DATE) AS inquiry_date
+         |  FROM orders)
+         |SELECT f.o_orderkey, f.c_custkey, f.inquiry_date,
+         |       h.c_acctbal, h.effective_date, h.is_current
+         |FROM f JOIN hist h ON f.c_custkey = h.c_custkey
+         |WHERE h.effective_date <= f.inquiry_date
+         |  AND (h.end_date IS NULL OR f.inquiry_date < h.end_date)""".stripMargin,
 
     "q07_explode_pos" ->
       """SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,

@@ -89,6 +89,26 @@ object Parity {
       asOf = LocalDate.parse("2024-06-01"))
   }
 
+  /** As-of (point-in-time) join over the q06 SCD2 history: each order is
+    * stamped with a synthetic inquiry date (before the 2024-06-01 merge for
+    * even keys, after it for odd keys) and joined to the customer VERSION
+    * valid on that date — even-key orders see pre-change balances, odd-key
+    * orders see post-change ones.
+    */
+  def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val history = q06Scd2Merge(s, dir)
+    val facts = t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        when(col("o_orderkey") % 2 === 0, lit("2024-03-15"))
+          .otherwise(lit("2024-09-15")).cast("date").as("inquiry_date"))
+    Scd2.pointInTimeJoin(facts, history, Seq("c_custkey"), col("inquiry_date"))
+      .select(
+        col("o_orderkey"), col("c_custkey"),
+        col("inquiry_date"), col("c_acctbal"),
+        col("effective_date"), col("is_current"))
+  }
+
   /** N1/N2: array explode with position (billing line_items pattern,
     * SL:151-157, applied to the embedding column).
     */

@@ -80,6 +80,32 @@ class Scd2Spec extends SparkSpec {
     assert(third.filter(col("is_current")).count() == 5)
   }
 
+  test("snapshotAt returns the version valid on each date") {
+    val before = Scd2.snapshotAt(merged, LocalDate.parse("2024-03-01"))
+      .select("id", "v").as[(String, Option[Int])].collect().toSet
+    // between d1 and d2: only batch1 keys, original values
+    assert(before == Set(("k1", Some(10)), ("k2", Some(20)), ("k3", None), ("k4", Some(40))))
+    val after = Scd2.snapshotAt(merged, LocalDate.parse("2024-07-01"))
+      .select("id", "v").as[(String, Option[Int])].collect().toSet
+    assert(after == Set(("k1", Some(10)), ("k2", Some(21)), ("k3", Some(30)),
+      ("k4", Some(40)), ("k5", Some(50))))
+    // before history begins: empty
+    assert(Scd2.snapshotAt(merged, LocalDate.parse("2023-01-01")).count() == 0)
+  }
+
+  test("pointInTimeJoin matches each fact to its era's version") {
+    val facts = Seq(
+      ("f1", "k2", "2024-03-01"), // before change → v=20
+      ("f2", "k2", "2024-08-01"), // after change → v=21
+      ("f3", "k2", "2024-06-01"), // ON the change date → new version
+      ("f4", "k5", "2024-03-01")  // key not yet born → dropped
+    ).toDF("fact_id", "id", "d")
+      .select(col("fact_id"), col("id"), to_date(col("d")).as("d"))
+    val out = Scd2.pointInTimeJoin(facts, merged, Seq("id"), col("d"))
+      .select("fact_id", "v").as[(String, Option[Int])].collect().toMap
+    assert(out == Map("f1" -> Some(20), "f2" -> Some(21), "f3" -> Some(21)))
+  }
+
   test("composite business key (billing_id+service pattern, SL:229-235)") {
     val t = Scd2.bootstrap(
       Seq(("b1", "ICU", 100.0), ("b1", "Surgery", 200.0)).toDF("bid", "svc", "amt"), d1)
