@@ -59,6 +59,7 @@ object SparkEntry {
     "q40_pivot" -> (Parity.q40Pivot _),
     "q41_percentiles" -> (Parity.q41Percentiles _),
     "q42_asof_join" -> (Parity.q42AsofJoin _),
+    "q43_approx_percentiles" -> (Parity.q43ApproxPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

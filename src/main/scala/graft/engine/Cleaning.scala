@@ -67,4 +67,18 @@ object Cleaning {
 
   /** Text normalization used for `reason` (Silver Layer.py:49). */
   def titleTrim(c: Column): Column = initcap(trim(c))
+
+  /** Quarantine split — the production upgrade of the reference's silent
+    * `dropna` (SL:69): rows failing `required` non-null checks go to a
+    * dead-letter frame (tagged with the reason) instead of vanishing, so
+    * data loss is observable and replayable. Both frames derive from one
+    * scan; Catalyst shares it when both are materialized in one action.
+    */
+  def quarantine(df: org.apache.spark.sql.DataFrame, required: Seq[String])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ok = required.map(col(_).isNotNull).reduce(_ && _)
+    val reason = concat_ws(",",
+      required.map(c => when(col(c).isNull, lit(c))): _*)
+    (df.filter(ok), df.filter(!ok).withColumn("quarantine_reason", reason))
+  }
 }

@@ -264,6 +264,18 @@ object Parity {
         r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
         r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
 
+  /** Sketch percentiles (q41's scale twin): approx_percentile trades the
+    * exact version's full per-group sort for fixed-size mergeable state.
+    * No oracle (DuckDB's approx_quantile is a different sketch) — driver
+    * records rows-only; SketchSpec bounds the error against q41.
+    */
+  def q43ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"))
+
   /** Semi-structured JSON column extraction — the in-row twin of the
     * billing NDJSON scan (S2/S3): schema-on-read over a string column via
     * from_json, plus the path-extraction form. Both codegen'd, no UDF.

@@ -52,6 +52,20 @@ class CleaningSpec extends SparkSpec {
     assert(out.toSeq == Seq("Fever", "Injury"))
   }
 
+  test("quarantine splits rows with null essentials and tags the reason") {
+    val df = Seq(
+      ("a1", Some("p1"), Some(1)),
+      (null, Some("p2"), Some(2)),
+      ("a3", None, Some(3)),
+      (null, None, None)).toDF("id", "pid", "v")
+    val (clean, quarantined) = Cleaning.quarantine(df, Seq("id", "pid"))
+    assert(clean.select("id").as[String].collect().toSeq == Seq("a1"))
+    val reasons = quarantined.select("id", "quarantine_reason")
+      .as[(Option[String], String)].collect().toSet
+    assert(reasons == Set(
+      (None, "id"), (Some("a3"), "pid"), (None, "id,pid")))
+  }
+
   test("cleanCast double keeps negatives and decimals") {
     val out = Seq("98.6", "TEMP_ERR", "-3.5").toDF("t")
       .select(Cleaning.cleanCast(col("t"), DoubleType).as("c")).as[Option[Double]].collect()

@@ -8,6 +8,18 @@ import graft.SparkSpec
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx_percentile within 2% of exact at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Parity.q41Percentiles(spark, dir)
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val approx = Parity.q43ApproxPercentiles(spark, dir)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 < 0.02, s"$k p90")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val exact = Parity.q29DistinctCount(spark, dir)
