@@ -41,16 +41,24 @@ object SimilarityFunctions {
 
   // ---------- SimHash ----------
 
-  /** 16-bit SimHash over a token array. Bit j of a token = parity of the
-    * (j+1)-th hex digit of md5(token); the document bit is the sign of the
-    * +1/-1 vote sum; the hash assembles bits little-endian.
+  /** Per-token md5 hex digests — materialize as a column BEFORE
+    * simhash16FromDigests: each of the 16 bit folds references the shared
+    * attribute, so every token is hashed exactly once (inlining md5 into
+    * each bit's lambda would hash it 16 times — separate lambdas defeat
+    * common-subexpression elimination).
+    */
+  def tokenDigestsExpr(textCol: String): Column =
+    expr(s"transform(filter(split($textCol, ' '), t -> t <> ''), t -> md5(t))")
+
+  /** 16-bit SimHash from a token-digest array column. Bit j of a token =
+    * parity of the (j+1)-th hex digit of its md5; the document bit is the
+    * sign of the +1/-1 vote sum; bits assemble little-endian.
     * Exact integer arithmetic → portable.
     */
-  def simhash16Expr(textCol: String): Column = {
-    val toks = s"filter(split($textCol, ' '), t -> t <> '')"
+  def simhash16FromDigests(digestsCol: String): Column = {
     val bits = (0 until 16).map { j =>
-      s"""if(aggregate($toks, 0,
-         |  (acc, t) -> acc + if(instr('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0, 1, -1)) >= 0,
+      s"""if(aggregate($digestsCol, 0,
+         |  (acc, d) -> acc + if(instr('13579bdf', substr(d, ${j + 1}, 1)) > 0, 1, -1)) >= 0,
          |  ${1 << j}, 0)""".stripMargin
     }
     expr(s"cast(${bits.mkString(" + ")} as int)")

@@ -116,7 +116,8 @@ object Extensions {
   /** 16-bit SimHash per document (md5-parity bit votes). */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), Sim.simhash16Expr("text").as("simhash"))
+      .withColumn("td", Sim.tokenDigestsExpr("text"))
+      .select(col("doc_id"), Sim.simhash16FromDigests("td").as("simhash"))
 
   /** SimHash near-duplicate pairs: same-source doc pairs whose 16-bit
     * simhashes differ in ≤ 2 bits. Each doc carries one int through the
@@ -125,7 +126,8 @@ object Extensions {
     */
   def q37SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val h = docs(s, dir)
-      .select(col("doc_id"), col("source"), Sim.simhash16Expr("text").as("simhash"))
+      .withColumn("td", Sim.tokenDigestsExpr("text"))
+      .select(col("doc_id"), col("source"), Sim.simhash16FromDigests("td").as("simhash"))
     val hd = Sim.hamming16(col("a.simhash"), col("b.simhash"))
     h.as("a")
       .join(h.as("b"),

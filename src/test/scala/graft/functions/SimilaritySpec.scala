@@ -32,7 +32,8 @@ class SimilaritySpec extends SparkSpec {
   test("simhash16: deterministic, equal for equal text, in 16-bit range") {
     val df = Seq((1L, "spark scan join filter"), (2L, "spark scan join filter"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
-    val out = df.select(col("doc_id"), Sim.simhash16Expr("text").as("h"))
+    val out = df.withColumn("td", Sim.tokenDigestsExpr("text"))
+      .select(col("doc_id"), Sim.simhash16FromDigests("td").as("h"))
       .as[(Long, Int)].collect().sortBy(_._1)
     assert(out(0)._2 == out(1)._2)
     out.foreach { case (_, h) => assert(h >= 0 && h < (1 << 16)) }
