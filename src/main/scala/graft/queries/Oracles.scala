@@ -78,19 +78,19 @@ object Oracles {
       |    c_mktsegment
       |  FROM customer)
       |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
-      |       DATE '2024-01-01' AS effective_date, CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+      |       '2024-01-01' AS effective_date, CAST(NULL AS VARCHAR) AS end_date, TRUE AS is_current
       |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal = b2.c_acctbal
       |UNION ALL
       |SELECT b1.c_custkey, b1.c_name, b1.c_nationkey, b1.c_acctbal, b1.c_mktsegment,
-      |       DATE '2024-01-01', DATE '2024-06-01', FALSE
+      |       '2024-01-01', '2024-06-01', FALSE
       |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
       |UNION ALL
       |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
-      |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+      |       '2024-06-01', CAST(NULL AS VARCHAR), TRUE
       |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey WHERE b1.c_acctbal <> b2.c_acctbal
       |UNION ALL
       |SELECT b2.c_custkey, b2.c_name, b2.c_nationkey, b2.c_acctbal, b2.c_mktsegment,
-      |       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+      |       '2024-06-01', CAST(NULL AS VARCHAR), TRUE
       |FROM b2 LEFT JOIN b1 ON b1.c_custkey = b2.c_custkey WHERE b1.c_custkey IS NULL""".stripMargin
 
   val all: Map[String, String] = Map(
@@ -102,7 +102,7 @@ object Oracles {
         |FROM events""".stripMargin,
 
     "q02_clean_dates" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
         |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
         |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
         |  CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
@@ -130,11 +130,11 @@ object Oracles {
          |  SELECT o_orderkey, o_custkey AS c_custkey,
          |    CAST(CASE WHEN o_orderkey % 2 = 0 THEN '2024-03-15' ELSE '2024-09-15' END AS DATE) AS inquiry_date
          |  FROM orders)
-         |SELECT f.o_orderkey, f.c_custkey, f.inquiry_date,
+         |SELECT f.o_orderkey, f.c_custkey, CAST(f.inquiry_date AS VARCHAR) AS inquiry_date,
          |       h.c_acctbal, h.effective_date, h.is_current
          |FROM f JOIN hist h ON f.c_custkey = h.c_custkey
-         |WHERE h.effective_date <= f.inquiry_date
-         |  AND (h.end_date IS NULL OR f.inquiry_date < h.end_date)""".stripMargin,
+         |WHERE CAST(h.effective_date AS DATE) <= f.inquiry_date
+         |  AND (h.end_date IS NULL OR f.inquiry_date < CAST(h.end_date AS DATE))""".stripMargin,
 
     "q07_explode_pos" ->
       """SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
@@ -145,7 +145,7 @@ object Oracles {
       """WITH bounds AS (
         |  SELECT CAST(min(o_orderdate) AS DATE) AS s, CAST(max(o_orderdate) AS DATE) AS e FROM orders),
         |d AS (SELECT unnest(generate_series(s, e, INTERVAL 1 DAY)) AS gs FROM bounds)
-        |SELECT CAST(gs AS DATE) AS "date",
+        |SELECT CAST(CAST(gs AS DATE) AS VARCHAR) AS "date",
         |  CAST(year(gs) AS INTEGER) AS year, CAST(month(gs) AS INTEGER) AS month,
         |  CAST(day(gs) AS INTEGER) AS day, CAST(week(gs) AS INTEGER) AS week,
         |  strftime(gs, '%a') AS weekday, monthname(CAST(gs AS DATE)) AS month_name

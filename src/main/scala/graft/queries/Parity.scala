@@ -39,7 +39,7 @@ object Parity {
   def q02CleanDates(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey"),
-      to_date(col("o_orderdate")).as("order_date"),
+      to_date(col("o_orderdate")).cast("string").as("order_date"),
       year(col("o_orderdate")).as("order_year"),
       month(col("o_orderdate")).as("order_month"),
       quarter(col("o_orderdate")).as("order_quarter"))
@@ -75,7 +75,7 @@ object Parity {
     * (as-of 2024-06-01). Exercises unchanged/changed-expire+reinsert/
     * brand-new classification with null-safe change detection.
     */
-  def q06Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val batch1 = cust.filter(col("c_custkey") % 5 =!= 0)
@@ -89,6 +89,12 @@ object Parity {
       asOf = LocalDate.parse("2024-06-01"))
   }
 
+  def q06Scd2Merge(s: SparkSession, dir: String): DataFrame =
+    scd2History(s, dir)
+      // dates as ISO strings: comparator-proof across engines' date types
+      .withColumn("effective_date", col("effective_date").cast("string"))
+      .withColumn("end_date", col("end_date").cast("string"))
+
   /** As-of (point-in-time) join over the q06 SCD2 history: each order is
     * stamped with a synthetic inquiry date (before the 2024-06-01 merge for
     * even keys, after it for odd keys) and joined to the customer VERSION
@@ -96,7 +102,7 @@ object Parity {
     * orders see post-change ones.
     */
   def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val history = q06Scd2Merge(s, dir)
+    val history = scd2History(s, dir)
     val facts = t(s, dir, "orders")
       .select(
         col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -105,8 +111,8 @@ object Parity {
     Scd2.pointInTimeJoin(facts, history, Seq("c_custkey"), col("inquiry_date"))
       .select(
         col("o_orderkey"), col("c_custkey"),
-        col("inquiry_date"), col("c_acctbal"),
-        col("effective_date"), col("is_current"))
+        col("inquiry_date").cast("string").as("inquiry_date"), col("c_acctbal"),
+        col("effective_date").cast("string").as("effective_date"), col("is_current"))
   }
 
   /** N1/N2: array explode with position (billing line_items pattern,
@@ -121,6 +127,7 @@ object Parity {
     */
   def q08DateDim(s: SparkSession, dir: String): DataFrame =
     DateDim.fromColumn(t(s, dir, "orders"), col("o_orderdate"))
+      .withColumn("date", col("date").cast("string"))
 
   /** A4: grouped SUM/COUNT — agg_revenue_month shape (GL:262-271).
     * SUM through DECIMAL for cross-engine exactness.
