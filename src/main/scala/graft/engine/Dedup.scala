@@ -39,6 +39,21 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Aggregation-based latest-row-per-key: max_by over a lexicographic
+    * order struct. Same result as [[latestBy]] given a total order, but
+    * runs as a hash aggregate with map-side partials — no per-key SORT, so
+    * at scale it shuffles one candidate row per (key, partition) instead
+    * of every row. Prefer this when only the winning row is needed;
+    * latestBy when row_number/rank context matters.
+    */
+  def latestByAgg(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val ordStruct = struct(order: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col).toIndexedSeq: _*), ordStruct).as("__row"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Exact content dedup: one representative (min of `idCol`) per distinct
     * value of md5(contentCol), plus the duplicate count. Only the digest and
     * id shuffle — the content column is pruned before the exchange.

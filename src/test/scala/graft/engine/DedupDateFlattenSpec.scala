@@ -28,6 +28,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq("b"))
   }
 
+  test("latestByAgg equals latestBy (window vs max_by formulations)") {
+    val df = Seq(
+      ("u1", 1L, 10L, "a"), ("u1", 3L, 5L, "b"), ("u1", 3L, 9L, "c"),
+      ("u2", 2L, 1L, "d")).toDF("user", "ver", "seq", "v")
+    val order = Seq(col("ver"), col("seq"))
+    val viaWindow = Dedup.latestBy(df, Seq("user"), order)
+      .select("user", "v").as[(String, String)].collect().toSet
+    val viaAgg = Dedup.latestByAgg(df, Seq("user"), order)
+      .select("user", "v").as[(String, String)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Set(("u1", "c"), ("u2", "d")))
+  }
+
   test("exactByHash groups identical content and counts dups") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val out = Dedup.exactByHash(df, "text", "id")
