@@ -60,6 +60,7 @@ object SparkEntry {
     "q41_percentiles" -> (Parity.q41Percentiles _),
     "q42_asof_join" -> (Parity.q42AsofJoin _),
     "q43_approx_percentiles" -> (Parity.q43ApproxPercentiles _),
+    "q44_window_range" -> (Parity.q44WindowRange _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

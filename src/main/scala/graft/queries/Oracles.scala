@@ -38,7 +38,10 @@ object Oracles {
       .map(j => s"list_min([substr(d, ${j * 8 + 1}, 8) for d in digests]) AS sig_$j")
       .mkString(",\n    ")
 
-  /** DuckDB 16-bit simhash (= Sim.simhash16Expr). */
+  /** DuckDB 16-bit simhash (= Sim.tokenDigests + simhash16FromDigests;
+    * the md5-per-bit inlining is fine here — DuckDB evaluates it once per
+    * comprehension element and the oracle runs at sf0.01 only).
+    */
   private val simhashSql: String = {
     val bits = (0 until 16).map { j =>
       s"(CASE WHEN list_sum([CASE WHEN strpos('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0 " +
@@ -283,6 +286,14 @@ object Oracles {
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
+
+    "q44_window_range" ->
+      s"""WITH x AS (SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events)
+         |SELECT user_id, event_id,
+         |  count(*) OVER w AS events_1h,
+         |  ${r("sum(value) OVER w", 2)} AS value_1h
+         |FROM x
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q39_sessionize" ->
       s"""WITH x AS (

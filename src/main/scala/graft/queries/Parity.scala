@@ -227,6 +227,23 @@ object Parity {
         approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
 
+  /** Time-based (RANGE-frame) rolling aggregate: each event's count and
+    * sum over the trailing hour for its user — the frame is bounded by a
+    * VALUE interval on event time, not a row count (the batch twin of a
+    * sliding stream window).
+    */
+  def q44WindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .withColumn("tsec", col("ts").cast("long"))
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("events_1h"),
+        r2(sum(col("value")).over(w)).as("value_1h"))
+  }
+
   /** Gap-based sessionization — the canonical event-pipeline operator:
     * a new session starts after a 30-minute silence; the session id is the
     * running count of session starts (two layered windows, both on the
