@@ -61,6 +61,7 @@ object SparkEntry {
     "q42_asof_join" -> (Parity.q42AsofJoin _),
     "q43_approx_percentiles" -> (Parity.q43ApproxPercentiles _),
     "q44_window_range" -> (Parity.q44WindowRange _),
+    "q45_set_ops" -> (Parity.q45SetOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -287,6 +287,15 @@ object Oracles {
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
 
+    "q45_set_ops" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |hb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS op, k FROM (SELECT k FROM wo UNION SELECT k FROM hb)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (SELECT k FROM wo INTERSECT SELECT k FROM hb)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (SELECT k FROM wo EXCEPT SELECT k FROM hb)""".stripMargin,
+
     "q44_window_range" ->
       s"""WITH x AS (SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events)
          |SELECT user_id, event_id,

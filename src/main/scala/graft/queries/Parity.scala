@@ -227,6 +227,19 @@ object Parity {
         approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
 
+  /** Set operations over key subsets: customers with orders vs high-balance
+    * customers — union (distinct), intersect, except, each tagged. One
+    * output frame so the whole family rides a single oracle.
+    */
+  def q45SetOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val highBal = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    withOrders.union(highBal).distinct().select(lit("union").as("op"), col("k"))
+      .unionByName(withOrders.intersect(highBal).select(lit("intersect").as("op"), col("k")))
+      .unionByName(withOrders.except(highBal).select(lit("except").as("op"), col("k")))
+  }
+
   /** Time-based (RANGE-frame) rolling aggregate: each event's count and
     * sum over the trailing hour for its user — the frame is bounded by a
     * VALUE interval on event time, not a row count (the batch twin of a
