@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_approx_percentiles" -> (Parity.q43ApproxPercentiles _),
     "q44_window_range" -> (Parity.q44WindowRange _),
     "q45_set_ops" -> (Parity.q45SetOps _),
+    "q46_term_freq" -> (Extensions.q46TermFreq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -49,6 +49,10 @@ object Scd2 {
     *    AND a new current version inserted (fixes reference bug 1);
     *  - current target rows whose source version is identical: unchanged;
     *  - source keys absent from target: inserted as new current rows.
+    *
+    * Contract: `source` must be key-unique (dedup upstream — Silver does);
+    * duplicate source keys would fan out the full-outer join and produce
+    * duplicate current rows.
     */
   def merge(
       target: DataFrame,
@@ -125,7 +129,8 @@ object Scd2 {
     * predicate rides the key equi-join, so the plan is a plain hash/merge
     * join with a post-probe filter — no custom operator needed, and at
     * scale the per-key version count stays small so the probe amplification
-    * is bounded.
+    * is bounded. `facts` column names (beyond the keys) must not collide
+    * with history's — rename on the fact side first.
     */
   def pointInTimeJoin(
       facts: DataFrame,

@@ -353,6 +353,19 @@ object Extensions {
       Txt.fingerprint(col("text")).as("fp"),
       Txt.rollingHashExpr("text").as("rhash"))
 
+  /** Corpus vocabulary statistics: global top-20 terms by document
+    * frequency and total occurrences — explode tokens, aggregate, top-k
+    * with a total tie-break. The shape every tokenizer-training /
+    * stopword-mining pass runs.
+    */
+  def q46TermFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(Txt.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(20)
+
   /** Multimodal metadata extraction via the mapPartitions decode stub. */
   def q27MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBlobMeta(s, t(s, dir, "documents"))

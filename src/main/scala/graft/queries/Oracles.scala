@@ -417,6 +417,12 @@ object Oracles {
          |  CAST(len(text) AS INTEGER) AS n_chars_m
          |FROM documents""".stripMargin,
 
+    "q46_term_freq" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+         |FROM tok GROUP BY term
+         |ORDER BY occurrences DESC, term ASC LIMIT 20""".stripMargin,
+
     "q26_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
