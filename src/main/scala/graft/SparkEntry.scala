@@ -63,6 +63,7 @@ object SparkEntry {
     "q44_window_range" -> (Parity.q44WindowRange _),
     "q45_set_ops" -> (Parity.q45SetOps _),
     "q46_term_freq" -> (Extensions.q46TermFreq _),
+    "q47_lang_id_ngram" -> (Extensions.q47LangIdNgram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

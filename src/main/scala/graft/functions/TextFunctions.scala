@@ -61,6 +61,28 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
   )
 
+  /** Character-bigram profiles for the n-gram language-ID heuristic —
+    * a few high-frequency bigrams per language (the classic n-gram-profile
+    * approach at its smallest). Deterministic scoring, not linguistics.
+    */
+  val CharBigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "en", "el", "la", "os"),
+    "fr" -> Seq("le", "es", "on", "nt", "ou"),
+    "de" -> Seq("en", "er", "ch", "de", "ei"),
+  )
+
+  /** Occurrences of profile bigrams among the text's char 2-gram shingles
+    * (multiset count: every position counts).
+    */
+  def ngramProfileHits(textCol: String, profile: Seq[String]): Column = {
+    val lits = profile.map(p => s"'$p'").mkString("array(", ", ", ")")
+    expr(
+      s"""size(filter(
+         |  transform(sequence(0, length($textCol) - 2), i -> substr($textCol, i + 1, 2)),
+         |  g -> array_contains($lits, g)))""".stripMargin)
+  }
+
   /** Normalized text: lowercase, punctuation→space, collapsed whitespace. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))

@@ -353,6 +353,26 @@ object Extensions {
       Txt.fingerprint(col("text")).as("fp"),
       Txt.rollingHashExpr("text").as("rhash"))
 
+  /** n-gram-profile language ID: score each language by occurrences of its
+    * characteristic character bigrams (multiset count over the text's
+    * 2-gram shingles), argmax with a fixed precedence — the n-gram twin of
+    * q23's stopword classifier, catching languages tokenizers miss.
+    */
+  def q47LangIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val withHits = docs(s, dir).select(
+      col("doc_id") +:
+        Txt.CharBigramProfiles.map { case (l, p) =>
+          Txt.ngramProfileHits("text", p).as(s"${l}_ng")
+        }: _*)
+    withHits.withColumn(
+      "detected_lang",
+      when(col("en_ng") >= col("es_ng") && col("en_ng") >= col("fr_ng") &&
+        col("en_ng") >= col("de_ng"), lit("en"))
+        .when(col("es_ng") >= col("fr_ng") && col("es_ng") >= col("de_ng"), lit("es"))
+        .when(col("fr_ng") >= col("de_ng"), lit("fr"))
+        .otherwise(lit("de")))
+  }
+
   /** Corpus vocabulary statistics: global top-20 terms by document
     * frequency and total occurrences — explode tokens, aggregate, top-k
     * with a total tie-break. The shape every tokenizer-training /

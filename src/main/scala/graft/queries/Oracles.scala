@@ -376,6 +376,23 @@ object Oracles {
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
 
+    "q47_lang_id_ngram" -> {
+      val hitCols = Txt.CharBigramProfiles.map { case (l, p) =>
+        val lits = p.map(x => s"'$x'").mkString("[", ", ", "]")
+        s"CAST(len([g for g in [substr(text, CAST(i AS INTEGER) + 1, 2) for i in range(0, len(text) - 1)] " +
+          s"if list_contains($lits, g)]) AS INTEGER) AS ${l}_ng"
+      }.mkString(",\n  ")
+      s"""WITH h AS (SELECT doc_id,
+         |  $hitCols
+         |FROM documents)
+         |SELECT doc_id, en_ng, es_ng, fr_ng, de_ng,
+         |  CASE WHEN en_ng >= es_ng AND en_ng >= fr_ng AND en_ng >= de_ng THEN 'en'
+         |       WHEN es_ng >= fr_ng AND es_ng >= de_ng THEN 'es'
+         |       WHEN fr_ng >= de_ng THEN 'fr'
+         |       ELSE 'de' END AS detected_lang
+         |FROM h""".stripMargin
+    },
+
     "q23_lang_id" -> {
       val hitCols = Txt.StopwordsByLang.map { case (l, sw) =>
         s"CAST(len(list_intersect($toksSql, ${stoplistSql(sw)})) AS INTEGER) AS ${l}_hits"
