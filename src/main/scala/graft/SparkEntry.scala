@@ -64,6 +64,8 @@ object SparkEntry {
     "q45_set_ops" -> (Parity.q45SetOps _),
     "q46_term_freq" -> (Extensions.q46TermFreq _),
     "q47_lang_id_ngram" -> (Extensions.q47LangIdNgram _),
+    "q48_tpch_q6" -> (Parity.q48TpchQ6 _),
+    "q49_tpch_q3" -> (Parity.q49TpchQ3 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -287,6 +287,24 @@ object Oracles {
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
 
+    "q48_tpch_q6" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q49_tpch_q3" ->
+      """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |GROUP BY l_orderkey, order_date
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
     "q45_set_ops" ->
       """WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
         |hb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)

@@ -227,6 +227,36 @@ object Parity {
         approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
 
+  /** TPC-H Q6 shape: tight-range filter + single global sum — the query
+    * whose whole cost is scan + pushed predicates (explain shows the range
+    * and value filters at the parquet scan).
+    */
+  def q48TpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)")), 2)
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, top-10
+    * unshipped orders by revenue (group + decimal sum + total-order top-k).
+    */
+  def q49TpchQ3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).cast("string").as("order_date"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
   /** Set operations over key subsets: customers with orders vs high-balance
     * customers — union (distinct), intersect, except, each tagged. One
     * output frame so the whole family rides a single oracle.
