@@ -60,6 +60,21 @@ object VitalsStream {
       windowLen: String = "1 hour"): DataFrame =
     windowedVitals(dedupWithinWatermark(clean(raw), lateness), windowLen)
 
+  /** Gap-based SESSION windows per patient (the streaming twin of the batch
+    * sessionize query): a session closes after `gap` of silence, emitting
+    * once the watermark passes — session state is merged incrementally and
+    * bounded by the watermark like any windowed aggregate.
+    */
+  def sessionVitals(deduped: DataFrame, gap: String): DataFrame =
+    deduped
+      .groupBy(col("patient_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_readings"), avg(col("heart_rate")).as("avg_hr"))
+      .select(
+        col("patient_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_readings"), col("avg_hr"))
+
   /** Simple anomaly flags on the cleaned stream (stateless — pure map). */
   def anomalies(cleaned: DataFrame): DataFrame = {
     val feverish: Column = col("temperature") > 103.0

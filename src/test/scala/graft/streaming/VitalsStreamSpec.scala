@@ -52,6 +52,31 @@ class VitalsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split on the gap and emit after the watermark") {
+    val input = mkStream()
+    val q = VitalsStream.sessionVitals(
+      VitalsStream.dedupWithinWatermark(VitalsStream.clean(input.toDF()), "10 minutes"),
+      gap = "15 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RawVital("v1", "p1", "98.6", "80", "2025-01-01T10:00:00"),
+        RawVital("v2", "p1", "98.7", "90", "2025-01-01T10:10:00"),  // same session (10 min gap)
+        RawVital("v3", "p1", "98.8", "100", "2025-01-01T11:00:00")) // new session (50 min gap)
+      q.processAllAvailable()
+      input.addData(RawVital("v9", "p2", "98.0", "70", "2025-01-01T13:00:00")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select(col("patient_id"), col("session_start").cast("string"),
+          col("n_readings"), col("avg_hr"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("p1", "2025-01-01 10:00:00", 2L, 85.0),
+        ("p1", "2025-01-01 11:00:00", 1L, 100.0)))
+    } finally q.stop()
+  }
+
   test("windowed aggregate emits closed windows once the watermark passes") {
     val input = mkStream()
     val q = VitalsStream.pipeline(input.toDF(), lateness = "10 minutes", windowLen = "1 hour")
