@@ -63,6 +63,13 @@ class TextSpec extends SparkSpec {
     assert(occ == 2) // the, the
   }
 
+  test("ngramProfileHits counts every occurrence of profile bigrams") {
+    val out = Seq("the then").toDF("text")
+      .select(Txt.ngramProfileHits("text", Seq("th", "he")).as("n")).as[Int].collect()
+    // bigrams: th he e_ _t th he en → th×2 + he×2 = 4
+    assert(out.head == 4)
+  }
+
   test("portableRound matches the IEEE floor-form formula bit-for-bit") {
     // The spec is NOT decimal half-up — it is the exact double expression
     // floor(v*100 + 0.5)/100, identical in any IEEE engine (e.g. 2.675*100
