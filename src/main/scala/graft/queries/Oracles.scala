@@ -27,9 +27,12 @@ object Oracles {
     */
   private val digestsCte: String = {
     val sh = s"substr(text, CAST(i AS INTEGER) + 1, ${Extensions.ShingleN})"
+    // `if ascii(...) % 2 = 0`: the content-deterministic shingle sampling
+    // (see Extensions.sigFrame)
     s"""dg AS (
        |  SELECT doc_id,
-       |    [md5($sh) || md5('x:' || $sh) for i in range(0, len(text) - ${Extensions.ShingleN - 1})] AS digests
+       |    [md5($sh) || md5('x:' || $sh) for i in range(0, len(text) - ${Extensions.ShingleN - 1})
+       |     if ascii(substr($sh, 1, 1)) % 2 = 0] AS digests
        |  FROM documents WHERE len(text) >= ${Extensions.ShingleN})""".stripMargin
   }
 
