@@ -127,22 +127,42 @@ object Extensions {
       .select(col("doc_id"), Sim.simhash16FromDigests("td").as("simhash"))
 
   /** SimHash near-duplicate pairs: same-source doc pairs whose 16-bit
-    * simhashes differ in ≤ 2 bits. Each doc carries one int through the
-    * join — the cheapest near-dup signal per byte shuffled; the Hamming
-    * test is a codegen'd xor+bit_count.
+    * simhashes differ in ≤ 2 bits.
+    *
+    * Candidate generation is pigeonhole band blocking, NOT an all-pairs
+    * self-join: split the 16 bits into 3 segments (6+5+5). Two hashes
+    * within Hamming distance 2 have their differing bits in at most 2
+    * segments, so at least one segment is *exactly* equal — an equi-key.
+    * Candidates are generated per (source, segment_idx, segment_value)
+    * bucket via the same GROUP-BY-bucket expansion as q18 (no self-join →
+    * simhash computed once, one shuffle on the bucket key), then the full
+    * 16-bit Hamming test verifies candidates only. Pair volume is
+    * Σ per-bucket C(n,2) — bounded by hash dispersion instead of (docs per
+    * source)², which is what survives a 100 TB corpus.
     */
   def q37SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val h = docs(s, dir)
       .withColumn("td", Sim.tokenDigestsExpr("text"))
       .select(col("doc_id"), col("source"), Sim.simhash16FromDigests("td").as("simhash"))
-    val hd = Sim.hamming16(col("a.simhash"), col("b.simhash"))
-    h.as("a")
-      .join(h.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        hd.as("hamming"))
+    val segs = Seq((0, 6), (6, 5), (11, 5)) // (shift, width): 6+5+5 = 16 bits
+    val segStructs = segs.zipWithIndex.map { case ((shift, width), i) =>
+      struct(lit(i).as("seg"),
+        shiftright(col("simhash"), shift).bitwiseAND(lit((1 << width) - 1)).as("v"))
+    }
+    h.select(col("source"), explode(array(segStructs: _*)).as("sv"),
+        struct(col("doc_id"), col("simhash")).as("m"))
+      .groupBy(col("source"), col("sv.seg"), col("sv.v"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("source"), explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("source"),
+        col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        Sim.hamming16(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
       .filter(col("hamming") <= 2)
+      .distinct()
   }
 
   /** Word-bigram Jaccard near-dup pairs, blocked by `source` (blocking key
