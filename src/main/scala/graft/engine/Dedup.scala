@@ -51,8 +51,18 @@ object Dedup {
     val ordStruct = struct(order: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(payload.map(col).toIndexedSeq: _*), ordStruct).as("__row"))
-      .select(keys.map(col) ++ payload.map(c => col(s"__row.$c").as(c)): _*)
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__row.$c").as(c)).toIndexedSeq: _*)
   }
+
+  /** Key-unique dedup with no natural ordering column: keep, per key, the
+    * row that is lexicographically greatest over all payload columns.
+    * Arbitrary but DETERMINISTIC (ties can only be bitwise-identical rows),
+    * so re-runs and retries produce the same survivor — the precondition
+    * [[Scd2.merge]] needs from its source. One hash-aggregate shuffle.
+    */
+  def keyUnique(df: DataFrame, keys: Seq[String]): DataFrame =
+    latestByAgg(df, keys, df.columns.filterNot(keys.contains).map(col).toSeq)
 
   /** Exact content dedup: one representative (min of `idCol`) per distinct
     * value of md5(contentCol), plus the duplicate count. Only the digest and

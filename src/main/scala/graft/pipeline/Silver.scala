@@ -35,8 +35,7 @@ object Silver {
       isCsv: Boolean,
       clean: DataFrame => DataFrame,
       keys: Seq[String],
-      compareCols: Seq[String],
-      dedupCols: Seq[String])
+      compareCols: Seq[String])
 
   /** SL:26-69 (+doctor_id kept). */
   def cleanAdmissions(raw: DataFrame): DataFrame = {
@@ -107,28 +106,22 @@ object Silver {
   val entities: Seq[Entity] = Seq(
     Entity("admissions", "admissions_raw.csv", isCsv = true, cleanAdmissions,
       keys = Seq("admission_id"),
-      compareCols = Seq("patient_id", "doctor_id", "admission_date", "discharge_date", "reason", "room_no"),
-      dedupCols = Seq("admission_id", "patient_id", "doctor_id", "admission_date", "discharge_date", "reason", "room_no")),
+      compareCols = Seq("patient_id", "doctor_id", "admission_date", "discharge_date", "reason", "room_no")),
     Entity("billing", "billing_raw.json", isCsv = false, cleanBilling,
       keys = Seq("billing_id", "line_no"),
-      compareCols = Seq("patient_id", "service", "amount", "billing_date"),
-      dedupCols = Seq("billing_id", "line_no", "service", "amount", "billing_date", "patient_id")),
+      compareCols = Seq("patient_id", "service", "amount", "billing_date")),
     Entity("doctors", "doctors_raw.csv", isCsv = true, cleanDoctors,
       keys = Seq("doctor_id"),
-      compareCols = Seq("first_name", "last_name", "speciality", "experience_years"),
-      dedupCols = Seq("doctor_id", "first_name", "last_name", "speciality", "experience_years")),
+      compareCols = Seq("first_name", "last_name", "speciality", "experience_years")),
     Entity("patients", "patients_raw.csv", isCsv = true, cleanPatients,
       keys = Seq("patient_id"),
-      compareCols = Seq("first_name", "last_name", "gender", "age", "email", "phone", "city"),
-      dedupCols = Seq("patient_id", "first_name", "last_name", "gender", "age", "email", "phone", "city")),
+      compareCols = Seq("first_name", "last_name", "gender", "age", "email", "phone", "city")),
     Entity("procedures", "procedures_raw.json", isCsv = false, cleanProcedures,
       keys = Seq("procedure_id"),
-      compareCols = Seq("patient_id", "procedure_name", "cost", "performed_at"),
-      dedupCols = Seq("procedure_id", "patient_id", "procedure_name", "cost", "performed_at")),
+      compareCols = Seq("patient_id", "procedure_name", "cost", "performed_at")),
     Entity("vitals", "vitals_raw.json", isCsv = false, cleanVitals,
       keys = Seq("vital_id"),
-      compareCols = Seq("patient_id", "heart_rate", "temperature", "ts"),
-      dedupCols = Seq("vital_id", "patient_id", "heart_rate", "temperature", "ts")),
+      compareCols = Seq("patient_id", "heart_rate", "temperature", "ts")),
   )
 
   def readRaw(spark: SparkSession, rawDir: String, e: Entity): DataFrame =
@@ -143,7 +136,14 @@ object Silver {
   /** Run one entity end-to-end: clean → dedup → bootstrap-or-merge. */
   def runEntity(spark: SparkSession, rawDir: String, warehouse: String,
       e: Entity, asOf: LocalDate): Unit = {
-    val cleaned = Dedup.exact(e.clean(readRaw(spark, rawDir, e)), e.dedupCols)
+    // Reference dedups on all columns (SL:175 etc.), which only removes
+    // bitwise-identical rows; Scd2.merge additionally REQUIRES a key-unique
+    // source (a key-duplicated source fans out the full-outer join into
+    // duplicate current rows). keyUnique subsumes the all-column dedup —
+    // same survivor when duplicates are exact copies (the reference's actual
+    // data), a deterministic survivor when they are not (instead of silent
+    // history corruption) — in a single shuffle on the merge key.
+    val cleaned = Dedup.keyUnique(e.clean(readRaw(spark, rawDir, e)), e.keys)
     val path = silverPath(warehouse, e.name)
     val result =
       if (Tables.exists(spark, path))

@@ -21,6 +21,12 @@ object Scd2Sink {
 
   /** Attach an SCD2-merging sink to a cleaned stream.
     *
+    * @param orderCols    per-key version order (event time / sequence; add a
+    *                     unique tiebreak to make it total). A micro-batch may
+    *                     carry several versions of a key — the greatest wins,
+    *                     the rest are dropped BEFORE the merge, which requires
+    *                     a key-unique source (a key-duplicated source fans out
+    *                     the full-outer join and corrupts the history).
     * @param asOfForBatch batch id → effective date (injectable for tests;
     *                     production would use the batch's event-time max or
     *                     wall clock)
@@ -30,13 +36,12 @@ object Scd2Sink {
       path: String,
       keys: Seq[String],
       compareCols: Seq[String],
+      orderCols: Seq[String],
       asOfForBatch: Long => LocalDate): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val spark = batch.sparkSession
-      // a micro-batch may contain several versions of a key; keep the
-      // latest occurrence deterministically before merging (merge requires
-      // key-unique sources)
-      val deduped = Dedup.exact(batch, batch.columns.toSeq)
+      import org.apache.spark.sql.functions.col
+      val deduped = Dedup.latestByAgg(batch, keys, orderCols.map(col).toSeq)
       val asOf = asOfForBatch(batchId)
       val merged =
         if (Tables.exists(spark, path))
@@ -53,8 +58,9 @@ object Scd2Sink {
       checkpoint: String,
       keys: Seq[String],
       compareCols: Seq[String],
+      orderCols: Seq[String],
       asOfForBatch: Long => LocalDate): StreamingQuery =
-    writer(stream, path, keys, compareCols, asOfForBatch)
+    writer(stream, path, keys, compareCols, orderCols, asOfForBatch)
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()

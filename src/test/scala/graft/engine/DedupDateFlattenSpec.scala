@@ -41,6 +41,17 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == Set(("u1", "c"), ("u2", "d")))
   }
 
+  test("keyUnique: one deterministic survivor per key, column order preserved") {
+    val df = Seq(
+      ("k1", "b", 1), ("k1", "b", 1), // exact copies collapse
+      ("k2", "x", 2), ("k2", "y", 1), // conflicting payloads: lexicographic max wins
+      ("k3", "z", 9)).toDF("id", "name", "n")
+    val out = Dedup.keyUnique(df, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "name", "n"))
+    assert(out.as[(String, String, Int)].collect().toSet ==
+      Set(("k1", "b", 1), ("k2", "y", 1), ("k3", "z", 9)))
+  }
+
   test("exactByHash groups identical content and counts dups") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val out = Dedup.exactByHash(df, "text", "id")
