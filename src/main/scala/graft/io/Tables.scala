@@ -8,13 +8,33 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Path-based "catalog" replacing the reference's Databricks metastore +
   * Delta tables (reference: Notebooks/Silver Layer.py:120, Gold Layer.py:16-21).
   *
-  * No Delta jars ship with /opt/spark/jars, so atomicity is run-level: writes
-  * go to a staging directory and are swapped in with a rename. At cluster
-  * scale this maps onto an HDFS/object-store rename (O(1) on HDFS; on S3-style
-  * stores a committer would replace the swap — the API boundary is here so
-  * only this object changes).
+  * No Delta jars ship with /opt/spark/jars, so snapshot isolation is
+  * provided by a versioned-directory layout — the minimal subset of what
+  * Delta's txn log gives the reference:
+  *
+  * {{{
+  *   table/
+  *     _current        ← manifest: name of the live version directory
+  *     v00000007/      ← complete snapshot (parquet, optionally partitioned)
+  *     v00000008/
+  * }}}
+  *
+  * A writer stages the full new snapshot into the next `vN` directory and
+  * then flips `_current` with an ATOMIC rename (FileContext OVERWRITE —
+  * atomic on HDFS and local FS; on S3-style stores a conditional PUT of the
+  * manifest replaces it — the API boundary is here so only this object
+  * changes). Readers resolve `_current` once and read a complete, immutable
+  * snapshot: there is no instant at which the table is missing or partial,
+  * a crash mid-write leaves the previous version live, and a reader racing
+  * an overwrite sees the version it resolved (the previous version is
+  * retained for exactly this; older ones are GC'd). Single writer per table
+  * (the driver/pipeline contract); concurrent writers would need a lock or
+  * CAS on the manifest, which HDFS rename provides and object stores sell
+  * as conditional writes.
   */
 object Tables {
+
+  private val Manifest = "_current"
 
   /** Read one of the driver's testdata tables (TESTDATA.md).
     *
@@ -37,24 +57,70 @@ object Tables {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Overwrite `path` atomically: write to `path.__staging__`, then swap.
-    * Mirrors the reference's `mode("overwrite").saveAsTable`
+  private def readManifest(fs: FileSystem, manifest: Path): Option[String] =
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } else None
+
+  /** Read a managed table: resolve `_current` to its live snapshot
+    * directory. A path without a manifest is read as a plain parquet
+    * directory (externally-produced inputs).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, new Path(root, Manifest)) match {
+      case Some(v) => spark.read.parquet(new Path(root, v).toString)
+      case None => spark.read.parquet(path)
+    }
+  }
+
+  /** Overwrite `path` with snapshot isolation: stage the complete new
+    * snapshot into the next version directory, atomically flip `_current`,
+    * then GC everything but the new and immediately-previous versions
+    * (the previous stays so a reader that resolved it mid-overwrite still
+    * completes). Mirrors the reference's `mode("overwrite").saveAsTable`
     * (Silver Layer.py:120 etc.) without Delta's txn log.
     */
   def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + ".__staging__")
-    val target = new Path(path)
-    val old = new Path(path + ".__old__")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val manifest = new Path(root, Manifest)
+    val prev = readManifest(fs, manifest)
+    val prevN = prev.flatMap(v => scala.util.Try(v.stripPrefix("v").toLong).toOption).getOrElse(0L)
+    val next = f"v${prevN + 1}%08d"
+
+    // Stage under a dot-prefixed name (invisible to any file listing) in
+    // the same directory, so promoting it to `vN` is a same-parent rename.
+    val staging = new Path(root, s".$next.staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     val writer = df.write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     w.parquet(staging.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(staging, target)
-    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(staging, new Path(root, next))
+
+    // Atomic pointer flip: write a hidden tmp manifest, rename-with-OVERWRITE
+    // onto `_current` (atomic on HDFS + local FS). Both ops go through
+    // FileContext: rename-overwrite needs it, and its create path skips the
+    // local ChecksumFileSystem's .crc side files.
+    val tmp = new Path(root, s".$Manifest.tmp")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    // GC: drop every child except the manifest, the live version, and the
+    // immediately-previous version (in-flight reader grace). This also
+    // clears pre-versioning loose files and abandoned staging dirs.
+    val keep = Set(Manifest, next) ++ prev
+    fs.listStatus(root).foreach { st =>
+      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
   }
 
   /** Partitioned fact sink — reference partitions facts by (year, month)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import java.time.LocalDate
+import scala.util.Try
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.DateDim
@@ -14,112 +15,197 @@ import graft.io.Tables
   * aggregate tables mirror GL:260-288. fact_doctor_activity realizes the
   * reference's dead-code intent (GL:230-252) from admissions' doctor_id
   * (SURVEY.md §7.4).
+  *
+  * Schema-drift tolerance mirrors the reference's guards (GL:18-21,29,
+  * 87-99,136-142,196-207): each table builder returns Either — Left is a
+  * skip/degrade reason, logged by [[run]] instead of failing the whole
+  * layer. Specifically:
+  *  - a missing silver source skips the table ("Skipping X — not found");
+  *  - a missing `is_current` column degrades to all rows (GL:29);
+  *  - fact_billing checks its required column set and skips with the
+  *    missing names (GL:136-142);
+  *  - fact_vitals accepts any of several timestamp column spellings and
+  *    skips when none is present (GL:196-207);
+  *  - dim_date probes every (table, date-column) candidate that exists and
+  *    parses (GL:87-99's try/except), falling back to 2020-01-01 (GL:101);
+  *  - aggregates build only when their upstream fact built (GL:262,275).
   */
 object Gold {
 
   def goldPath(warehouse: String, name: String): String = s"$warehouse/gold/$name"
 
-  private def silver(spark: SparkSession, warehouse: String, name: String): DataFrame =
-    spark.read.parquet(Silver.silverPath(warehouse, name))
+  private def silverOpt(spark: SparkSession, warehouse: String, name: String): Either[String, DataFrame] = {
+    val path = Silver.silverPath(warehouse, name)
+    if (Tables.exists(spark, path)) Right(Tables.read(spark, path))
+    else Left(s"source silver.$name not found")
+  }
 
-  private def current(df: DataFrame): DataFrame = df.filter(col("is_current"))
+  /** GL:29: current SCD2 rows when the table is versioned, all rows when not. */
+  private def current(df: DataFrame): DataFrame =
+    if (df.columns.contains("is_current")) df.filter(col("is_current")) else df
+
+  private def requireCols(df: DataFrame, table: String, required: Seq[String]): Either[String, DataFrame] = {
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.isEmpty) Right(df)
+    else Left(s"missing columns in silver.$table: ${missing.mkString(", ")}")
+  }
 
   /** GL:26-54. */
-  def dimPatient(spark: SparkSession, warehouse: String): DataFrame =
-    current(silver(spark, warehouse, "patients"))
-      .select("patient_id", "first_name", "last_name", "gender", "age", "email", "phone", "city")
+  def dimPatient(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    silverOpt(spark, warehouse, "patients")
+      .flatMap(requireCols(_, "patients",
+        Seq("patient_id", "first_name", "last_name", "gender", "age", "email", "phone", "city")))
+      .map(df => current(df)
+        .select("patient_id", "first_name", "last_name", "gender", "age", "email", "phone", "city"))
 
   /** GL:57-80. */
-  def dimDoctor(spark: SparkSession, warehouse: String): DataFrame =
-    current(silver(spark, warehouse, "doctors"))
-      .select("doctor_id", "first_name", "last_name", "speciality", "experience_years")
+  def dimDoctor(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    silverOpt(spark, warehouse, "doctors")
+      .flatMap(requireCols(_, "doctors",
+        Seq("doctor_id", "first_name", "last_name", "speciality", "experience_years")))
+      .map(df => current(df)
+        .select("doctor_id", "first_name", "last_name", "speciality", "experience_years"))
+
+  /** The (table, candidate date columns) probe list, GL:90-92 — `ts` added
+    * because this pipeline's silver vitals names its timestamp `ts`.
+    */
+  private val DateProbes: Seq[(String, Seq[String])] = Seq(
+    "admissions" -> Seq("admission_date", "admission_date_key"),
+    "billing" -> Seq("billing_date"),
+    "procedures" -> Seq("performed_at"),
+    "vitals" -> Seq("ts", "timestamp"))
 
   /** GL:84-125: calendar from the earliest silver date to asOf, fully
     * in-plan (the reference collects per-column mins to the driver).
+    * Probes each candidate column that exists; a candidate whose type
+    * cannot be read as a date is dropped (GL:96-99's try/except —
+    * analysis errors via Try, runtime parse failures via try_to_date).
+    * No usable candidate ⇒ the reference's 2020-01-01 fallback start.
     */
   def dimDate(spark: SparkSession, warehouse: String, asOf: LocalDate): DataFrame = {
-    val starts = Seq(
-      current(silver(spark, warehouse, "admissions")).select(to_date(col("admission_date")).as("d")),
-      current(silver(spark, warehouse, "billing")).select(to_date(col("billing_date")).as("d")),
-      current(silver(spark, warehouse, "procedures")).select(to_date(col("performed_at")).as("d")),
-      current(silver(spark, warehouse, "vitals")).select(to_date(col("ts")).as("d")))
-      .reduce(_ unionByName _)
-    val bounds = starts.na.drop().agg(min(col("d")).as("start"))
-      .withColumn("end", lit(asOf.toString).cast("date"))
+    val starts = for {
+      (table, cols) <- DateProbes
+      df <- silverOpt(spark, warehouse, table).toSeq
+      c <- cols.find(df.columns.contains).toSeq
+      probed <- Try(current(df).select(expr(s"try_to_date(`$c`)").as("d"))).toOption.toSeq
+    } yield probed
+    val bounds = starts match {
+      case Seq() =>
+        spark.sql("SELECT date('2020-01-01') AS start") // GL:101 fallback
+      case ss =>
+        ss.reduce(_ unionByName _).na.drop()
+          .agg(coalesce(min(col("d")), lit("2020-01-01").cast("date")).as("start"))
+    }
     DateDim.withCalendarAttrs(
-      bounds.select(explode(sequence(col("start"), col("end"))).as("date")))
+      bounds.withColumn("end", lit(asOf.toString).cast("date"))
+        .select(explode(sequence(col("start"), col("end"))).as("date")))
   }
 
   /** GL:131-156. */
-  def factBilling(spark: SparkSession, warehouse: String): DataFrame =
-    current(silver(spark, warehouse, "billing"))
-      .na.drop(Seq("billing_date"))
-      .select(
-        col("billing_id"), col("patient_id"), col("service"), col("amount"),
-        col("billing_date"),
-        year(col("billing_date")).as("billing_year"),
-        month(col("billing_date")).as("billing_month"))
+  def factBilling(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    silverOpt(spark, warehouse, "billing")
+      .flatMap(requireCols(_, "billing",
+        Seq("billing_id", "billing_date", "patient_id", "service", "amount")))
+      .map(df => current(df)
+        .na.drop(Seq("billing_date"))
+        .select(
+          col("billing_id"), col("patient_id"), col("service"), col("amount"),
+          col("billing_date"),
+          year(col("billing_date")).as("billing_year"),
+          month(col("billing_date")).as("billing_month")))
 
   /** GL:160-186. */
-  def factAdmissions(spark: SparkSession, warehouse: String): DataFrame =
-    current(silver(spark, warehouse, "admissions"))
-      .na.drop(Seq("admission_date"))
-      .select(
-        col("admission_id"), col("patient_id"), col("doctor_id"),
-        col("admission_date"), col("discharge_date"), col("reason"), col("room_no"),
-        datediff(col("discharge_date"), col("admission_date")).as("length_of_stay_days"),
-        year(col("admission_date")).as("admission_year"),
-        month(col("admission_date")).as("admission_month"))
+  def factAdmissions(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    silverOpt(spark, warehouse, "admissions")
+      .flatMap(requireCols(_, "admissions",
+        Seq("admission_id", "patient_id", "doctor_id", "admission_date",
+          "discharge_date", "reason", "room_no")))
+      .map(df => current(df)
+        .na.drop(Seq("admission_date"))
+        .select(
+          col("admission_id"), col("patient_id"), col("doctor_id"),
+          col("admission_date"), col("discharge_date"), col("reason"), col("room_no"),
+          datediff(col("discharge_date"), col("admission_date")).as("length_of_stay_days"),
+          year(col("admission_date")).as("admission_year"),
+          month(col("admission_date")).as("admission_month")))
+
+  /** GL:196-207: accept the timestamp column under any of its spellings. */
+  private val VitalsTsCandidates = Seq("ts", "timestamp", "vital_timestamp", "vital_date")
 
   /** GL:190-224. */
-  def factVitals(spark: SparkSession, warehouse: String): DataFrame =
-    current(silver(spark, warehouse, "vitals"))
-      .na.drop(Seq("ts"))
-      .select(
-        col("vital_id"), col("patient_id"), col("ts").as("timestamp"),
-        to_date(col("ts")).as("vital_date"),
-        col("heart_rate"), col("temperature"),
-        year(col("ts")).as("vital_year"),
-        month(col("ts")).as("vital_month"))
+  def factVitals(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    silverOpt(spark, warehouse, "vitals").flatMap { df =>
+      VitalsTsCandidates.find(df.columns.contains) match {
+        case None =>
+          Left(s"no timestamp column found in silver.vitals (expected one of ${VitalsTsCandidates.mkString("/")})")
+        case Some(ts) =>
+          Right(current(df)
+            .na.drop(Seq(ts))
+            .select(
+              col("vital_id"), col("patient_id"),
+              col(ts).cast("timestamp").as("timestamp"),
+              to_date(col(ts)).as("vital_date"),
+              col("heart_rate"), col("temperature"),
+              year(col(ts)).as("vital_year"),
+              month(col(ts)).as("vital_month")))
+      }
+    }
 
   /** GL:230-252 intent: per-doctor monthly admission activity. */
-  def factDoctorActivity(spark: SparkSession, warehouse: String): DataFrame =
-    factAdmissions(spark, warehouse)
+  def factDoctorActivity(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    factAdmissions(spark, warehouse).map(_
       .na.drop(Seq("doctor_id"))
       .groupBy(col("doctor_id"), col("admission_year"), col("admission_month"))
       .agg(
         count(lit(1)).as("admissions_count"),
-        avg(col("length_of_stay_days")).as("avg_los_days"))
+        avg(col("length_of_stay_days")).as("avg_los_days")))
 
   /** GL:260-271. */
-  def aggRevenueMonth(spark: SparkSession, warehouse: String): DataFrame =
-    factBilling(spark, warehouse)
+  def aggRevenueMonth(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    factBilling(spark, warehouse).map(_
       .groupBy(col("billing_year"), col("billing_month"))
-      .agg(sum(col("amount")).as("total_revenue"), count(lit(1)).as("lines_count"))
+      .agg(sum(col("amount")).as("total_revenue"), count(lit(1)).as("lines_count")))
 
   /** GL:275-288. */
-  def aggAdmissionsReasonMonth(spark: SparkSession, warehouse: String): DataFrame =
-    factAdmissions(spark, warehouse)
+  def aggAdmissionsReasonMonth(spark: SparkSession, warehouse: String): Either[String, DataFrame] =
+    factAdmissions(spark, warehouse).map(_
       .groupBy(col("admission_year"), col("admission_month"), col("reason"))
       .agg(
         count(lit(1)).as("admissions_count"),
-        avg(col("length_of_stay_days")).as("avg_los_days"))
+        avg(col("length_of_stay_days")).as("avg_los_days")))
 
   /** Build all gold tables; facts keep the reference's (year, month)
-    * partition layout.
+    * partition layout. A table whose inputs are missing/drifted is skipped
+    * with its reason logged (GL's print-and-continue), never a layer abort.
+    * Returns the skip reasons (empty = everything built).
     */
-  def run(spark: SparkSession, warehouse: String, asOf: LocalDate): Unit = {
-    Tables.overwrite(dimPatient(spark, warehouse), goldPath(warehouse, "dim_patient"))
-    Tables.overwrite(dimDoctor(spark, warehouse), goldPath(warehouse, "dim_doctor"))
-    Tables.overwrite(dimDate(spark, warehouse, asOf), goldPath(warehouse, "dim_date"))
-    Tables.overwritePartitioned(factBilling(spark, warehouse),
-      goldPath(warehouse, "fact_billing"), Seq("billing_year", "billing_month"))
-    Tables.overwritePartitioned(factAdmissions(spark, warehouse),
-      goldPath(warehouse, "fact_admissions"), Seq("admission_year", "admission_month"))
-    Tables.overwritePartitioned(factVitals(spark, warehouse),
-      goldPath(warehouse, "fact_vitals"), Seq("vital_year", "vital_month"))
-    Tables.overwrite(factDoctorActivity(spark, warehouse), goldPath(warehouse, "fact_doctor_activity"))
-    Tables.overwrite(aggRevenueMonth(spark, warehouse), goldPath(warehouse, "agg_revenue_month"))
-    Tables.overwrite(aggAdmissionsReasonMonth(spark, warehouse), goldPath(warehouse, "agg_admissions_reason_month"))
+  def run(spark: SparkSession, warehouse: String, asOf: LocalDate,
+      log: String => Unit = println): Seq[String] = {
+    def build(name: String, table: Either[String, DataFrame],
+        partitionCols: Seq[String] = Nil): Option[String] = table match {
+      case Right(df) =>
+        if (partitionCols.isEmpty) Tables.overwrite(df, goldPath(warehouse, name))
+        else Tables.overwritePartitioned(df, goldPath(warehouse, name), partitionCols)
+        None
+      case Left(reason) =>
+        val msg = s"Skipping $name — $reason"
+        log(msg)
+        Some(msg)
+    }
+    val skipped = Seq(
+      build("dim_patient", dimPatient(spark, warehouse)),
+      build("dim_doctor", dimDoctor(spark, warehouse)),
+      build("dim_date", Right(dimDate(spark, warehouse, asOf))),
+      build("fact_billing", factBilling(spark, warehouse),
+        Seq("billing_year", "billing_month")),
+      build("fact_admissions", factAdmissions(spark, warehouse),
+        Seq("admission_year", "admission_month")),
+      build("fact_vitals", factVitals(spark, warehouse),
+        Seq("vital_year", "vital_month")),
+      build("fact_doctor_activity", factDoctorActivity(spark, warehouse)),
+      build("agg_revenue_month", aggRevenueMonth(spark, warehouse)),
+      build("agg_admissions_reason_month", aggAdmissionsReasonMonth(spark, warehouse)),
+    ).flatten
+    skipped
   }
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
+import graft.io.Tables
 
 /** CLI entry for the medallion pipeline.
   * Usage: runMain graft.pipeline.RunPipeline <rawDir> <warehouseDir> [asOfDate]
@@ -30,7 +31,7 @@ object RunPipeline {
         "fact_vitals", "fact_doctor_activity", "agg_revenue_month",
         "agg_admissions_reason_month").map(Gold.goldPath(warehouse, _)))
       .foreach { p =>
-        println(s"[pipeline] $p rows=${spark.read.parquet(p).count()}")
+        println(s"[pipeline] $p rows=${Tables.read(spark, p).count()}")
       }
     spark.stop()
   }

@@ -147,7 +147,7 @@ object Silver {
     val path = silverPath(warehouse, e.name)
     val result =
       if (Tables.exists(spark, path))
-        Scd2.merge(spark.read.parquet(path), cleaned, e.keys, e.compareCols, asOf)
+        Scd2.merge(Tables.read(spark, path), cleaned, e.keys, e.compareCols, asOf)
       else
         Scd2.bootstrap(cleaned, asOf)
     Tables.overwrite(result, path)

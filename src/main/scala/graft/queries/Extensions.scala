@@ -18,21 +18,30 @@ object Extensions {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** The documents/embeddings tables arrive as one small parquet file → ONE
-    * input split, which would serialize every CPU-heavy map stage (md5
-    * shingling, simhash votes, cosine) onto a single core. A round-robin
-    * repartition to the session's parallelism first is a tiny shuffle that
-    * buys full-width execution — the local-mode analogue of "size your
-    * splits to your cluster".
+  /** The local testdata documents/embeddings tables arrive as one small
+    * parquet file → ONE input split, which would serialize every CPU-heavy
+    * map stage (md5 shingling, simhash votes, cosine) onto a single core.
+    * When — and ONLY when — the scan is narrower than the session's
+    * parallelism, a repartition to full width is a tiny shuffle that buys
+    * full-width execution, the local-mode analogue of "size your splits to
+    * your cluster". On a real multi-TB scan the input is already at least
+    * cluster-wide (maxPartitionBytes splitting), the gate is false, and no
+    * extra exchange enters the plan.
     */
-  private def widen(s: SparkSession, df: DataFrame): DataFrame = {
-    // Hash-partition on the row id rather than round-robin: round-robin
-    // partitioning is non-deterministic, which blocks ReuseExchange when
-    // the widened frame feeds both sides of a self-join (the whole minhash
-    // computation would run twice).
-    val key = if (df.columns.contains("doc_id")) "doc_id" else df.columns.head
-    df.repartition(s.sparkContext.defaultParallelism, col(key))
+  private[graft] def widenIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else {
+      // Hash-partition on the row id rather than round-robin: round-robin
+      // partitioning is non-deterministic, which blocks ReuseExchange when
+      // the widened frame feeds both sides of a self-join (the whole minhash
+      // computation would run twice).
+      val key = if (df.columns.contains("doc_id")) "doc_id" else df.columns.head
+      df.repartition(target, col(key))
+    }
   }
+
+  private def widen(s: SparkSession, df: DataFrame): DataFrame = widenIfNarrow(s, df)
 
   /** documents with a schema-NON-NULLABLE text column (null → "").
     *

@@ -45,7 +45,7 @@ object Scd2Sink {
       val asOf = asOfForBatch(batchId)
       val merged =
         if (Tables.exists(spark, path))
-          Scd2.merge(spark.read.parquet(path), deduped, keys, compareCols, asOf)
+          Scd2.merge(Tables.read(spark, path), deduped, keys, compareCols, asOf)
         else
           Scd2.bootstrap(deduped, asOf)
       Tables.overwrite(merged, path)

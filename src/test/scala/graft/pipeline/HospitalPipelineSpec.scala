@@ -18,8 +18,8 @@ class HospitalPipelineSpec extends SparkSpec {
     dir
   }
 
-  private def silver(name: String) = spark.read.parquet(Silver.silverPath(warehouse, name))
-  private def gold(name: String) = spark.read.parquet(Gold.goldPath(warehouse, name))
+  private def silver(name: String) = graft.io.Tables.read(spark, Silver.silverPath(warehouse, name))
+  private def gold(name: String) = graft.io.Tables.read(spark, Gold.goldPath(warehouse, name))
 
   test("silver: all six entities materialize with SCD2 triplet") {
     Silver.entities.foreach { e =>

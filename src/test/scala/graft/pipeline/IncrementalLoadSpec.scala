@@ -31,12 +31,12 @@ class IncrementalLoadSpec extends SparkSpec {
 
     val entity = Silver.entities.find(_.name == "doctors").get
     Silver.runEntity(spark, raw1, warehouse, entity, LocalDate.parse("2026-01-01"))
-    val after1 = spark.read.parquet(Silver.silverPath(warehouse, "doctors"))
+    val after1 = graft.io.Tables.read(spark, Silver.silverPath(warehouse, "doctors"))
     val n1 = after1.count()
     assert(after1.filter(!col("is_current")).count() == 0)
 
     Silver.runEntity(spark, raw2, warehouse, entity, LocalDate.parse("2026-02-01"))
-    val after2 = spark.read.parquet(Silver.silverPath(warehouse, "doctors"))
+    val after2 = graft.io.Tables.read(spark, Silver.silverPath(warehouse, "doctors"))
 
     // two changed keys: expired old version + new current version; one new key
     assert(after2.filter(!col("is_current")).count() == 2)

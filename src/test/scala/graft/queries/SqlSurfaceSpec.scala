@@ -33,27 +33,50 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("DROP DATABASE gold_test")
   }
 
-  test("Tables.overwrite is swap-atomic: old data readable until replaced, no staging leftovers") {
+  test("Tables.overwrite gives snapshot isolation: versioned dirs + manifest flip") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val path = s"$dir/t"
     assert(!Tables.exists(spark, path))
     Tables.overwrite(Seq(1, 2, 3).toDF("v"), path)
     assert(Tables.exists(spark, path))
-    assert(spark.read.parquet(path).count() == 3)
+    assert(Tables.read(spark, path).count() == 3)
     Tables.overwrite(Seq(4, 5).toDF("v"), path)
-    assert(spark.read.parquet(path).as[Int].collect().toSet == Set(4, 5))
-    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains("__"))
-    assert(leftovers.isEmpty)
+    assert(Tables.read(spark, path).as[Int].collect().toSet == Set(4, 5))
+    // layout: manifest + live version + previous version (reader grace), no staging
+    // (dot-prefixed entries — e.g. the local FS's checksum side files — are
+    // hidden from Spark/Hadoop listings and don't participate in the layout)
+    def visible(p: String) = new java.io.File(p).listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(visible(path) == Set("_current", "v00000001", "v00000002"))
+    // third overwrite GCs v1, keeps v2 as the grace version
+    Tables.overwrite(Seq(6).toDF("v"), path)
+    assert(visible(path) == Set("_current", "v00000002", "v00000003"))
+  }
+
+  test("a reader that resolved the table before an overwrite still reads its complete snapshot") {
+    val dir = Files.createTempDirectory("graft_tbl_race").toString
+    val path = s"$dir/t"
+    Tables.overwrite(Seq(1, 2, 3).toDF("v"), path)
+    // reader resolves the manifest NOW (plan pinned to v1's files)...
+    val pinned = Tables.read(spark, path)
+    assert(pinned.count() == 3) // force file listing before the swap
+    // ...a writer replaces the table underneath it...
+    Tables.overwrite(Seq(9).toDF("v"), path)
+    // ...the pinned reader still sees its complete old snapshot (v1 is
+    // retained as the grace version), and a fresh reader sees the new one.
+    assert(pinned.as[Int].collect().toSet == Set(1, 2, 3))
+    assert(Tables.read(spark, path).as[Int].collect().toSet == Set(9))
+    // at no point is the table missing: the manifest always resolves
+    assert(Tables.exists(spark, path))
   }
 
   test("partitioned overwrite preserves (year,month) layout for pruning") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Seq((2025, 1, "a"), (2025, 2, "b"), (2026, 1, "c")).toDF("y", "m", "v")
     Tables.overwritePartitioned(df, s"$dir/fact", Seq("y", "m"))
-    val sub = new java.io.File(s"$dir/fact").listFiles().map(_.getName).filter(_.startsWith("y=")).sorted
+    val sub = new java.io.File(s"$dir/fact/v00000001").listFiles().map(_.getName).filter(_.startsWith("y=")).sorted
     assert(sub.toSeq == Seq("y=2025", "y=2026"))
     // partition pruning: reading one partition's predicate touches 1 file set
-    val pruned = spark.read.parquet(s"$dir/fact").filter(col("y") === 2025 && col("m") === 2)
+    val pruned = Tables.read(spark, s"$dir/fact").filter(col("y") === 2025 && col("m") === 2)
     val scanned = pruned.queryExecution.executedPlan.collectLeaves()
       .head.toString
     assert(pruned.count() == 1)

@@ -25,13 +25,13 @@ class Scd2SinkSpec extends SparkSpec {
     try {
       input.addData(DocUpdate("d1", "Oncology", 10), DocUpdate("d2", "Cardiology", 5))
       q.processAllAvailable()
-      val s1 = spark.read.parquet(path)
+      val s1 = graft.io.Tables.read(spark, path)
       assert(s1.count() == 2 && s1.filter(col("is_current")).count() == 2)
 
       // batch 2: d1 changes, d3 appears, d2 silent
       input.addData(DocUpdate("d1", "Oncology", 11), DocUpdate("d3", "Neurology", 2))
       q.processAllAvailable()
-      val s2 = spark.read.parquet(path)
+      val s2 = graft.io.Tables.read(spark, path)
       assert(s2.count() == 4)
       val cur = s2.filter(col("is_current"))
         .select("doctor_id", "years").as[(String, Int)].collect().toMap
@@ -61,7 +61,7 @@ class Scd2SinkSpec extends SparkSpec {
         DocUpdateSeq("d1", "Oncology", 10, seq = 1L),
         DocUpdateSeq("d2", "Cardiology", 5, seq = 1L))
       q.processAllAvailable()
-      val s1 = spark.read.parquet(path)
+      val s1 = graft.io.Tables.read(spark, path)
       assert(s1.count() == 2, "one row per key, not one per version")
       val cur1 = s1.filter(col("is_current"))
         .select("doctor_id", "years").as[(String, Int)].collect().toMap
@@ -73,7 +73,7 @@ class Scd2SinkSpec extends SparkSpec {
         DocUpdateSeq("d1", "Oncology", 14, seq = 4L),
         DocUpdateSeq("d1", "Oncology", 13, seq = 3L))
       q.processAllAvailable()
-      val s2 = spark.read.parquet(path)
+      val s2 = graft.io.Tables.read(spark, path)
       val cur2 = s2.filter(col("is_current"))
         .select("doctor_id", "years").as[(String, Int)].collect().toMap
       assert(cur2 == Map("d1" -> 14, "d2" -> 5))
