@@ -17,13 +17,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * WholeStageCodegen stage.
   *
   * Semantics match the composed form bit-for-bit: each accumulator (dot,
-  * |a|², |b|²) sums in element order; division and sqrt are IEEE. Arrays
-  * are assumed non-null-element (embedding vectors); length mismatch uses
-  * the shorter prefix, matching zip_with-without-padding semantics on
-  * equal-length inputs.
+  * |a|², |b|²) sums in element order; division and sqrt are IEEE, so a
+  * zero vector yields NaN (the HOF fallback instead throws DIVIDE_BY_ZERO
+  * under ANSI mode — one more reason this expression is the preferred
+  * path). A null ELEMENT in
+  * the compared prefix yields a null result (`x * null` poisons the HOF
+  * aggregate the same way) — the element null-check is only generated when
+  * the input schema says elements can be null, so parquet-loaded vectors
+  * stay correct and schema-non-null vectors keep the branch-free loop.
+  * Length mismatch uses the shorter prefix, matching
+  * zip_with-without-padding semantics on equal-length inputs.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elementsNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -47,6 +60,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -63,14 +77,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // the element null-check branch exists only when the schema allows
+      // null elements; schema-non-null inputs keep the branch-free loop
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
+         |${if (elementsNullable) s"if (!${ev.isNull})" else ""}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })

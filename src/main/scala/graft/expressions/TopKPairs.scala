@@ -34,6 +34,10 @@ case class TopKPairs(
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kExpr.foldable) TypeCheckResult.TypeCheckFailure("k must be a literal")
+    else if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(s"k must be an integral literal, got ${kExpr.dataType.sql}")
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].longValue() < 1)
+      TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got ${kExpr.eval()}")
     else if (score.dataType != DoubleType) TypeCheckResult.TypeCheckFailure("score must be double")
     else if (id.dataType != LongType) TypeCheckResult.TypeCheckFailure("id must be bigint")
     else TypeCheckResult.TypeCheckSuccess

@@ -44,4 +44,28 @@ class CosineSimilaritySpec extends SparkSpec {
     val out = df.select(expr("cosine_sim(a, b)").as("c")).as[Option[Double]].collect()
     assert(out.head.isEmpty)
   }
+
+  test("null ELEMENT yields null, matching the HOF form (codegen + interpreted)") {
+    val df = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))),
+      (Seq(Some(1.0), Some(0.0)), Seq(Some(0.0), Some(1.0))))
+      .toDF("a", "b")
+    val out = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      Sim.cosine(col("a"), col("b")).as("hof"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(0) == ((None, None)))
+    assert(out(1)._1.isDefined && out(1)._1 == out(1)._2)
+  }
+
+  test("zero vector yields IEEE NaN (where the ANSI HOF form would throw DIVIDE_BY_ZERO)") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val native = df.select(expr("cosine_sim(a, b)").as("c")).as[Double].collect().head
+    assert(native.isNaN)
+    // the composable fallback raises under ANSI — a documented reason the
+    // native expression is the preferred path
+    intercept[Exception] {
+      df.select(Sim.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    }
+  }
 }

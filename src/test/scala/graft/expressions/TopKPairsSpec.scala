@@ -19,6 +19,16 @@ class TopKPairsSpec extends SparkSpec {
     assert(out == Seq((0.9, 5L), (0.9, 11L), (0.7, 12L)))
   }
 
+  test("k must be a positive integral literal (analysis-time rejection, not runtime NoSuchElement)") {
+    val df = Seq(("g", 0.5, 10L)).toDF("g", "s", "i")
+    Seq("topk_pairs(0, s, i)", "topk_pairs(-1, s, i)", "topk_pairs(1.5, s, i)").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.groupBy("g").agg(expr(bad)).collect()
+      }
+      assert(e.getMessage.contains("k must be"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("partial-merge path (multi-partition input) gives same result") {
     val df = spark.range(0, 10000, 1, 8) // 8 partitions → real partial merges
       .select(lit("g").as("g"), (col("id") % 97).cast("double").as("s"), col("id").as("i"))
