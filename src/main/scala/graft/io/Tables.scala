@@ -142,4 +142,20 @@ object Tables {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Overwrite a bucketed table whose new contents may READ the old
+    * contents (the SCD2 history update cycle: merge(history, batch) →
+    * history). `saveAsTable("t")` refuses to overwrite a table its own
+    * plan reads, so the new state is materialized into a staging table
+    * first and promoted with a catalog rename — metadata-only, so the
+    * swap is as atomic as the metastore makes it.
+    */
+  def overwriteBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val staging = s"${table}__staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    saveBucketed(df, staging, bucketCols, numBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
 }

@@ -153,6 +153,31 @@ object Silver {
     Tables.overwrite(result, path)
   }
 
+  /** Catalog table name for the bucketed silver variant. */
+  def silverTable(name: String): String = s"silver_$name"
+
+  /** Bucketed-history variant of [[runEntity]]: the SCD2 history lives in
+    * a catalog table BUCKETED on the merge key, so `Scd2.merge`'s
+    * full-outer join reads the history side pre-partitioned — the only
+    * exchange in the merge plan is the (small) incoming batch being
+    * shuffled to the bucket layout. At 100 TB this is the difference
+    * between re-shuffling the entire accumulated history every load and
+    * shuffling just the day's batch: the history pays its shuffle once, at
+    * write time, and every subsequent merge reuses it
+    * (Scd2BucketedSpec asserts the plan shape).
+    */
+  def runEntityBucketed(spark: SparkSession, rawDir: String, e: Entity,
+      asOf: LocalDate, numBuckets: Int = 8): Unit = {
+    val cleaned = Dedup.keyUnique(e.clean(readRaw(spark, rawDir, e)), e.keys)
+    val tbl = silverTable(e.name)
+    val result =
+      if (spark.catalog.tableExists(tbl))
+        Scd2.merge(spark.table(tbl), cleaned, e.keys, e.compareCols, asOf)
+      else
+        Scd2.bootstrap(cleaned, asOf)
+    Tables.overwriteBucketed(result, tbl, e.keys, numBuckets)
+  }
+
   /** Run all six entity pipelines. The entities are independent jobs, so
     * they are submitted CONCURRENTLY: Spark's scheduler interleaves their
     * stages, keeping the executor pool busy while any one job sits in its
