@@ -66,6 +66,7 @@ object SparkEntry {
     "q47_lang_id_ngram" -> (Extensions.q47LangIdNgram _),
     "q48_tpch_q6" -> (Parity.q48TpchQ6 _),
     "q49_tpch_q3" -> (Parity.q49TpchQ3 _),
+    "q50_ann_query_directed" -> (Extensions.q50AnnQueryDirected _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -290,6 +290,30 @@ object Oracles {
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
          |FROM rr WHERE rank <= 3""".stripMargin,
 
+    "q50_ann_query_directed" -> {
+      // margin-sorted (|dot|, plane) structs + probe masks, generated from
+      // the SAME ProbeFlipPattern constant as the Spark plan
+      val msSql = (0 until Extensions.LshPlanes)
+        .map(j => s"{'m': abs(list_dot_product(vec, ${planeSql(j)})), 'j': $j}")
+        .mkString("list_sort([", ", ", "])")
+      val maskSqls = Extensions.ProbeFlipPattern.map(fl =>
+        fl.map(i => s"(1 << ms[$i].j)").foldLeft("0")((a, b) => s"($a | $b)"))
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
+         |qm AS (SELECT vec_id, vec, bucket, $msSql AS ms
+         |  FROM e WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec,
+         |  unnest([${maskSqls.map(m => s"xor(bucket, CAST($m AS INTEGER))").mkString(", ")}]) AS pbucket
+         |  FROM qm),
+         |s AS (
+         |  SELECT q.q_id, c.vec_id AS n_id, ${cosSql("q.q_vec", "c.vec")} AS sim
+         |  FROM e c JOIN q ON c.bucket = q.pbucket AND q.q_id <> c.vec_id),
+         |rr AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
+         |FROM rr WHERE rank <= 3""".stripMargin
+    },
+
     "q48_tpch_q6" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem

@@ -39,16 +39,57 @@ class AnnRecallSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
   }
 
+  private lazy val truth = Extensions.q21KnnCosine(spark, dir).filter("rank <= 3")
+    .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+
+  private def candidateVolume(probesOf: org.apache.spark.sql.Column): Long = {
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), explode(probesOf).as("pbucket"))
+    emb.as("c")
+      .join(q, col("c.bucket") === col("pbucket") && col("q_id") =!= col("c.vec_id"))
+      .count()
+  }
+
+  private def d1Probes = array(
+    col("bucket") +: (0 until 4).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
+
   test("multi-probe recall >= single-probe recall, both nontrivial vs brute force") {
-    val truth = Extensions.q21KnnCosine(spark, dir).filter("rank <= 3")
-      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val single = retrieved(array(col("bucket")))
-    val multi = retrieved(array(
-      col("bucket") +: (0 until 4).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
+    val multi = retrieved(d1Probes)
     val rSingle = (truth intersect single).size.toDouble / truth.size
     val rMulti = (truth intersect multi).size.toDouble / truth.size
     info(f"recall single-probe=$rSingle%.2f multi-probe=$rMulti%.2f (truth=${truth.size})")
     assert(rMulti >= rSingle)
     assert(rMulti > 0.3, s"multi-probe recall $rMulti below the 4-plane expectation")
+  }
+
+  test("query-directed probing: recall >= 0.8 within 3x the d1 schedule's candidate volume") {
+    // the q50 schedule (ProbeFlipPattern over margin-ranked bits), at this
+    // spec's 4-plane geometry
+    val ms = Extensions.marginSortExpr(col("vec"), planes)
+    val qdProbes = {
+      val withMs = array(Extensions.probeMasks("ms").map(m => col("bucket").bitwiseXOR(m)): _*)
+      withMs
+    }
+    // retrieved() references columns of emb + a computed ms column
+    val embMs = emb.withColumn("ms", ms)
+    val q = embMs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(qdProbes).as("pbucket"))
+    val got = emb.as("c")
+      .join(q, col("c.bucket") === col("pbucket") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        Sim.cosine(col("q_vec"), col("c.vec")).as("sim"))
+      .groupBy("q_id").agg(expr("topk_pairs(3, sim, n_id)").as("t"))
+      .select(col("q_id"), explode(col("t")).as("p"))
+      .select(col("q_id"), col("p.id").as("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val volume = q.join(emb.as("c"),
+      col("c.bucket") === col("pbucket") && col("q_id") =!= col("c.vec_id")).count()
+    val budget = 3 * candidateVolume(d1Probes)
+    val recall = (truth intersect got).size.toDouble / truth.size
+    info(f"query-directed recall=$recall%.2f candidates=$volume budget=$budget")
+    assert(recall >= 0.8, f"query-directed recall $recall%.2f < 0.8")
+    assert(volume <= budget, s"candidate volume $volume exceeds 3x d1 budget $budget")
   }
 }
