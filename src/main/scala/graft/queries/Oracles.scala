@@ -22,8 +22,8 @@ object Oracles {
   // ---- shared generated fragments ----
 
   /** DuckDB twin of Sim.shingleDigests + minhashFromDigests: one digest
-    * list per doc (2 md5s per shingle), signature j = min of hex slice
-    * [j*8+1, 8].
+    * list per doc (one md5 per shingle), signature j = min of hex slice
+    * [j*SliceHex+1, SliceHex].
     */
   private val digestsCte: String = {
     val sh = s"substr(text, CAST(i AS INTEGER) + 1, ${Extensions.ShingleN})"
@@ -31,14 +31,14 @@ object Oracles {
     // (see Extensions.sigFrame)
     s"""dg AS (
        |  SELECT doc_id,
-       |    [md5($sh) || md5('x:' || $sh) for i in range(0, len(text) - ${Extensions.ShingleN - 1})
+       |    [md5($sh) for i in range(0, len(text) - ${Extensions.ShingleN - 1})
        |     if ascii(substr($sh, 1, 1)) % 2 = 0] AS digests
        |  FROM documents WHERE len(text) >= ${Extensions.ShingleN})""".stripMargin
   }
 
   private val sigCols: String =
     (0 until Extensions.MinhashK)
-      .map(j => s"list_min([substr(d, ${j * 8 + 1}, 8) for d in digests]) AS sig_$j")
+      .map(j => s"list_min([substr(d, ${j * Sim.SliceHex + 1}, ${Sim.SliceHex}) for d in digests]) AS sig_$j")
       .mkString(",\n    ")
 
   /** DuckDB 16-bit simhash (= Sim.tokenDigests + simhash16FromDigests;

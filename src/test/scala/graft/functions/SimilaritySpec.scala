@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, String, String, String, String)].collect().sortBy(_._1)
     assert(sig(0)._2 == sig(1)._2 && sig(0)._5 == sig(1)._5) // identical docs: identical sigs
     assert(sig(0)._2 != sig(2)._2 || sig(0)._3 != sig(2)._3) // disjoint docs: differ somewhere
-    sig.foreach(s => assert(s._2.length == 8 && s._5.length == 8)) // 32-bit hex slices
+    sig.foreach(s => assert(s._2.length == Sim.SliceHex && s._5.length == Sim.SliceHex))
   }
 
   test("simhash16: deterministic, equal for equal text, in 16-bit range") {
