@@ -67,6 +67,8 @@ object SparkEntry {
     "q48_tpch_q6" -> (Parity.q48TpchQ6 _),
     "q49_tpch_q3" -> (Parity.q49TpchQ3 _),
     "q50_ann_query_directed" -> (Extensions.q50AnnQueryDirected _),
+    "q51_repetition_stats" -> (Extensions.q51RepetitionStats _),
+    "q52_pii_scrub" -> (Extensions.q52PiiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -478,4 +478,64 @@ object Extensions {
   /** Multimodal metadata extraction via the mapPartitions decode stub. */
   def q27MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBlobMeta(s, t(s, dir, "documents"))
+
+  /** Gopher/C4-style repetition quality signals per document: duplicate
+    * word fraction, most-frequent-word fraction, duplicate bigram
+    * fraction — the filters a pretraining pipeline uses to drop
+    * boilerplate/spam before training.
+    *
+    * Plan shape: explode → count per (doc, term) → re-aggregate per doc.
+    * Both aggregations are codegen hash aggregates with map-side partials;
+    * the second GROUP BY reuses the first's (doc_id ⊂ keys) partitioning
+    * modulo hash width, and the word/bigram branches join on doc_id AFTER
+    * aggregation — only per-doc scalar stats cross that join, never token
+    * lists. No interpreted HOF in the per-token path.
+    */
+  def q51RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    def stats(termCol: Column, prefix: String)(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(termCol).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${prefix}_n"),
+          max(col("c")).as(s"${prefix}_max"),
+          count(lit(1)).as(s"${prefix}_distinct"))
+    val toks = docs(s, dir).select(col("doc_id"), Txt.tokens(col("text")).as("tk"))
+    val words = stats(col("tk"), "w")(toks)
+    val bigrams = stats(Txt.wordBigramsExpr("tk"), "b")(
+      toks.filter(size(col("tk")) >= 2))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("w_n").cast("int").as("word_count"),
+        r4(lit(1.0) - col("w_distinct").cast("double") / col("w_n").cast("double")).as("dup_word_frac"),
+        r4(col("w_max").cast("double") / col("w_n").cast("double")).as("top_word_frac"),
+        r4(coalesce(lit(1.0) - col("b_distinct").cast("double") / col("b_n").cast("double"), lit(0.0))).as("dup_bigram_frac"))
+  }
+
+  /** PII scrub — regex redaction of emails/phone numbers plus per-doc
+    * redaction counts, the mechanical core of a pretraining PII pass. The
+    * testdata corpus contains no organic PII, so a deterministic synthetic
+    * contact line is appended to every 7th document IN the query — the
+    * scrubber then has real work whose counts the oracle independently
+    * reproduces. Patterns are RE2-safe (no backrefs/lookaround), so Java
+    * and DuckDB agree. Map-only: scan → project, no shuffle.
+    */
+  def q52PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val salted = when(col("doc_id") % 7 === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-4567 now")))
+      .otherwise(col("text"))
+    docs(s, dir)
+      .withColumn("t", salted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0))).as("email_count"),
+        size(regexp_extract_all(col("t"), lit(PiiPhoneRe), lit(0))).as("phone_count"),
+        md5(regexp_replace(regexp_replace(col("t"), PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>")).as("clean_md5"))
+  }
+
+  /** RE2-safe PII patterns, shared with the DuckDB oracle. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
 }

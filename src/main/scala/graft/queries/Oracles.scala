@@ -314,6 +314,40 @@ object Oracles {
          |FROM rr WHERE rank <= 3""".stripMargin
     },
 
+    "q51_repetition_stats" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(tk) AS t FROM tok),
+         |wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+         |ws AS (SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*) AS d FROM wc GROUP BY doc_id),
+         |bgl AS (SELECT doc_id, [tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))] AS bg
+         |  FROM tok WHERE len(tk) >= 2),
+         |b AS (SELECT doc_id, unnest(bg) AS t FROM bgl),
+         |bc AS (SELECT doc_id, t, count(*) AS c FROM b GROUP BY doc_id, t),
+         |bs AS (SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*) AS d FROM bc GROUP BY doc_id)
+         |SELECT ws.doc_id, CAST(ws.n AS INTEGER) AS word_count,
+         |  ${r("(1.0 - CAST(ws.d AS DOUBLE) / CAST(ws.n AS DOUBLE))", 4)} AS dup_word_frac,
+         |  ${r("(CAST(ws.mx AS DOUBLE) / CAST(ws.n AS DOUBLE))", 4)} AS top_word_frac,
+         |  ${r("COALESCE(1.0 - CAST(bs.d AS DOUBLE) / CAST(bs.n AS DOUBLE), 0.0)", 4)} AS dup_bigram_frac
+         |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q52_pii_scrub" -> {
+      val email = Extensions.PiiEmailRe
+      val phone = Extensions.PiiPhoneRe
+      s"""WITH salted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact user' || doc_id || '@example.com or 555-01' ||
+         |           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4567 now'
+         |      ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INTEGER) AS email_count,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER) AS phone_count,
+         |  md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g')) AS clean_md5
+         |FROM salted""".stripMargin
+    },
+
     "q48_tpch_q6" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
