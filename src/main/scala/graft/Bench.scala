@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local-mode split sizing: sf0.1's biggest table arrives as ~3
+      // default-size splits, capping scan stages at 3-way parallelism on a
+      // 32-core session. 16 MB splits restore full-width scans — the
+      // local analogue of "size your splits to your cluster" (SCALING.md);
+      // a real cluster keeps the 128-256 MB default.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
