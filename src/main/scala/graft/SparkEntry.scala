@@ -69,6 +69,7 @@ object SparkEntry {
     "q50_ann_query_directed" -> (Extensions.q50AnnQueryDirected _),
     "q51_repetition_stats" -> (Extensions.q51RepetitionStats _),
     "q52_pii_scrub" -> (Extensions.q52PiiScrub _),
+    "q53_ivf_search" -> (Extensions.q53IvfSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

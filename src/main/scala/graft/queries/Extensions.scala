@@ -386,6 +386,44 @@ object Extensions {
         r4(array_max(col("dots"))).as("cell_score"))
   }
 
+  /** IVF probe search — the query half q34's coarse quantizer exists for:
+    * candidates live in their argmax-dot cell (the inverted file); each
+    * query probes its `IvfNprobe` best-scoring cells and ranks only those
+    * cells' members. Candidate volume per query ≈ nprobe·n/cells — the
+    * IVF recall/cost knob — and the plan is the same bucket equi-join +
+    * bounded-heap top-k as the LSH paths, so it scales the same way.
+    * Cell scores are computed per-QUERY only; candidates carry just their
+    * int cell id through the join.
+    */
+  val IvfNprobe = 3
+
+  def q53IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
+    val base = widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .withColumn("dots", dots)
+    val cand = base.select(col("vec_id"), col("vec"),
+      (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"))
+    // per-query probe cells: the IvfNprobe highest-dot cells, via an
+    // ascending sort on (-dot, cell) structs
+    val ranked = array_sort(array(Planes.indices.map(j =>
+      struct((-element_at(col("dots"), j + 1)).as("m"), lit(j).as("j"))): _*))
+    val q = base.filter(col("vec_id") < 10)
+      .withColumn("sd", ranked)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(slice(col("sd"), 1, IvfNprobe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p.j").as("pcell"))
+    val sims = cand.as("c")
+      .join(broadcast(q), col("c.cell") === col("pcell") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        Sim.cosineByName(s, "q_vec", "c.vec").as("sim"))
+    sims.groupBy(col("q_id"))
+      .agg(expr("topk_pairs(3, sim, n_id)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("sim"))
+  }
+
   /** Stopword-hit language ID (deterministic heuristic classifier). */
   def q23LangId(s: SparkSession, dir: String): DataFrame = {
     val toks = Txt.tokens(col("text"))

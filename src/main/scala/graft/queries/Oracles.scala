@@ -444,6 +444,29 @@ object Oracles {
          |FROM d""".stripMargin
     },
 
+    "q53_ivf_search" -> {
+      val dots = (0 until Extensions.LshPlanes)
+        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
+        .mkString("[", ",\n    ", "]")
+      val sd = (0 until Extensions.LshPlanes)
+        .map(j => s"{'m': -dots[${j + 1}], 'j': $j}")
+        .mkString("list_sort([", ", ", "])")
+      val probes = (1 to Extensions.IvfNprobe).map(i => s"sd[$i].j").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |e AS (SELECT vec_id, vec, $dots AS dots FROM d),
+         |cand AS (SELECT vec_id, vec,
+         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell FROM e),
+         |qm AS (SELECT vec_id, vec, $sd AS sd FROM e WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, unnest($probes) AS pcell FROM qm),
+         |s AS (
+         |  SELECT q.q_id, c.vec_id AS n_id, ${cosSql("q.q_vec", "c.vec")} AS sim
+         |  FROM cand c JOIN q ON c.cell = q.pcell AND q.q_id <> c.vec_id),
+         |rr AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
+         |FROM rr WHERE rank <= 3""".stripMargin
+    },
+
     "q33_ann_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
          |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
