@@ -174,6 +174,56 @@ object Gold {
         count(lit(1)).as("admissions_count"),
         avg(col("length_of_stay_days")).as("avg_los_days")))
 
+  /** The reference's SQL-form aggregates (GL:260-288), executed VERBATIM —
+    * `CREATE OR REPLACE TABLE … AS SELECT`, with `USING parquet` standing
+    * in for `USING DELTA` — against the registered
+    * [[graft.catalog.PathCatalog]] (the session catalog rejects REPLACE for
+    * file-source tables). Facts are exposed as temp views over the built
+    * gold tables; each aggregate runs only when its upstream fact exists,
+    * mirroring GL:262,275's tableExists guards. Returns skip reasons.
+    */
+  def runSqlAggregates(spark: SparkSession, warehouse: String,
+      log: String => Unit = println): Seq[String] = {
+    spark.conf.set("spark.sql.catalog.graft_gold", "graft.catalog.PathCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gold.warehouse", s"$warehouse/gold_sql")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_gold.gold_db")
+    def runIfFact(fact: String, sql: String): Option[String] =
+      if (Tables.exists(spark, goldPath(warehouse, fact))) {
+        Tables.read(spark, goldPath(warehouse, fact)).createOrReplaceTempView(fact)
+        spark.sql(sql)
+        None
+      } else {
+        val msg = s"Skipping ${sql.linesIterator.next().trim} — $fact not built"
+        log(msg)
+        Some(msg)
+      }
+    Seq(
+      runIfFact("fact_billing",
+        // GL:262-271 verbatim (USING parquet for USING DELTA)
+        """CREATE OR REPLACE TABLE graft_gold.gold_db.agg_revenue_month
+          |USING parquet AS
+          |SELECT
+          |    billing_year,
+          |    billing_month,
+          |    SUM(amount) AS total_revenue,
+          |    COUNT(*) AS lines_count
+          |FROM fact_billing
+          |GROUP BY billing_year, billing_month""".stripMargin),
+      runIfFact("fact_admissions",
+        // GL:275-288 verbatim
+        """CREATE OR REPLACE TABLE graft_gold.gold_db.agg_admissions_reason_month
+          |USING parquet AS
+          |SELECT
+          |    admission_year,
+          |    admission_month,
+          |    reason,
+          |    COUNT(*) AS admissions_count,
+          |    AVG(length_of_stay_days) AS avg_los_days
+          |FROM fact_admissions
+          |GROUP BY admission_year, admission_month, reason""".stripMargin),
+    ).flatten
+  }
+
   /** Build all gold tables; facts keep the reference's (year, month)
     * partition layout. A table whose inputs are missing/drifted is skipped
     * with its reason logged (GL's print-and-continue), never a layer abort.

@@ -26,6 +26,9 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
     Silver.run(spark, rawDir, warehouse, asOf)
     Gold.run(spark, warehouse, asOf)
+    Gold.runSqlAggregates(spark, warehouse) // GL:260-288 verbatim, via PathCatalog
+    println(s"[pipeline] graft_gold.gold_db.agg_revenue_month rows=" +
+      spark.table("graft_gold.gold_db.agg_revenue_month").count())
     (Silver.entities.map(e => Silver.silverPath(warehouse, e.name)) ++
       Seq("dim_patient", "dim_doctor", "dim_date", "fact_billing", "fact_admissions",
         "fact_vitals", "fact_doctor_activity", "agg_revenue_month",
