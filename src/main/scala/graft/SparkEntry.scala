@@ -70,6 +70,7 @@ object SparkEntry {
     "q51_repetition_stats" -> (Extensions.q51RepetitionStats _),
     "q52_pii_scrub" -> (Extensions.q52PiiScrub _),
     "q53_ivf_search" -> (Extensions.q53IvfSearch _),
+    "q54_multimodal_frames" -> (Extensions.q54MultimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -517,6 +517,24 @@ object Extensions {
   def q27MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBlobMeta(s, t(s, dir, "documents"))
 
+  /** Frame sampling through the mapPartitions fan-out path (one blob row →
+    * `MultimodalFrameCount` frame rows, per-partition init, iterator in /
+    * iterator out — the batch shape a codec/GPU stage needs). The stub
+    * fingerprints fixed-stride windows with exact integer arithmetic, so
+    * unlike most imperative decode paths this one has a full DuckDB
+    * oracle: the driver hash-checks the fan-out, offsets, and hashes,
+    * proving the mapPartitions plumbing end-to-end, not just rows>0.
+    */
+  val MultimodalFrameCount = 4
+
+  def q54MultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[Multimodal.MediaBlob]
+    Multimodal.sampleFrames(blobs, MultimodalFrameCount).toDF()
+  }
+
   /** Gopher/C4-style repetition quality signals per document: duplicate
     * word fraction, most-frequent-word fraction, duplicate bigram
     * fraction — the filters a pretraining pipeline uses to drop

@@ -314,6 +314,24 @@ object Oracles {
          |FROM rr WHERE rank <= 3""".stripMargin
     },
 
+    "q54_multimodal_frames" -> {
+      val n = Extensions.MultimodalFrameCount
+      // ASCII corpus ⇒ DuckDB's char-based substr == the byte windows the
+      // Spark stub reads; the rolling hash is exact integer arithmetic.
+      s"""WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+         |fr AS (SELECT doc_id, text, L, greatest(1, L // $n) AS stride,
+         |  unnest(range(0, least($n, L))) AS f FROM d),
+         |h AS (SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+         |  CAST(f * stride AS INTEGER) AS byte_offset,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT)
+         |       for i in range(f * stride, least(L, f * stride + stride))]),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS frame_hash
+         |  FROM fr)
+         |SELECT doc_id, frame_no, byte_offset, frame_hash FROM h""".stripMargin
+    },
+
     "q51_repetition_stats" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |w AS (SELECT doc_id, unnest(tk) AS t FROM tok),
