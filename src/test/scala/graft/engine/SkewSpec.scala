@@ -41,4 +41,41 @@ class SkewSpec extends SparkSpec {
       .select("k", "row_id", "label").as[(String, Long, String)].collect().toSet
     assert(salted == plain)
   }
+
+  /** AQE's skew-join split is the no-code-change complement to manual
+    * salting: at runtime the oversized partition is split into chunks and
+    * the other side's matching partition is replicated. This pins the
+    * config that makes it fire (thresholds scaled down to test size) and
+    * asserts the AQE-final plan actually marked the join skewed.
+    */
+  test("AQE skew join splits the hot partition at runtime") {
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~100x the payload of the others
+      val fact = (1L to 60000L).map { i =>
+        (if (i <= 54000) "hot" else s"k${i % 40}", ("x" * 40) + i)
+      }.toDF("k", "payload")
+      val dim = (0 until 40).map(i => (s"k$i", i)).toDF("k", "attr")
+        .union(Seq(("hot", -1)).toDF("k", "attr"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS DataFrame's QueryExecution, so the
+      // inspected plan is the AQE-final one (count() would plan afresh)
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
