@@ -194,6 +194,13 @@ object Extensions {
     // shuffle, no O(n²) per-block work without evidence of overlap.
     // Gram identity travels as xxhash64 (|hashed ∩| = |string ∩| absent
     // collisions, P ≈ 10⁻¹¹ here — the string-based oracle still matches).
+    // Measured dead end (r2): rewriting this self-join as the q18-style
+    // GROUP BY + collect_list pair expansion was 2.4× SLOWER — word
+    // bigrams are near-unique, so collect_list materializes millions of
+    // size-1 postings lists that the filter then discards, while the join
+    // only pays for actual matches. The double-computed gram subplan is
+    // the cheaper side of that trade here (unlike q18/q37, whose bucket
+    // keys are engineered to be dense).
     val inv = grams.select(
       col("source"), col("doc_id"), col("gsz"),
       explode(transform(col("grams"), x => xxhash64(x))).as("gh"))
