@@ -130,6 +130,32 @@ object Tables {
   def overwritePartitioned(df: DataFrame, path: String, parts: Seq[String]): Unit =
     overwrite(df, path, parts)
 
+  /** Partition-level incremental refresh: overwrite ONLY the partitions
+    * present in `df` (dynamic partition overwrite), leaving every other
+    * partition's files untouched. The 100 TB pattern for late-arriving
+    * fact data — re-deriving one month rewrites one month, not the table.
+    *
+    * Tradeoff vs [[overwrite]]: this writes the PLAIN partitioned layout
+    * (readable by [[read]]'s fallback), not the versioned-manifest one —
+    * partition replacement is in-place, so a reader racing the refresh of
+    * the SAME partition can see it mid-swap (untouched partitions are
+    * unaffected). Snapshot isolation and partition-level refresh together
+    * need a txn log (Delta/Iceberg); with plain parquet you pick per
+    * table: versioned snapshots for dims/aggs, dynamic partitions for
+    * large append-mostly facts.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String, parts: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed managed-table sink: pre-shuffles rows into `numBuckets` files
     * by `bucketCols` so every later equi-join/aggregation on those keys is
     * exchange-free (Spark reads the bucket spec from the catalog and plans

@@ -82,4 +82,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(pruned.count() == 1)
     assert(scanned.contains("PartitionFilters") || pruned.inputFiles.length == 1)
   }
+
+  test("dynamic partition overwrite refreshes only the touched partitions") {
+    val dir = Files.createTempDirectory("graft_dyn").toString
+    val path = s"$dir/fact"
+    val full = Seq((2025, 1, "jan-v1"), (2025, 2, "feb-v1"), (2025, 3, "mar-v1"))
+      .toDF("y", "m", "v")
+    Tables.overwritePartitionsDynamic(full, path, Seq("y", "m"))
+    def fileOf(m: Int) = new java.io.File(s"$path/y=2025/m=$m").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val (jan0, feb0) = (fileOf(1), fileOf(2))
+    // refresh ONLY February
+    Tables.overwritePartitionsDynamic(
+      Seq((2025, 2, "feb-v2")).toDF("y", "m", "v"), path, Seq("y", "m"))
+    assert(fileOf(1) == jan0, "untouched partition's files must be byte-identical")
+    assert(fileOf(2) != feb0, "refreshed partition rewritten")
+    val now = Tables.read(spark, path).select("m", "v").as[(Int, String)].collect().toSet
+    assert(now == Set((1, "jan-v1"), (2, "feb-v2"), (3, "mar-v1")))
+  }
 }
