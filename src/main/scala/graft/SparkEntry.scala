@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_pii_scrub" -> (Extensions.q52PiiScrub _),
     "q53_ivf_search" -> (Extensions.q53IvfSearch _),
     "q54_multimodal_frames" -> (Extensions.q54MultimodalFrames _),
+    "q55_char_diversity" -> (Extensions.q55CharDiversity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

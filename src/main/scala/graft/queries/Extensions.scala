@@ -598,6 +598,32 @@ object Extensions {
           PiiPhoneRe, "<PHONE>")).as("clean_md5"))
   }
 
+  /** Character-diversity quality signal: per-doc Simpson index
+    * `1 − Σ (c_i/n)²` over character frequencies plus the distinct-char
+    * count — the cheap gibberish/keyboard-mash detector ("aaaa…" → 0,
+    * uniform text → ≈1). Simpson was chosen over Shannon entropy
+    * DELIBERATELY: it is exact rational arithmetic (sums, squares, one
+    * division), so the DuckDB oracle matches bit-for-bit, while `log`
+    * is not correctly-rounded-guaranteed across libm implementations and
+    * would make cross-engine hashes flaky at rounding boundaries.
+    * Same two-level aggregate shape as q51; map-side partial combines.
+    */
+  def q55CharDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"),
+        col("n").cast("int").as("char_count"),
+        col("distinct_chars").cast("int").as("distinct_chars"),
+        r4(lit(1.0) - col("ss").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("simpson_diversity"))
+
   /** RE2-safe PII patterns, shared with the DuckDB oracle. */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"

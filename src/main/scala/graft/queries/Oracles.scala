@@ -332,6 +332,17 @@ object Oracles {
          |SELECT doc_id, frame_no, byte_offset, frame_hash FROM h""".stripMargin
     },
 
+    "q55_char_diversity" ->
+      s"""WITH ch AS (SELECT doc_id, unnest([c for c in str_split_regex(text, '') if c != '']) AS ch
+         |  FROM documents),
+         |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+         |st AS (SELECT doc_id, sum(c) AS n, count(*) AS d, sum(c * c) AS ss
+         |  FROM cc GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS INTEGER) AS char_count,
+         |  CAST(d AS INTEGER) AS distinct_chars,
+         |  ${r("(1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))", 4)} AS simpson_diversity
+         |FROM st""".stripMargin,
+
     "q51_repetition_stats" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |w AS (SELECT doc_id, unnest(tk) AS t FROM tok),
