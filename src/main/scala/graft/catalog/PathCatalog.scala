@@ -160,13 +160,21 @@ class PathCatalog extends TableCatalog with SupportsNamespaces {
 object PathCatalog {
 
   import org.apache.spark.sql.connector.read.ScanBuilder
-  import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 
   /** [[ParquetTable]] plus TRUNCATE: REPLACE/overwrite plans require the
     * write builder to support truncation, which Spark's FileWriteBuilder
-    * does not advertise. Truncation = delete the table dir's data files
-    * (the `_graft_schema.json` sidecar survives), deferred to `toBatch` so
-    * planning stays side-effect-free.
+    * does not advertise. Truncation is stage-and-swap, not
+    * delete-then-write: `toBatch` MOVES the previous data files into a
+    * dot-prefixed `.replaced` dir (invisible to file listings, so a
+    * concurrent read planned during the write still resolves its files);
+    * commit deletes them, abort RESTORES them — a failed or killed
+    * REPLACE/INSERT OVERWRITE leaves the previous contents, not an empty
+    * table. Deferred to `toBatch` so planning stays side-effect-free.
+    * Hard-crash caveat (documented contract): a crash between toBatch and
+    * commit leaves the new files partial with the old ones parked in
+    * `.replaced` — these tables are regenerable CTAS aggregates; rerunning
+    * the CTAS (whose toBatch clears the leftover park dir) repairs them.
     */
   private final class PathTable(delegate: ParquetTable, dir: Path, fs: () => FileSystem)
       extends Table with SupportsRead with SupportsWrite {
@@ -195,10 +203,37 @@ object PathCatalog {
           else new Write {
             override def toBatch: BatchWrite = {
               val f = fs()
-              f.listStatus(dir)
-                .filterNot(_.getPath.getName.startsWith("_"))
-                .foreach(st => f.delete(st.getPath, true))
-              underlying.toBatch
+              val park = new Path(dir, ".replaced")
+              // Leftover park dir = a predecessor hard-crashed mid-replace;
+              // its contents are stale relative to whatever the dir now
+              // holds, clear them before parking the current files.
+              if (f.exists(park)) f.delete(park, true)
+              f.mkdirs(park)
+              f.listStatus(dir).filterNot { st =>
+                val n = st.getPath.getName
+                n.startsWith("_") || n.startsWith(".")
+              }.foreach(st => f.rename(st.getPath, new Path(park, st.getPath.getName)))
+              val inner = underlying.toBatch
+              new BatchWrite {
+                override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+                  inner.createBatchWriterFactory(pInfo)
+                override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+                override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+                  inner.onDataWriterCommit(message)
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  inner.commit(messages)
+                  f.delete(park, true)
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit = {
+                  inner.abort(messages)
+                  // Restore the previous contents: the new files (if any
+                  // landed) were cleaned by the inner abort; part-file
+                  // names are unique so renames cannot collide.
+                  f.listStatus(park).foreach(st =>
+                    f.rename(st.getPath, new Path(dir, st.getPath.getName)))
+                  f.delete(park, true)
+                }
+              }
             }
             override def description(): String = s"truncate-then-${underlying.description()}"
           }

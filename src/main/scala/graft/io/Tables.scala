@@ -101,7 +101,16 @@ object Tables {
     val writer = df.write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     w.parquet(staging.toString)
-    fs.rename(staging, new Path(root, next))
+    // A pre-existing vN is an abandoned promotion from a writer that crashed
+    // after this rename but before the manifest flip — unreferenced by
+    // `_current`, so safe to clear; renaming into it would otherwise nest the
+    // staging dir inside it and the flip below would publish the stale crash
+    // leftovers. The rename result is checked for the same reason: promoting
+    // nothing and then flipping the manifest is silent corruption.
+    val target = new Path(root, next)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"Tables.overwrite: failed to promote $staging to $target")
 
     // Atomic pointer flip: write a hidden tmp manifest, rename-with-OVERWRITE
     // onto `_current` (atomic on HDFS + local FS). Both ops go through
@@ -173,15 +182,42 @@ object Tables {
     * contents (the SCD2 history update cycle: merge(history, batch) →
     * history). `saveAsTable("t")` refuses to overwrite a table its own
     * plan reads, so the new state is materialized into a staging table
-    * first and promoted with a catalog rename — metadata-only, so the
+    * first and promoted with catalog renames — metadata-only, so the
     * swap is as atomic as the metastore makes it.
+    *
+    * Crash safety: the previous state is parked under `table__old` until
+    * the staging promotion succeeds, so at every instant either the live
+    * name or a recoverable complete snapshot exists. A crash in the window
+    * where the live name is unbound leaves `__staging` (the NEW complete
+    * state) — [[recoverStaged]] promotes it on the next run, which callers
+    * that branch on `tableExists` (bootstrap vs merge) MUST invoke first,
+    * or a transient crash would silently bootstrap history from one batch.
     */
   def overwriteBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
     val spark = df.sparkSession
     val staging = s"${table}__staging"
+    val old = s"${table}__old"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     saveBucketed(df, staging, bucketCols, numBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
   }
+
+  /** Recover from a writer that crashed mid-[[overwriteBucketed]]: if the
+    * live name is unbound but a complete snapshot survives under
+    * `__staging` (the new state — preferred) or `__old` (the pre-swap
+    * state), promote it. Returns true if a recovery happened. Call before
+    * any `tableExists`-gated bootstrap-vs-merge decision.
+    */
+  def recoverStaged(spark: SparkSession, table: String): Boolean =
+    if (spark.catalog.tableExists(table)) false
+    else Seq(s"${table}__staging", s"${table}__old").find(spark.catalog.tableExists) match {
+      case Some(survivor) =>
+        spark.sql(s"ALTER TABLE $survivor RENAME TO $table")
+        true
+      case None => false
+    }
 }

@@ -170,6 +170,10 @@ object Silver {
       asOf: LocalDate, numBuckets: Int = 8): Unit = {
     val cleaned = Dedup.keyUnique(e.clean(readRaw(spark, rawDir, e)), e.keys)
     val tbl = silverTable(e.name)
+    // A writer that crashed mid-swap leaves the live name unbound with the
+    // full history parked in __staging/__old; promote it BEFORE the
+    // bootstrap-vs-merge branch or that history is silently discarded.
+    Tables.recoverStaged(spark, tbl)
     val result =
       if (spark.catalog.tableExists(tbl))
         Scd2.merge(spark.table(tbl), cleaned, e.keys, e.compareCols, asOf)

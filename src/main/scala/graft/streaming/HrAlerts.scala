@@ -45,6 +45,11 @@ object HrAlerts {
     import spark.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleGap))
+    // A calendar-month component has no fixed millisecond width; silently
+    // contributing 0 here would make the timeout fire almost immediately
+    // and evict live streak state. Day-time intervals only.
+    require(gapMs.months == 0,
+      s"idleGap '$idleGap' has a calendar-month component; use a day-time interval")
     val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
 
     def fold(
