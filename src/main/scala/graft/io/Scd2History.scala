@@ -1,0 +1,91 @@
+package graft.io
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Scd2
+
+/** Incremental SCD2 history storage — kills the O(history) full-snapshot
+  * rewrite the plain [[Tables.overwrite]] sink pays on every merge (the
+  * reference gets the equivalent from Delta's file-level MERGE,
+  * Silver Layer.py:86-118).
+  *
+  * Layout: the history is ONE parquet table partitioned by `end_date`.
+  * SCD2 gives that column a special shape — current rows have
+  * `end_date IS NULL` (the Hive default partition), and every row expired
+  * by the merge of day D has `end_date = D` — so the partition key is also
+  * the mutation boundary:
+  *
+  * {{{
+  *   silver/doctors/
+  *     end_date=__HIVE_DEFAULT_PARTITION__/   ← the current snapshot
+  *     end_date=2026-02-01/                   ← rows expired on 2026-02-01
+  *     end_date=2026-03-01/                   ← … immutable once written
+  * }}}
+  *
+  * A merge therefore:
+  *  - READS only the current partition (the `end_date IS NULL` filter is a
+  *    partition-pruning predicate — closed history never rescans);
+  *  - WRITES, via one dynamic-partition-overwrite action, exactly the two
+  *    partitions present in the merge output: the rewritten current
+  *    snapshot and the day's newly-expired delta. Closed partitions are
+  *    never touched — byte-identical across merges.
+  *
+  * Cost per merge is O(current + batch) read and O(current + delta)
+  * write, independent of accumulated history: at 100 TB of history with a
+  * GB-scale current dimension, this is the difference between a daily
+  * full-table rewrite and a daily current-partition refresh. (Delta's
+  * file-level MERGE narrows the write further, to only the FILES holding
+  * matched keys; partition-level is the finest granularity plain parquet
+  * supports. Combine with [[Tables.saveBucketed]]-style layouts if the
+  * current partition itself outgrows a rewrite.)
+  *
+  * Contract (documented, asserted by Scd2IncrementalSpec):
+  *  - single writer per table, at most one merge per `asOf` date (the
+  *    daily-batch cadence the reference's `current_date()` merges imply);
+  *  - re-running the SAME (batch, asOf) merge is idempotent: a rerun
+  *    before the current partition flipped recomputes and overwrites the
+  *    identical delta; a rerun after it flipped produces an empty delta
+  *    and leaves the already-written one in place;
+  *  - a reader racing the refresh of the current partition can see it
+  *    mid-swap ([[Tables.overwritePartitionsDynamic]]'s documented
+  *    tradeoff); closed partitions are always consistent.
+  */
+object Scd2History {
+
+  /** The current snapshot: reads ONLY the `end_date IS NULL` partition
+    * (partition pruning — the closed history is not even listed into the
+    * scan).
+    */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    readAll(spark, path).filter(col(Scd2.EndDate).isNull)
+
+  /** The full history (all partitions) — for point-in-time reads
+    * ([[Scd2.snapshotAt]], [[Scd2.pointInTimeJoin]]).
+    */
+  def readAll(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** First load: stamp the SCD2 triplet and lay down the partitioned
+    * table (everything lands in the current partition).
+    */
+  def bootstrap(source: DataFrame, asOf: LocalDate, path: String): Unit =
+    Scd2.bootstrap(source, asOf).write.mode("overwrite")
+      .partitionBy(Scd2.EndDate).parquet(path)
+
+  /** Incremental merge: full [[Scd2.merge]] semantics against the current
+    * partition only, published as one dynamic-partition-overwrite action
+    * (current snapshot replaced + newly-expired delta written; closed
+    * partitions untouched). One join, one write job.
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      asOf: LocalDate): Unit = {
+    val merged = Scd2.merge(readCurrent(spark, path), batch, keys, compareCols, asOf)
+    Tables.overwritePartitionsDynamic(merged, path, Seq(Scd2.EndDate))
+  }
+}

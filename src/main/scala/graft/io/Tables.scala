@@ -153,17 +153,15 @@ object Tables {
     * table: versioned snapshots for dims/aggs, dynamic partitions for
     * large append-mostly facts.
     */
-  def overwritePartitionsDynamic(df: DataFrame, path: String, parts: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  def overwritePartitionsDynamic(df: DataFrame, path: String, parts: Seq[String]): Unit =
+    // Per-WRITER option, not the session conf: concurrent jobs share the
+    // session (Silver.run merges entities in parallel), and a set/unset
+    // race on the conf would silently downgrade a concurrent writer to
+    // static overwrite — deleting every partition it didn't carry. The
+    // writer option takes precedence over the conf and is race-free.
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(parts: _*).parquet(path)
 
   /** Bucketed managed-table sink: pre-shuffles rows into `numBuckets` files
     * by `bucketCols` so every later equi-join/aggregation on those keys is

@@ -40,9 +40,18 @@ object Gold {
     else Left(s"source silver.$name not found")
   }
 
-  /** GL:29: current SCD2 rows when the table is versioned, all rows when not. */
+  /** GL:29: current SCD2 rows when the table is versioned, all rows when not.
+    * When the table also carries `end_date` (always, for well-formed SCD2:
+    * is_current ⇔ end_date IS NULL), the equivalent null test is added so
+    * the filter PRUNES PARTITIONS of the end_date-partitioned incremental
+    * history layout (graft.io.Scd2History) — gold builds then scan only the
+    * current snapshot, never the accumulated closed history.
+    */
   private def current(df: DataFrame): DataFrame =
-    if (df.columns.contains("is_current")) df.filter(col("is_current")) else df
+    if (!df.columns.contains("is_current")) df
+    else if (df.columns.contains("end_date"))
+      df.filter(col("is_current") && col("end_date").isNull)
+    else df.filter(col("is_current"))
 
   private def requireCols(df: DataFrame, table: String, required: Seq[String]): Either[String, DataFrame] = {
     val missing = required.filterNot(df.columns.contains)

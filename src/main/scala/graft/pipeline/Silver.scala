@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.engine.{Cleaning, Dedup, Flatten, Scd2}
-import graft.io.Tables
+import graft.io.{Scd2History, Tables}
 
 /** Bronze→Silver pipelines: reference parity for Notebooks/Silver Layer.py.
   *
@@ -145,12 +145,14 @@ object Silver {
     // history corruption) — in a single shuffle on the merge key.
     val cleaned = Dedup.keyUnique(e.clean(readRaw(spark, rawDir, e)), e.keys)
     val path = silverPath(warehouse, e.name)
-    val result =
-      if (Tables.exists(spark, path))
-        Scd2.merge(Tables.read(spark, path), cleaned, e.keys, e.compareCols, asOf)
-      else
-        Scd2.bootstrap(cleaned, asOf)
-    Tables.overwrite(result, path)
+    // Incremental history sink (graft.io.Scd2History): the merge reads ONLY
+    // the current partition and rewrites current + the day's expired delta —
+    // never the accumulated closed history. Replaces the round-2
+    // Tables.overwrite full-snapshot rewrite (O(history) per load).
+    if (Tables.exists(spark, path))
+      Scd2History.merge(spark, path, cleaned, e.keys, e.compareCols, asOf)
+    else
+      Scd2History.bootstrap(cleaned, asOf, path)
   }
 
   /** Catalog table name for the bucketed silver variant. */
