@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{CosineSimilarity, TopKPairs}
+import graft.expressions.{BoundedSortedList, CosineSimilarity, TopKPairs}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKPairs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bounded_sorted_list"),
+      new ExpressionInfo(classOf[BoundedSortedList].getName, "bounded_sorted_list"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BoundedSortedList(children(0), children(1))))
   }
 }

@@ -110,19 +110,33 @@ object SimilarityFunctions {
     *
     * Scale path: `queries` is broadcast (it is the small side by
     * construction); candidates stream map-side computing sims inside
-    * codegen; the only shuffle is the final per-query top-k (rank window
-    * partitioned by query id). For huge candidate sets swap the window for
-    * a per-partition heap (TypedImperativeAggregate) — same API.
+    * codegen; the per-query top-k runs through the bounded-heap
+    * `topk_pairs` aggregate — map-side state is O(k) per (query,
+    * partition) and partials merge, so the exchange carries k rows per
+    * query per partition. The rank-window alternative (kept as the
+    * no-extensions fallback) shuffles EVERY candidate row to as many
+    * tasks as there are distinct queries — 10 queries ⇒ ≤10-way
+    * parallelism sorting the full candidate set, which is both the r2
+    * q21 regression and a genuine scale ceiling.
     */
   def cosineKnn(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val s = candidates.sparkSession
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineByName(candidates.sparkSession, "q_vec", "n_vec"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), NumFunctions.r4(col("sim")).as("sim"))
+      .withColumn("sim", cosineByName(s, "q_vec", "n_vec"))
+    if (s.catalog.functionExists("topk_pairs"))
+      sims.groupBy(col("q_id"))
+        .agg(expr(s"topk_pairs($k, sim, n_id)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("q_id"), col("p.id").as("n_id"),
+          (col("pos") + 1).cast("int").as("rank"), NumFunctions.r4(col("p.score")).as("sim"))
+    else {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("rank"), NumFunctions.r4(col("sim")).as("sim"))
+    }
   }
 
   /** Deterministic ±1 random hyperplanes for LSH, derived from md5 parity:

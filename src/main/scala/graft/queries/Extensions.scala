@@ -71,6 +71,18 @@ object Extensions {
   val LshPlanes = 8
   val EmbeddingDim = 64
 
+  /** Per-bucket membership cap for the GROUP-BY-bucket pair generators
+    * (q18/q37/q32): each bucket keeps only its `HotBucketCap` smallest
+    * member ids (graft.expressions.BoundedSortedList — O(cap) aggregation
+    * state), so a degenerate duplicate flood (millions of identical docs →
+    * one bucket) cannot blow a task buffer or emit C(flood, 2) pairs. Far
+    * above any bucket size the banding parameters admit on real corpora
+    * (testdata max bucket ≈ 10), so the cap never binds outside floods;
+    * when it does bind, the bucket's minimum id — the dedup survivor — is
+    * always among the kept members. HotBucketSpec pins both behaviors.
+    */
+  val HotBucketCap = 64
+
   /** Shared deterministic hyperplanes for embedding LSH (md5-parity ±1). */
   lazy val Planes: Array[Array[Double]] = Sim.hyperplanes(LshPlanes, EmbeddingDim)
 
@@ -113,13 +125,16 @@ object Extensions {
     // Pairs come from a GROUP BY on the bucket, not a self-join: a
     // self-join would compute the whole minhash frame twice (round-robin &
     // self-join alias plans defeat exchange reuse). One aggregation
-    // collects each bucket's (sorted) member list; an in-plan combination
-    // expansion emits the i<j pairs. Bucket membership is tiny by
-    // construction (the banding parameters keep background-similarity
-    // collisions out), so the per-bucket quadratic is bounded.
+    // collects each bucket's (sorted) member list — CAPPED at HotBucketCap
+    // (bounded_sorted_list keeps O(cap) state, so a duplicate flood cannot
+    // blow the aggregation buffer) — and an in-plan combination expansion
+    // emits the i<j pairs. Bucket membership is tiny by construction (the
+    // banding parameters keep background-similarity collisions out), so
+    // the per-bucket quadratic is bounded and the cap never binds on
+    // non-adversarial data.
     bands
       .groupBy(col("band"), col("h"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(expr(s"bounded_sorted_list($HotBucketCap, doc_id)").as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -161,7 +176,9 @@ object Extensions {
     h.select(col("source"), explode(array(segStructs: _*)).as("sv"),
         struct(col("doc_id"), col("simhash")).as("m"))
       .groupBy(col("source"), col("sv.seg"), col("sv.v"))
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      // capped bucket list (struct elements order by doc_id first — same
+      // order array_sort gave); flood-bounded like q18
+      .agg(expr(s"bounded_sorted_list($HotBucketCap, m)").as("ms"))
       .filter(size(col("ms")) > 1)
       .select(col("source"), explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -254,7 +271,7 @@ object Extensions {
     val b = bucketedEmb(s, dir)
     val pairs = b
       .groupBy(col("bucket"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .agg(expr(s"bounded_sorted_list($HotBucketCap, vec_id)").as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -584,11 +601,16 @@ object Extensions {
     * and DuckDB agree. Map-only: scan → project, no shuffle.
     */
   def q52PiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val salted = when(col("doc_id") % 7 === 0,
+    val salted7 = when(col("doc_id") % 7 === 0,
       concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
         lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-4567 now")))
       .otherwise(col("text"))
+    // second salt line: the 3-3-4 and parenthesized phone shapes, so the
+    // widened pattern's new alternatives have oracle-checked work too
+    val salted = when(col("doc_id") % 11 === 0,
+      concat(salted7, lit(" call (555) 123-4567 or 555-987-6543 soon")))
+      .otherwise(salted7)
     docs(s, dir)
       .withColumn("t", salted)
       .select(col("doc_id"),
@@ -624,7 +646,12 @@ object Extensions {
         r4(lit(1.0) - col("ss").cast("double") /
           (col("n").cast("double") * col("n").cast("double"))).as("simpson_diversity"))
 
-  /** RE2-safe PII patterns, shared with the DuckDB oracle. */
+  /** RE2-safe PII patterns (no backrefs/lookaround — Java regex and DuckDB
+    * RE2 match identically), shared with the DuckDB oracle. The phone
+    * pattern covers the common US shapes: 3-3-4 (`555-123-4567`),
+    * parenthesized (`(555) 123-4567`, space optional), and the 3-4-4 form
+    * the synthetic contact lines use.
+    */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiPhoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+  val PiiPhoneRe = "(\\([0-9]{3}\\) ?|[0-9]{3}-)[0-9]{3,4}-[0-9]{4}"
 }

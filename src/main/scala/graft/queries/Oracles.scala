@@ -362,13 +362,19 @@ object Oracles {
     "q52_pii_scrub" -> {
       val email = Extensions.PiiEmailRe
       val phone = Extensions.PiiPhoneRe
-      s"""WITH salted AS (
+      s"""WITH s7 AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0
          |      THEN text || ' contact user' || doc_id || '@example.com or 555-01' ||
          |           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4567 now'
-         |      ELSE text END AS t
-         |  FROM documents)
+         |      ELSE text END AS t7
+         |  FROM documents),
+         |salted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN t7 || ' call (555) 123-4567 or 555-987-6543 soon'
+         |      ELSE t7 END AS t
+         |  FROM s7)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '$email')) AS INTEGER) AS email_count,
          |  CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER) AS phone_count,
@@ -601,8 +607,34 @@ object Oracles {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    // q30_approx_distinct: deliberately NO oracle — Spark's HLL++ and
-    // DuckDB's HLL produce different estimates; driver records rows-only.
+    // q30/q43 envelope oracles: each engine runs ITS OWN sketch and its own
+    // exact twin, emitting booleans that the sketch honors the promised
+    // bound — deterministically `true` on both sides, so the driver
+    // hash-checks the error envelope (the raw estimates themselves can
+    // never match across different sketch implementations).
+    "q30_approx_distinct" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps,
+        |    approx_count_distinct(l_partkey) AS pa, approx_count_distinct(l_suppkey) AS sa
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, parts, supps,
+        |  abs(CAST(pa AS DOUBLE) - CAST(parts AS DOUBLE)) / CAST(parts AS DOUBLE) <= 0.05 AS parts_within_5pct,
+        |  abs(CAST(sa AS DOUBLE) - CAST(supps AS DOUBLE)) / CAST(supps AS DOUBLE) <= 0.05 AS supps_within_5pct
+        |FROM g""".stripMargin,
+
+    "q43_approx_percentiles" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, 0.5) AS e50,
+         |    quantile_cont(l_extendedprice, 0.9) AS e90,
+         |    approx_quantile(l_extendedprice, 0.5) AS a50,
+         |    approx_quantile(l_extendedprice, 0.9) AS a90
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, ${r("e50", 4)} AS p50, ${r("e90", 4)} AS p90,
+         |  abs(a50 - e50) / e50 <= 0.02 AS p50_within_2pct,
+         |  abs(a90 - e90) / e90 <= 0.02 AS p90_within_2pct
+         |FROM g""".stripMargin,
 
     "q31_sql_text" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.time.LocalDate
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Cleaning, DateDim, Dedup, Scd2}
@@ -216,16 +216,32 @@ object Parity {
 
   /** HLL++ sketch distinct counts (SURVEY.md §7.5 extension): at 100 TB the
     * sketch replaces the exact distinct's full shuffle of the key space
-    * with fixed-size mergeable state. No DuckDB oracle (different HLL
-    * implementation) — the driver records a rows-only check; SketchSpec
-    * asserts the error envelope against q29's exact counts.
+    * with fixed-size mergeable state.
+    *
+    * Oracle-checkable ENVELOPE formulation (raw estimates can't hash-match:
+    * Spark's HLL++ and DuckDB's HLL are different sketches): the query
+    * emits the exact counts plus booleans asserting its OWN sketch lands
+    * within the promised envelope; the DuckDB oracle does the same with
+    * ITS sketch. Both sides deterministically emit `true` whenever their
+    * sketch honors its bound, so the driver hash-checks the error
+    * envelope itself instead of recording rows-only. (The exact twin runs
+    * inside the query purely as the validation harness; production use at
+    * scale runs the sketch alone — that's q29/q30's split.)
     */
-  def q30ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  def q30ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    def withinPct(approx: Column, exact: Column, bound: Double): Column =
+      abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") <= bound
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("supps_approx"))
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("pa"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("sa"))
+      .select(col("l_returnflag"), col("parts"), col("supps"),
+        withinPct(col("pa"), col("parts"), 0.05).as("parts_within_5pct"),
+        withinPct(col("sa"), col("supps"), 0.05).as("supps_within_5pct"))
+  }
 
   /** TPC-H Q6 shape: tight-range filter + single global sum — the query
     * whose whole cost is scan + pushed predicates (explain shows the range
@@ -333,15 +349,24 @@ object Parity {
 
   /** Sketch percentiles (q41's scale twin): approx_percentile trades the
     * exact version's full per-group sort for fixed-size mergeable state.
-    * No oracle (DuckDB's approx_quantile is a different sketch) — driver
-    * records rows-only; SketchSpec bounds the error against q41.
+    * Same envelope formulation as q30 (raw t-digest/KLL estimates differ
+    * across engines): the query emits exact p50/p90 plus booleans binding
+    * its own sketch to a 2 % relative envelope, which the DuckDB oracle
+    * reproduces with its own approx_quantile — the driver hash-checks the
+    * envelope, not the sketch internals.
     */
   def q43ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"))
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("e90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+      .select(col("l_returnflag"),
+        r4(col("e50")).as("p50"), r4(col("e90")).as("p90"),
+        (abs(col("a50") - col("e50")) / col("e50") <= 0.02).as("p50_within_2pct"),
+        (abs(col("a90") - col("e90")) / col("e90") <= 0.02).as("p90_within_2pct"))
 
   /** Semi-structured JSON column extraction — the in-row twin of the
     * billing NDJSON scan (S2/S3): schema-on-read over a string column via

@@ -2,35 +2,43 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** q30's HLL++ sketches must land inside the promised error envelope of the
-  * exact counts (q29) — the correctness contract for the rows-only query.
+/** q30/q43 carry their error envelopes IN the query since round 3 (exact
+  * twin + within-bound booleans, hash-checked by the driver's DuckDB
+  * oracle). This spec pins the envelope columns to `true` on real data and
+  * the exact columns to their standalone twins (q29/q41), so a sketch
+  * regression fails here with a named group, not just as an oracle hash
+  * mismatch.
   */
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_percentile within 2% of exact at sf0.001") {
+  test("q43: approx_percentile inside its 2% envelope; exact columns equal q41") {
     val dir = "/root/testdata/sf0.001"
+    val rows = Parity.q43ApproxPercentiles(spark, dir)
+      .as[(String, Double, Double, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, _, ok50, ok90) =>
+      assert(ok50 && ok90, s"$k sketch escaped its envelope")
+    }
     val exact = Parity.q41Percentiles(spark, dir)
       .as[(String, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    val approx = Parity.q43ApproxPercentiles(spark, dir)
-      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    exact.foreach { case (k, (p50, p90)) =>
-      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"$k p50")
-      assert(math.abs(approx(k)._2 - p90) / p90 < 0.02, s"$k p90")
+    rows.foreach { case (k, p50, p90, _, _) =>
+      assert((p50, p90) == exact(k), s"$k exact columns drifted from q41")
     }
   }
 
-  test("approx_count_distinct within 5% of exact at sf0.001") {
+  test("q30: approx_count_distinct inside its 5% envelope; exact columns equal q29") {
     val dir = "/root/testdata/sf0.001"
+    val rows = Parity.q30ApproxDistinct(spark, dir)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, _, okP, okS) =>
+      assert(okP && okS, s"$k sketch escaped its envelope")
+    }
     val exact = Parity.q29DistinctCount(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    val approx = Parity.q30ApproxDistinct(spark, dir)
-      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (k, (p, s)) =>
-      val (pa, sa) = approx(k)
-      assert(math.abs(pa - p).toDouble / p < 0.05, s"$k parts: exact=$p approx=$pa")
-      assert(math.abs(sa - s).toDouble / s < 0.05, s"$k supps: exact=$s approx=$sa")
+    rows.foreach { case (k, p, s, _, _) =>
+      assert((p, s) == exact(k), s"$k exact columns drifted from q29")
     }
   }
 }

@@ -31,10 +31,15 @@ class TextQualitySpec extends SparkSpec {
 
   test("q52: synthetic PII is found and scrubbed; clean docs untouched") {
     val out = Extensions.q52PiiScrub(spark, dir).cache()
-    // every 7th doc gets exactly one email + one phone
-    assert(out.filter(col("doc_id") % 7 === 0 &&
+    // %7 salt: one email + one 3-4-4 phone; %11 salt: one parenthesized +
+    // one 3-3-4 phone (the widened pattern's new alternatives); %77: both
+    assert(out.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0 &&
       (col("email_count") =!= 1 || col("phone_count") =!= 1)).count() == 0)
-    assert(out.filter(col("doc_id") % 7 =!= 0 &&
+    assert(out.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0 &&
+      (col("email_count") =!= 0 || col("phone_count") =!= 2)).count() == 0)
+    assert(out.filter(col("doc_id") % 77 === 0 && col("doc_id") =!= 0 &&
+      (col("email_count") =!= 1 || col("phone_count") =!= 3)).count() == 0)
+    assert(out.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
       (col("email_count") =!= 0 || col("phone_count") =!= 0)).count() == 0)
     // scrubbed text of an untouched doc hashes to the original text
     val raw = graft.io.Tables.load(spark, dir, "documents")
@@ -50,5 +55,16 @@ class TextQualitySpec extends SparkSpec {
     val expMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got7 == expMd5)
+    // and the new formats: doc 11's paren + 3-3-4 numbers both redact
+    val got11 = out.filter(col("doc_id") === 11L).select("clean_md5").as[String].head()
+    val doc11 = graft.io.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") === 11L).select("text").as[String].head()
+    val expected11 = (doc11 + " call (555) 123-4567 or 555-987-6543 soon")
+      .replaceAll(Extensions.PiiEmailRe, "<EMAIL>")
+      .replaceAll(Extensions.PiiPhoneRe, "<PHONE>")
+    assert(expected11.contains("call <PHONE> or <PHONE> soon"), "both new formats matched")
+    val expMd511 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected11.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got11 == expMd511)
   }
 }
