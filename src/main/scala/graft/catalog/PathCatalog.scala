@@ -67,24 +67,61 @@ class PathCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** A directory readable as a table without a sidecar: a
+    * [[graft.io.Tables.overwrite]]-managed versioned dir (has a `_current`
+    * manifest) or a plain/partitioned parquet dir (part files directly, or
+    * `col=value` partition subdirs — the [[graft.io.Scd2History]] layout).
+    */
+  private def snapshotDir(dir: Path): Option[Path] = {
+    val manifest = new Path(dir, "_current")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val v = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      Some(new Path(dir, v))
+    } else if (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n.endsWith(".parquet") || (st.isDirectory && n.contains("="))
+    }) Some(dir)
+    else None
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(new Path(_, _))
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
-    fs.listStatus(dir).filter(st => st.isDirectory && fs.exists(schemaFile(st.getPath)))
+    fs.listStatus(dir).filter(st => st.isDirectory &&
+        (fs.exists(schemaFile(st.getPath)) || snapshotDir(st.getPath).isDefined))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = tableDir(ident)
-    if (!fs.exists(dir) || readSchema(dir).isEmpty) throw new NoSuchTableException(ident)
-    val delegate = ParquetTable(
+  private def parquetTable(ident: Identifier, paths: Seq[Path], schema: Option[StructType]): ParquetTable =
+    ParquetTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       spark,
-      new CaseInsensitiveStringMap(Map("path" -> dir.toString).asJava),
-      Seq(dir.toString),
-      readSchema(dir),
+      new CaseInsensitiveStringMap(Map("path" -> paths.head.toString).asJava),
+      paths.map(_.toString),
+      schema,
       classOf[ParquetFileFormat])
-    new PathCatalog.PathTable(delegate, dir, () => fs)
+
+  /** Sidecar tables (this catalog's own CTAS targets) load read-write; a
+    * dir managed by the path sinks ([[graft.io.Tables]] versioned
+    * snapshots, partitioned facts, [[graft.io.Scd2History]]) loads
+    * READ-ONLY at its live snapshot — the write path for those layouts is
+    * their sink, not SQL DML, but `spark.table("catalog.ns.t")` resolves
+    * everywhere (gold + silver included) for the read side.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    readSchema(dir) match {
+      case Some(schema) =>
+        new PathCatalog.PathTable(parquetTable(ident, Seq(dir), Some(schema)), dir, () => fs)
+      case None =>
+        snapshotDir(dir) match {
+          case Some(snap) => new PathCatalog.ReadOnlyTable(parquetTable(ident, Seq(snap), None))
+          case None => throw new NoSuchTableException(ident)
+        }
+    }
   }
 
   override def createTable(
@@ -161,6 +198,24 @@ object PathCatalog {
 
   import org.apache.spark.sql.connector.read.ScanBuilder
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+  /** Read-only projection of a sink-managed directory: scans delegate to
+    * [[ParquetTable]] (full pushdown/pruning), writes are not offered —
+    * BATCH_WRITE is absent from the capabilities, so DML against these
+    * tables fails at analysis instead of corrupting a sink-managed layout.
+    */
+  private final class ReadOnlyTable(delegate: ParquetTable)
+      extends Table with SupportsRead {
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def columns(): Array[Column] = delegate.columns()
+    override def partitioning(): Array[Transform] = delegate.partitioning()
+    override def properties(): util.Map[String, String] = delegate.properties()
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+      delegate.newScanBuilder(options)
+  }
 
   /** [[ParquetTable]] plus TRUNCATE: REPLACE/overwrite plans require the
     * write builder to support truncation, which Spark's FileWriteBuilder

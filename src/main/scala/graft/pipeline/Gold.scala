@@ -191,6 +191,19 @@ object Gold {
     * gold tables; each aggregate runs only when its upstream fact exists,
     * mirroring GL:262,275's tableExists guards. Returns skip reasons.
     */
+  /** Register the WHOLE warehouse in the v2 catalog: after this,
+    * `spark.table("<name>.gold.fact_billing")`, `"<name>.silver.doctors"`
+    * etc. resolve through [[graft.catalog.PathCatalog]] — versioned dirs
+    * read at their live snapshot, partitioned layouts (facts, SCD2
+    * history) with partition discovery, all read-only (writes stay with
+    * the sinks). One catalog name for every layer.
+    */
+  def registerWarehouseCatalog(spark: SparkSession, warehouse: String,
+      name: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.PathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+
   def runSqlAggregates(spark: SparkSession, warehouse: String,
       log: String => Unit = println): Seq[String] = {
     spark.conf.set("spark.sql.catalog.graft_gold", "graft.catalog.PathCatalog")

@@ -28,14 +28,19 @@ import graft.io.{Scd2History, Tables}
   */
 object Silver {
 
-  /** One silver entity: raw file, reader, cleaner, SCD2 key + compare set. */
+  /** One silver entity: raw file, reader, cleaner, SCD2 key + compare set,
+    * and the essential columns whose null-ness quarantines a row (the
+    * reference silently `dropna`s these, SL:69 etc. — here they route to a
+    * dead-letter sink instead, [[quarantinePath]]).
+    */
   final case class Entity(
       name: String,
       rawFile: String,
       isCsv: Boolean,
       clean: DataFrame => DataFrame,
       keys: Seq[String],
-      compareCols: Seq[String])
+      compareCols: Seq[String],
+      required: Seq[String])
 
   /** SL:26-69 (+doctor_id kept). */
   def cleanAdmissions(raw: DataFrame): DataFrame = {
@@ -47,7 +52,6 @@ object Silver {
       Cleaning.nullIfBefore(dis, adm).as("discharge_date"),
       Cleaning.titleTrim(col("reason")).as("reason"),
       Cleaning.cleanCast(col("room_no"), IntegerType).as("room_no"))
-      .na.drop(Seq("admission_id", "patient_id"))
   }
 
   /** SL:151-214 (+patient_id kept): explode line_items, scrub amounts
@@ -66,14 +70,12 @@ object Silver {
         col("li.service").as("service"),
         coalesce(Cleaning.scrubbedDouble(col("li.amount").cast("string")), lit(0.0)).as("amount"),
         Cleaning.cleanDate(col("billing_date")).as("billing_date"))
-      .na.drop(Seq("billing_id", "patient_id"))
 
   /** SL:297-311. */
   def cleanDoctors(raw: DataFrame): DataFrame =
     raw.select(
       col("doctor_id"), col("first_name"), col("last_name"), col("speciality"),
       Cleaning.cleanCast(col("experience_years"), IntegerType).as("experience_years"))
-      .na.drop(Seq("doctor_id"))
 
   /** SL:399-424. */
   def cleanPatients(raw: DataFrame): DataFrame =
@@ -84,7 +86,6 @@ object Silver {
       col("email"),
       Cleaning.digitsOnly(col("phone")).as("phone"),
       col("city"))
-      .na.drop(Seq("patient_id"))
 
   /** SL:507-525. */
   def cleanProcedures(raw: DataFrame): DataFrame =
@@ -92,7 +93,6 @@ object Silver {
       col("procedure_id"), col("patient_id"), col("procedure_name"),
       Cleaning.cleanCast(col("cost"), DoubleType).as("cost"),
       Cleaning.cleanTimestamp(col("performed_at")).as("performed_at"))
-      .na.drop(Seq("procedure_id", "patient_id"))
 
   /** SL:590-618 (+temperature actually cleaned, §7.4). */
   def cleanVitals(raw: DataFrame): DataFrame =
@@ -101,27 +101,32 @@ object Silver {
       Cleaning.cleanCast(col("temperature"), DoubleType).as("temperature"),
       Cleaning.cleanCast(col("heart_rate"), IntegerType).as("heart_rate"),
       Cleaning.cleanTimestamp(col("timestamp")).as("ts"))
-      .na.drop(Seq("vital_id", "patient_id"))
 
   val entities: Seq[Entity] = Seq(
     Entity("admissions", "admissions_raw.csv", isCsv = true, cleanAdmissions,
       keys = Seq("admission_id"),
-      compareCols = Seq("patient_id", "doctor_id", "admission_date", "discharge_date", "reason", "room_no")),
+      compareCols = Seq("patient_id", "doctor_id", "admission_date", "discharge_date", "reason", "room_no"),
+      required = Seq("admission_id", "patient_id")),
     Entity("billing", "billing_raw.json", isCsv = false, cleanBilling,
       keys = Seq("billing_id", "line_no"),
-      compareCols = Seq("patient_id", "service", "amount", "billing_date")),
+      compareCols = Seq("patient_id", "service", "amount", "billing_date"),
+      required = Seq("billing_id", "patient_id")),
     Entity("doctors", "doctors_raw.csv", isCsv = true, cleanDoctors,
       keys = Seq("doctor_id"),
-      compareCols = Seq("first_name", "last_name", "speciality", "experience_years")),
+      compareCols = Seq("first_name", "last_name", "speciality", "experience_years"),
+      required = Seq("doctor_id")),
     Entity("patients", "patients_raw.csv", isCsv = true, cleanPatients,
       keys = Seq("patient_id"),
-      compareCols = Seq("first_name", "last_name", "gender", "age", "email", "phone", "city")),
+      compareCols = Seq("first_name", "last_name", "gender", "age", "email", "phone", "city"),
+      required = Seq("patient_id")),
     Entity("procedures", "procedures_raw.json", isCsv = false, cleanProcedures,
       keys = Seq("procedure_id"),
-      compareCols = Seq("patient_id", "procedure_name", "cost", "performed_at")),
+      compareCols = Seq("patient_id", "procedure_name", "cost", "performed_at"),
+      required = Seq("procedure_id", "patient_id")),
     Entity("vitals", "vitals_raw.json", isCsv = false, cleanVitals,
       keys = Seq("vital_id"),
-      compareCols = Seq("patient_id", "heart_rate", "temperature", "ts")),
+      compareCols = Seq("patient_id", "heart_rate", "temperature", "ts"),
+      required = Seq("vital_id", "patient_id")),
   )
 
   def readRaw(spark: SparkSession, rawDir: String, e: Entity): DataFrame =
@@ -133,17 +138,48 @@ object Silver {
 
   def silverPath(warehouse: String, name: String): String = s"$warehouse/silver/$name"
 
-  /** Run one entity end-to-end: clean → dedup → bootstrap-or-merge. */
+  /** Dead-letter sink for rows failing an entity's `required` checks. */
+  def quarantinePath(warehouse: String, name: String): String =
+    s"$warehouse/silver/${name}__quarantine"
+
+  /** The accumulated dead-letter table, or None when nothing was ever
+    * quarantined (an all-clean history writes only an empty marker dir,
+    * which parquet cannot infer a schema from).
+    */
+  def readQuarantine(spark: SparkSession, warehouse: String, name: String): Option[DataFrame] = {
+    val path = quarantinePath(warehouse, name)
+    if (!Tables.exists(spark, path)) None
+    else scala.util.Try(spark.read.parquet(path)).toOption
+  }
+
+  /** The per-batch split every run path shares: clean, route required-null
+    * rows to the dead-letter frame (tagged with the failing columns), and
+    * key-dedup the survivors.
+    *
+    * Reference dedups on all columns (SL:175 etc.), which only removes
+    * bitwise-identical rows; Scd2.merge additionally REQUIRES a key-unique
+    * source (a key-duplicated source fans out the full-outer join into
+    * duplicate current rows). keyUnique subsumes the all-column dedup —
+    * same survivor when duplicates are exact copies (the reference's actual
+    * data), a deterministic survivor when they are not (instead of silent
+    * history corruption) — in a single shuffle on the merge key.
+    */
+  def splitBatch(spark: SparkSession, rawDir: String, e: Entity): (DataFrame, DataFrame) = {
+    val (ok, dead) = Cleaning.quarantine(e.clean(readRaw(spark, rawDir, e)), e.required)
+    (Dedup.keyUnique(ok, e.keys), dead)
+  }
+
+  /** Run one entity end-to-end: clean → quarantine split → dedup →
+    * bootstrap-or-merge, plus the dead-letter write. Quarantined rows land
+    * under [[quarantinePath]] partitioned by `load_date` — accumulating
+    * across loads, idempotent per (batch, asOf) via the same
+    * dynamic-partition-overwrite pattern as the history sink, so data loss
+    * at the reference's silent-`dropna` step (SL:69) is observable and
+    * replayable per batch.
+    */
   def runEntity(spark: SparkSession, rawDir: String, warehouse: String,
       e: Entity, asOf: LocalDate): Unit = {
-    // Reference dedups on all columns (SL:175 etc.), which only removes
-    // bitwise-identical rows; Scd2.merge additionally REQUIRES a key-unique
-    // source (a key-duplicated source fans out the full-outer join into
-    // duplicate current rows). keyUnique subsumes the all-column dedup —
-    // same survivor when duplicates are exact copies (the reference's actual
-    // data), a deterministic survivor when they are not (instead of silent
-    // history corruption) — in a single shuffle on the merge key.
-    val cleaned = Dedup.keyUnique(e.clean(readRaw(spark, rawDir, e)), e.keys)
+    val (cleaned, dead) = splitBatch(spark, rawDir, e)
     val path = silverPath(warehouse, e.name)
     // Incremental history sink (graft.io.Scd2History): the merge reads ONLY
     // the current partition and rewrites current + the day's expired delta —
@@ -153,6 +189,9 @@ object Silver {
       Scd2History.merge(spark, path, cleaned, e.keys, e.compareCols, asOf)
     else
       Scd2History.bootstrap(cleaned, asOf, path)
+    Tables.overwritePartitionsDynamic(
+      dead.withColumn("load_date", lit(asOf.toString).cast("date")),
+      quarantinePath(warehouse, e.name), Seq("load_date"))
   }
 
   /** Catalog table name for the bucketed silver variant. */
@@ -170,7 +209,7 @@ object Silver {
     */
   def runEntityBucketed(spark: SparkSession, rawDir: String, e: Entity,
       asOf: LocalDate, numBuckets: Int = 8): Unit = {
-    val cleaned = Dedup.keyUnique(e.clean(readRaw(spark, rawDir, e)), e.keys)
+    val (cleaned, _) = splitBatch(spark, rawDir, e)
     val tbl = silverTable(e.name)
     // A writer that crashed mid-swap leaves the live name unbound with the
     // full history parked in __staging/__old; promote it BEFORE the

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import java.time.LocalDate
 import scala.jdk.CollectionConverters._
 import graft.SparkSpec
-import graft.engine.{Dedup, Scd2}
+import graft.engine.Scd2
 import graft.pipeline.Silver
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -53,7 +53,7 @@ class Scd2IncrementalSpec extends SparkSpec {
   }
 
   private def cleaned(raw: String): DataFrame =
-    Dedup.keyUnique(entity.clean(Silver.readRaw(spark, raw, entity)), entity.keys)
+    Silver.splitBatch(spark, raw, entity)._1
 
   private val cols = Seq("doctor_id", "first_name", "last_name", "speciality",
     "experience_years", "effective_date", "end_date", "is_current")
