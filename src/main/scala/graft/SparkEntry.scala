@@ -72,6 +72,11 @@ object SparkEntry {
     "q53_ivf_search" -> (Extensions.q53IvfSearch _),
     "q54_multimodal_frames" -> (Extensions.q54MultimodalFrames _),
     "q55_char_diversity" -> (Extensions.q55CharDiversity _),
+    "q56_kmeans_step" -> (Extensions.q56KmeansStep _),
+    "q57_hash_sample" -> (Extensions.q57HashSample _),
+    "q58_tfidf_topk" -> (Extensions.q58TfidfTopk _),
+    "q59_length_clip" -> (Extensions.q59LengthClip _),
+    "q60_time_pairs" -> (Extensions.q60TimePairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Dedup
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
@@ -645,6 +646,125 @@ object Extensions {
         col("distinct_chars").cast("int").as("distinct_chars"),
         r4(lit(1.0) - col("ss").cast("double") /
           (col("n").cast("double") * col("n").cast("double"))).as("simpson_diversity"))
+
+  /** One Lloyd (k-means) iteration over the embeddings — the codebook
+    * TRAINING step the IVF index (q34/q53) consumes: assign every vector
+    * to its argmax-dot cell, then recompute each cell's centroid as the
+    * per-dimension mean. Output is relational (cell, dim, n, centroid) —
+    * the layout a next-iteration literal codebook is built from.
+    *
+    * Plan shape: map-only assign → posexplode → one hash aggregate on
+    * (cell, dim) — ≤ cells×dim groups regardless of corpus size, with
+    * map-side partials; no driver collect, no window. Sums run through
+    * DECIMAL so the mean is exact-then-rounded — bit-stable under any
+    * partitioning/merge order (float sums are not associative; a decimal
+    * sum is), which is also what lets DuckDB reproduce it.
+    */
+  def q56KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
+    val assigned = widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .withColumn("dots", dots)
+      .select(col("vec"),
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"))
+    assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), (col("pos") + 1).cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(28,14)")).as("sv"))
+      .select(col("cell"), col("dim"), col("n"),
+        r4(col("sv").cast("double") / col("n")).as("centroid"))
+  }
+
+  /** Deterministic stratified sampling by CONTENT hash — the reproducible
+    * alternative to rand() sampling a training-data pipeline needs: the
+    * same document always samples the same way, across reruns, engines,
+    * and cluster layouts (no RNG state, no seed-plus-partition coupling).
+    * The stratum rate hangs off the source: strata whose first source
+    * byte is even keep ~25 % (md5 prefix < '4000'), the rest ~50 %.
+    * Map-only: scan → project → filter, zero shuffles.
+    */
+  def q57HashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("h", substring(md5(col("text")), 1, 4))
+      .withColumn("threshold",
+        when(pmod(ascii(substring(col("source"), 1, 1)), lit(2)) === 0, lit("4000"))
+          .otherwise(lit("8000")))
+      .filter(col("h") < col("threshold"))
+      .select(col("doc_id"), col("source"))
+
+  /** Per-document top-3 terms by tf-idf — the relevance/keyword-extraction
+    * primitive. The idf factor is the RATIONAL form n_docs/df (ranking-
+    * equivalent to the log form for per-doc ordering, since log is
+    * monotone): tf·n_docs stays exact integer arithmetic and the single
+    * double division is IEEE-deterministic, so the oracle matches
+    * bit-for-bit — `ln` is not correctly-rounded across libms (same
+    * reasoning as q55's Simpson-over-entropy choice).
+    *
+    * Plan: explode → two hash aggregates (tf, df) → term equi-join →
+    * per-doc top-k window. The window partitions by doc_id (cardinality
+    * scales with the corpus, so no q21-style few-key sort ceiling).
+    */
+  def q58TfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(Txt.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank"), r4(col("score")).as("score"))
+  }
+
+  /** Percentile-clip curation: per source, keep only documents whose text
+    * length lies inside the stratum's [p05, p95] — the outlier-trimming
+    * gate (truncated boilerplate / concatenation blobs) a pretraining
+    * corpus passes through before tokenization. Exact percentiles ride
+    * the same engine-parity contract as q41 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, linear interpolation); the bounds join back as a
+    * broadcast (one row per stratum).
+    */
+  def q59LengthClip(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), length(col("text")).as("len"))
+    val bounds = lens.groupBy(col("source")).agg(
+      expr("percentile(len, 0.05)").as("lo"),
+      expr("percentile(len, 0.95)").as("hi"))
+    lens.join(broadcast(bounds), "source")
+      .filter(col("len") >= col("lo") && col("len") <= col("hi"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+  }
+
+  /** Interval self-join via TIME BINNING — the scalable form of
+    * "pairs of same-user events within 300 s": each event lands in a
+    * 300-s bin and probes only {its bin, next bin} (|Δt| ≤ W ⇒ bins
+    * differ by ≤ 1), so candidates come from an EQUI-join on
+    * (user, bin) instead of the O(n²)-per-user range theta-join Spark
+    * would otherwise plan (BroadcastNestedLoop). Same-bin pairs are
+    * ordered by id to emit once; cross-bin pairs arise exactly once (only
+    * the earlier bin probes forward). Output ids are normalized a < b.
+    */
+  def q60TimePairs(s: SparkSession, dir: String): DataFrame = {
+    val W = 300L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("tsec"))
+      .withColumn("bin", floor(col("tsec") / W))
+    val probes = ev.select(col("user_id").as("u"), col("event_id").as("a_id"),
+      col("tsec").as("a_t"), col("bin").as("a_bin"),
+      explode(array(col("bin"), col("bin") + 1)).as("p"))
+    probes.join(ev,
+        col("p") === col("bin") && col("u") === col("user_id") &&
+          abs(col("a_t") - col("tsec")) <= W &&
+          (col("a_bin") =!= col("bin") || col("a_id") < col("event_id")))
+      .select(col("u").as("user_id"),
+        least(col("a_id"), col("event_id")).as("a_id"),
+        greatest(col("a_id"), col("event_id")).as("b_id"),
+        abs(col("a_t") - col("tsec")).cast("long").as("dt_s"))
+  }
 
   /** RE2-safe PII patterns (no backrefs/lookaround — Java regex and DuckDB
     * RE2 match identically), shared with the DuckDB oracle. The phone

@@ -636,6 +636,54 @@ object Oracles {
          |  abs(a90 - e90) / e90 <= 0.02 AS p90_within_2pct
          |FROM g""".stripMargin,
 
+    "q56_kmeans_step" -> {
+      val dots = (0 until Extensions.LshPlanes)
+        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
+        .mkString("[", ",\n    ", "]")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |e AS (SELECT vec_id, vec, $dots AS dots FROM d),
+         |a AS (SELECT vec, CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell FROM e),
+         |x AS (SELECT cell, CAST(i AS INTEGER) AS dim, vec[CAST(i AS INTEGER)] AS v
+         |      FROM a CROSS JOIN unnest(generate_series(1, ${Extensions.EmbeddingDim})) AS t(i))
+         |SELECT cell, dim, count(*) AS n,
+         |  ${r("CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / count(*)", 4)} AS centroid
+         |FROM x GROUP BY cell, dim""".stripMargin
+    },
+
+    "q57_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(text), 1, 4) <
+        |  CASE WHEN ascii(substr(source, 1, 1)) % 2 = 0 THEN '4000' ELSE '8000' END""".stripMargin,
+
+    "q58_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / df AS score
+         |      FROM tf JOIN df USING (term), n),
+         |rr AS (SELECT doc_id, term, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+         |SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, ${r("score", 4)} AS score
+         |FROM rr WHERE rank <= 3""".stripMargin,
+
+    "q59_length_clip" ->
+      """WITH l AS (SELECT source, CAST(len(text) AS INTEGER) AS len FROM documents),
+        |b AS (SELECT source, quantile_cont(len, 0.05) AS lo, quantile_cont(len, 0.95) AS hi
+        |      FROM l GROUP BY source),
+        |k AS (SELECT l.source AS source, len FROM l JOIN b USING (source)
+        |      WHERE len >= lo AND len <= hi)
+        |SELECT source, count(*) AS n_kept, min(len) AS min_len, max(len) AS max_len
+        |FROM k GROUP BY source""".stripMargin,
+
+    "q60_time_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  abs(a.tsec - b.tsec) AS dt_s
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.tsec - b.tsec) <= 300""".stripMargin,
+
     "q31_sql_text" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
