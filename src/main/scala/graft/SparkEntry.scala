@@ -77,6 +77,8 @@ object SparkEntry {
     "q58_tfidf_topk" -> (Extensions.q58TfidfTopk _),
     "q59_length_clip" -> (Extensions.q59LengthClip _),
     "q60_time_pairs" -> (Extensions.q60TimePairs _),
+    "q61_dedup_clusters" -> (Extensions.q61DedupClusters _),
+    "q62_seq_packing" -> (Extensions.q62SeqPacking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -766,6 +766,85 @@ object Extensions {
         abs(col("a_t") - col("tsec")).cast("long").as("dt_s"))
   }
 
+  /** Connected components over the q18 near-dup pairs — the step that turns
+    * PAIRS into DEDUP CLUSTERS: transitive near-duplicates collapse to one
+    * cluster whose representative (the minimum doc_id) is the kept
+    * survivor; everything else in the cluster is droppable. Without this,
+    * pairwise dedup keeps B and C of an A≈B, B≈C chain.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — per round one
+    * equi-join (edge × label) + one min-aggregate, both codegen hash ops;
+    * labels monotonically decrease so the fixpoint is unique and
+    * deterministic under any partitioning. Rounds = component diameter,
+    * which for near-dup clusters is small by construction (a flood
+    * collapses through its shared bucket in one round). The data never
+    * leaves the cluster — the driver only counts label changes per round
+    * (O(1) per iteration, bounded iterations). At web scale the same loop
+    * with the large-star/small-star alternation gives O(log n) rounds; the
+    * propagation step is identical.
+    */
+  def q61DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q18LshPairs(s, dir))
+
+  /** Min-label connected components over an (a_id, b_id) pair frame —
+    * see [[q61DedupClusters]] for the algorithm and scale notes.
+    *
+    * Each round ends in an EAGER `localCheckpoint`: the round's labels
+    * reference the previous round's twice (self union + propagation), so
+    * without lineage truncation the analyzed plan tree DOUBLES per round —
+    * exponential analysis cost long before any data is big (caching alone
+    * doesn't help; it truncates execution, not analysis). This is the
+    * standard iterative-algorithm discipline on Spark (GraphFrames does
+    * the same); on a fault-tolerant cluster run, swap localCheckpoint for
+    * reliable `checkpoint()` with a checkpoint dir.
+    */
+  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      val nx = next.select(col("id").as("nid"), col("rep").as("nrep"))
+      changed = nx.join(labels, col("nid") === col("id"))
+        .filter(col("nrep") =!= col("rep")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
+  }
+
+  /** Sequential token-budget packing — chunking documents into
+    * ~`PackCapacity`-token training sequences in a stable order: per
+    * source, documents are laid out by doc_id and a chunk boundary falls
+    * every time the RUNNING token total crosses the capacity. This is the
+    * distributed-friendly form of greedy sequence packing (true greedy
+    * "close the bin early" needs sequential recursion; budget chunking is
+    * one window over one sort and its chunks overflow capacity by at most
+    * one document — the standard approximation a pretraining pipeline
+    * runs). Deterministic: exact integer cumsum, stable (doc_id) order.
+    */
+  val PackCapacity = 2048
+
+  def q62SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), Txt.tokenCountWs(col("text")).as("tokens"))
+      .withColumn("before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("tokens"),
+        floor(col("before") / PackCapacity).cast("int").as("chunk_id"))
+  }
+
   /** RE2-safe PII patterns (no backrefs/lookaround — Java regex and DuckDB
     * RE2 match identically), shared with the DuckDB oracle. The phone
     * pattern covers the common US shapes: 3-3-4 (`555-123-4567`),

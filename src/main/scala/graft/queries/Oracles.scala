@@ -73,6 +73,30 @@ object Oracles {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** q18's banded-LSH pair CTEs + final select, shared with the q61
+    * connected-components oracle (which wraps them in WITH RECURSIVE).
+    */
+  private val lshPairCtes: String = {
+    val nBands = Extensions.MinhashK / Extensions.BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      val slice = (b * Extensions.BandRows until (b + 1) * Extensions.BandRows)
+        .map(j => s"sig_$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($slice) AS h FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$digestsCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM dg),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  private val lshPairSelect: String =
+    """SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
+
   /** q06's SCD2 end-state, shared with the as-of join oracle (q42). */
   private val scd2Sql: String =
     """WITH b1 AS (
@@ -208,24 +232,9 @@ object Oracles {
          |    $sigCols
          |FROM dg""".stripMargin,
 
-    "q18_lsh_pairs" -> {
-      val nBands = Extensions.MinhashK / Extensions.BandRows
-      val bandSelects = (0 until nBands).map { b =>
-        val slice = (b * Extensions.BandRows until (b + 1) * Extensions.BandRows)
-          .map(j => s"sig_$j").mkString(" || ")
-        s"SELECT doc_id, $b AS band, md5($slice) AS h FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH $digestsCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigCols
-         |  FROM dg),
-         |bands AS (
-         |  $bandSelects)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
-    },
+    "q18_lsh_pairs" ->
+      s"""WITH $lshPairCtes
+         |$lshPairSelect""".stripMargin,
 
     "q19_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents",
@@ -648,6 +657,36 @@ object Oracles {
          |SELECT cell, dim, count(*) AS n,
          |  ${r("CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / count(*)", 4)} AS centroid
          |FROM x GROUP BY cell, dim""".stripMargin
+    },
+
+    "q61_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         |pairs AS (
+         |  $lshPairSelect),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, count(*) AS cluster_size FROM lab GROUP BY rep)
+         |SELECT lab.id AS doc_id, lab.rep AS cluster_rep, sz.cluster_size
+         |FROM lab JOIN sz USING (rep)""".stripMargin,
+
+    "q62_seq_packing" -> {
+      val tokCount = "len([t for t in str_split(text, ' ') if t != ''])"
+      s"""WITH d AS (SELECT source, doc_id, CAST($tokCount AS INTEGER) AS tokens FROM documents),
+         |c AS (SELECT source, doc_id, tokens,
+         |  COALESCE(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM d)
+         |SELECT source, doc_id, tokens,
+         |  CAST(floor(bef / ${Extensions.PackCapacity}) AS INTEGER) AS chunk_id
+         |FROM c""".stripMargin
     },
 
     "q57_hash_sample" ->

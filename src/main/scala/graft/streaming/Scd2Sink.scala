@@ -3,19 +3,22 @@ package graft.streaming
 import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
-import graft.engine.{Dedup, Scd2}
-import graft.io.Tables
+import graft.engine.Dedup
+import graft.io.{Scd2History, Tables}
 
 /** Streaming → SCD2 history: every micro-batch is an upsert batch merged
-  * into the versioned table via foreachBatch — the true streaming form of
+  * into the history table via foreachBatch — the true streaming form of
   * the reference's "incremental load" (re-run batch MERGE, SL:83-120).
   *
   * foreachBatch gives batch semantics per trigger: the merge is the same
-  * corrected two-action `Scd2.merge` the batch pipeline uses, and the
-  * atomic staging-swap write makes each micro-batch all-or-nothing at the
-  * table level. Exactly-once rests on the sink table swap + checkpointed
-  * offsets (a replayed batch re-merges idempotently: identical rows are
-  * "unchanged", so the history is stable under retries).
+  * corrected two-action `Scd2.merge` the batch pipeline uses, through the
+  * INCREMENTAL history sink ([[graft.io.Scd2History]]) — each micro-batch
+  * reads only the current partition and rewrites current + its expired
+  * delta, so sink cost tracks the current dimension, not accumulated
+  * history (a streaming sink rewriting its full history every trigger
+  * compounds far faster than a daily batch would). Exactly-once rests on
+  * checkpointed offsets + idempotent merge: a replayed batch re-merges to
+  * the identical state (StreamReplaySpec).
   */
 object Scd2Sink {
 
@@ -43,12 +46,10 @@ object Scd2Sink {
       import org.apache.spark.sql.functions.col
       val deduped = Dedup.latestByAgg(batch, keys, orderCols.map(col).toSeq)
       val asOf = asOfForBatch(batchId)
-      val merged =
-        if (Tables.exists(spark, path))
-          Scd2.merge(Tables.read(spark, path), deduped, keys, compareCols, asOf)
-        else
-          Scd2.bootstrap(deduped, asOf)
-      Tables.overwrite(merged, path)
+      if (Tables.exists(spark, path))
+        Scd2History.merge(spark, path, deduped, keys, compareCols, asOf)
+      else
+        Scd2History.bootstrap(deduped, asOf, path)
       ()
     }
 
