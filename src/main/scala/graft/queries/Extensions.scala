@@ -219,9 +219,16 @@ object Extensions {
     // only pays for actual matches. The double-computed gram subplan is
     // the cheaper side of that trade here (unlike q18/q37, whose bucket
     // keys are engineered to be dense).
+    // The inverted index feeds BOTH sides of the self-join; without
+    // materialization the tokenize/bigram/hash subplan executes twice
+    // (self-join aliasing defeats ReuseExchange). One eager localCheckpoint
+    // computes it once — the explicit CTE-materialization Spark doesn't do
+    // automatically. (On a fault-tolerant cluster run, reliable
+    // checkpoint() — same shape.)
     val inv = grams.select(
       col("source"), col("doc_id"), col("gsz"),
       explode(transform(col("grams"), x => xxhash64(x))).as("gh"))
+      .localCheckpoint(true)
     val inter = col("inter")
     inv.as("a")
       .join(inv.as("b"),
@@ -255,10 +262,16 @@ object Extensions {
       col("vec_id"),
       Sim.lshBucket(col("embedding").cast("array<double>"), Planes).as("bucket"))
 
+  /** Eagerly materialized: every consumer (q32/q33/q35/q50) references this
+    * frame at least twice (candidates + queries, or pairs + vector
+    * lookups), and self-join aliasing defeats ReuseExchange — without the
+    * checkpoint the scan + 8-plane bucket computation runs per reference.
+    */
   private def bucketedEmb(s: SparkSession, dir: String): DataFrame =
     widen(s, t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
       .withColumn("bucket", Sim.lshBucket(col("vec"), Planes))
+      .localCheckpoint(true)
 
   /** Embedding-cosine near-duplicate dedup, blocked by LSH bucket: pairs
     * sharing a hyperplane bucket with cosine ≥ 0.3 (the testdata embeddings
@@ -424,9 +437,11 @@ object Extensions {
 
   def q53IvfSearch(s: SparkSession, dir: String): DataFrame = {
     val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
+    // materialized once: feeds both the candidate side and the query side
     val base = widen(s, t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
       .withColumn("dots", dots)
+      .localCheckpoint(true)
     val cand = base.select(col("vec_id"), col("vec"),
       (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"))
     // per-query probe cells: the IvfNprobe highest-dot cells, via an
