@@ -73,6 +73,25 @@ object Scd2History {
     Scd2.bootstrap(source, asOf).write.mode("overwrite")
       .partitionBy(Scd2.EndDate).parquet(path)
 
+  /** Small-file compaction for the closed partitions — the maintenance op
+    * this layout eventually needs: each merge writes its expired delta
+    * through the session's shuffle parallelism, so a closed partition is
+    * born as up-to-`shuffle.partitions` tiny shards. Compaction reads the
+    * closed rows, hash-repartitions BY the partition key — every day's
+    * rows colocate onto one task, so each closed partition compacts to ONE
+    * file; `parallelism` only spreads distinct days across tasks — and
+    * dynamic-overwrites only the closed partitions. The current partition
+    * and the DATA are untouched (identical rows, fewer files;
+    * CompactionSpec asserts both). Safe anytime under the single-writer
+    * contract; rerunning is idempotent.
+    */
+  def compactClosed(spark: SparkSession, path: String, parallelism: Int = 1): Unit = {
+    val closed = readAll(spark, path).filter(col(Scd2.EndDate).isNotNull)
+    Tables.overwritePartitionsDynamic(
+      closed.repartition(parallelism, col(Scd2.EndDate)),
+      path, Seq(Scd2.EndDate))
+  }
+
   /** Incremental merge: full [[Scd2.merge]] semantics against the current
     * partition only, published as one dynamic-partition-overwrite action
     * (current snapshot replaced + newly-expired delta written; closed
