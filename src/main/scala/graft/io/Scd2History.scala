@@ -1,8 +1,10 @@
 package graft.io
 
 import java.time.LocalDate
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import graft.engine.Scd2
 
 /** Incremental SCD2 history storage — kills the O(history) full-snapshot
@@ -53,6 +55,37 @@ import graft.engine.Scd2
   */
 object Scd2History {
 
+  /** Schema sidecar — the Delta-log-style schema-of-record. Maintained on
+    * every write; reads pass it as the explicit schema, which (a) makes
+    * the table schema deterministic (a plain partitioned parquet read
+    * takes its schema from an arbitrary file — wrong whenever files
+    * disagree), (b) null-fills columns that pre-evolution files lack, and
+    * (c) skips the footer-merging scan `mergeSchema` would need — O(1)
+    * planning instead of O(files) at 100 TB.
+    */
+  private val SchemaSidecar = "_graft_schema.json"
+
+  private def writeSchema(spark: SparkSession, path: String, schema: StructType): Unit = {
+    val f = new Path(path, SchemaSidecar)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSchema(spark: SparkSession, path: String): Option[StructType] = {
+    val f = new Path(path, SchemaSidecar)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(DataType.fromJson(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+      finally in.close()
+    }
+  }
+
   /** The current snapshot: reads ONLY the `end_date IS NULL` partition
     * (partition pruning — the closed history is not even listed into the
     * scan).
@@ -61,17 +94,44 @@ object Scd2History {
     readAll(spark, path).filter(col(Scd2.EndDate).isNull)
 
   /** The full history (all partitions) — for point-in-time reads
-    * ([[Scd2.snapshotAt]], [[Scd2.pointInTimeJoin]]).
+    * ([[Scd2.snapshotAt]], [[Scd2.pointInTimeJoin]]). Schema comes from
+    * the sidecar when present (see [[SchemaSidecar]]); pre-sidecar tables
+    * fall back to parquet inference.
     */
   def readAll(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    readSchema(spark, path) match {
+      case Some(schema) => spark.read.schema(schema).parquet(path)
+      case None => spark.read.parquet(path)
+    }
 
   /** First load: stamp the SCD2 triplet and lay down the partitioned
     * table (everything lands in the current partition).
     */
-  def bootstrap(source: DataFrame, asOf: LocalDate, path: String): Unit =
-    Scd2.bootstrap(source, asOf).write.mode("overwrite")
-      .partitionBy(Scd2.EndDate).parquet(path)
+  def bootstrap(source: DataFrame, asOf: LocalDate, path: String): Unit = {
+    val stamped = Scd2.bootstrap(source, asOf)
+    stamped.write.mode("overwrite").partitionBy(Scd2.EndDate).parquet(path)
+    writeSchema(source.sparkSession, path, stamped.schema)
+  }
+
+  /** Schema evolution at the merge boundary (Delta mergeSchema semantics):
+    * a batch column the history lacks is added to the history side as a
+    * typed null (old rows read back null); a history column the batch
+    * lacks is null-filled on the batch side — which change detection then
+    * treats as a real value→null transition, expiring the row. Both
+    * directions are EXPLICIT: the merged schema is the union, recorded in
+    * the sidecar.
+    */
+  private def align(current: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val triplet = Seq(Scd2.EffectiveDate, Scd2.EndDate, Scd2.IsCurrent)
+    val curBiz = current.columns.filterNot(triplet.contains)
+    val newCols = batch.columns.filterNot(curBiz.contains)
+    val missing = curBiz.filterNot(batch.columns.contains)
+    val curAligned = newCols.foldLeft(current)((df, c) =>
+      df.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
+    val batchAligned = missing.foldLeft(batch)((df, c) =>
+      df.withColumn(c, lit(null).cast(current.schema(c).dataType)))
+    (curAligned, batchAligned)
+  }
 
   /** Small-file compaction for the closed partitions — the maintenance op
     * this layout eventually needs: each merge writes its expired delta
@@ -104,7 +164,9 @@ object Scd2History {
       keys: Seq[String],
       compareCols: Seq[String],
       asOf: LocalDate): Unit = {
-    val merged = Scd2.merge(readCurrent(spark, path), batch, keys, compareCols, asOf)
+    val (current, alignedBatch) = align(readCurrent(spark, path), batch)
+    val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
     Tables.overwritePartitionsDynamic(merged, path, Seq(Scd2.EndDate))
+    writeSchema(spark, path, merged.schema)
   }
 }
