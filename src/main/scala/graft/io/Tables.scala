@@ -84,7 +84,20 @@ object Tables {
     * completes). Mirrors the reference's `mode("overwrite").saveAsTable`
     * (Silver Layer.py:120 etc.) without Delta's txn log.
     */
-  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
+    overwriteKeeping(df, path, partitionBy, keepVersions = 2)
+
+  /** [[overwrite]] with a version-retention policy — the time-travel knob:
+    * the newest `keepVersions` snapshots survive GC (minimum 2: the live
+    * version plus the in-flight-reader grace copy), readable by
+    * [[readVersion]] / discoverable by [[listVersions]]. The VACUUM-style
+    * subset of Delta's version history: retention is count-based and
+    * per-table; a snapshot's cost is a full copy, so deep retention belongs
+    * on dims/aggs, not fact tables ([[graft.io.Scd2History]] covers
+    * point-in-time reads of SCD2 data logically, far cheaper).
+    */
+  def overwriteKeeping(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -123,13 +136,36 @@ object Tables {
     try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    // GC: drop every child except the manifest, the live version, and the
-    // immediately-previous version (in-flight reader grace). This also
-    // clears pre-versioning loose files and abandoned staging dirs.
-    val keep = Set(Manifest, next) ++ prev
+    // GC: keep the manifest plus the newest `keepVersions` version dirs
+    // (always including the one just published — covers the live version
+    // and the in-flight-reader grace copy at the minimum retention). This
+    // also clears pre-versioning loose files and abandoned staging dirs.
+    val versions = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).sorted(Ordering[String].reverse)
+    val keep = Set(Manifest) ++ versions.take(math.max(keepVersions, 2))
     fs.listStatus(root).foreach { st =>
       if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
     }
+  }
+
+  /** Retained snapshot versions of a managed table, newest first. */
+  def listVersions(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).sorted(Ordering[String].reverse).toSeq
+  }
+
+  /** Time travel: read a specific retained snapshot (a name from
+    * [[listVersions]]), independent of the live `_current` pointer.
+    */
+  def readVersion(spark: SparkSession, path: String, version: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, version)
+    require(fs.exists(dir), s"version $version not retained under $path (have: ${listVersions(spark, path).mkString(", ")})")
+    spark.read.parquet(dir.toString)
   }
 
   /** Partitioned fact sink — reference partitions facts by (year, month)
