@@ -118,7 +118,12 @@ class PathCatalog extends TableCatalog with SupportsNamespaces {
         new PathCatalog.PathTable(parquetTable(ident, Seq(dir), Some(schema)), dir, () => fs)
       case None =>
         snapshotDir(dir) match {
-          case Some(snap) => new PathCatalog.ReadOnlyTable(parquetTable(ident, Seq(snap), None))
+          case Some(snap) =>
+            // SCD2 history dirs carry a schema-of-record sidecar (shared
+            // helper in Tables — single filename constant, no drift); other
+            // layouts infer from parquet
+            val sidecar = graft.io.Tables.readSchemaSidecar(spark, dir.toString)
+            new PathCatalog.ReadOnlyTable(parquetTable(ident, Seq(snap), sidecar))
           case None => throw new NoSuchTableException(ident)
         }
     }

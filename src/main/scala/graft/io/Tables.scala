@@ -64,16 +64,55 @@ object Tables {
       finally in.close()
     } else None
 
+  /** Schema-of-record sidecar for SCD2 history tables (graft.io.Scd2History
+    * writes it; distinct from PathCatalog's `_graft_schema.json`, which
+    * marks that catalog's OWN writable CTAS targets — sharing the name
+    * would make sink-managed layouts load as writable tables).
+    */
+  val Scd2SchemaSidecar = "_scd2_schema.json"
+
+  /** Read the schema sidecar if present — every reader of a sidecar table
+    * (Tables.read, Scd2History, PathCatalog) goes through this one helper
+    * so the filename and format cannot drift.
+    */
+  def readSchemaSidecar(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = new Path(path, Scd2SchemaSidecar)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      finally in.close()
+    }
+  }
+
+  def writeSchemaSidecar(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = new Path(path, Scd2SchemaSidecar)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Read a managed table: resolve `_current` to its live snapshot
     * directory. A path without a manifest is read as a plain parquet
-    * directory (externally-produced inputs).
+    * directory (externally-produced inputs) — with the schema sidecar as
+    * the schema-of-record when present, so evolved history tables read
+    * consistently everywhere (Gold included), not from an arbitrary
+    * pre-evolution file footer.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fs, new Path(root, Manifest)) match {
       case Some(v) => spark.read.parquet(new Path(root, v).toString)
-      case None => spark.read.parquet(path)
+      case None => readSchemaSidecar(spark, path) match {
+        case Some(schema) => spark.read.schema(schema).parquet(path)
+        case None => spark.read.parquet(path)
+      }
     }
   }
 
@@ -92,9 +131,12 @@ object Tables {
     * version plus the in-flight-reader grace copy), readable by
     * [[readVersion]] / discoverable by [[listVersions]]. The VACUUM-style
     * subset of Delta's version history: retention is count-based and
-    * per-table; a snapshot's cost is a full copy, so deep retention belongs
-    * on dims/aggs, not fact tables ([[graft.io.Scd2History]] covers
-    * point-in-time reads of SCD2 data logically, far cheaper).
+    * PER-WRITE — every writer of a deep-retention table must pass the same
+    * `keepVersions` (a plain [[overwrite]] call GCs back down to 2; there
+    * is no per-table retention record without a txn log). A snapshot's
+    * cost is a full copy, so deep retention belongs on dims/aggs, not fact
+    * tables ([[graft.io.Scd2History]] covers point-in-time reads of SCD2
+    * data logically, far cheaper).
     */
   def overwriteKeeping(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       keepVersions: Int = 2): Unit = {

@@ -183,14 +183,6 @@ object Gold {
         count(lit(1)).as("admissions_count"),
         avg(col("length_of_stay_days")).as("avg_los_days")))
 
-  /** The reference's SQL-form aggregates (GL:260-288), executed VERBATIM —
-    * `CREATE OR REPLACE TABLE … AS SELECT`, with `USING parquet` standing
-    * in for `USING DELTA` — against the registered
-    * [[graft.catalog.PathCatalog]] (the session catalog rejects REPLACE for
-    * file-source tables). Facts are exposed as temp views over the built
-    * gold tables; each aggregate runs only when its upstream fact exists,
-    * mirroring GL:262,275's tableExists guards. Returns skip reasons.
-    */
   /** Register the WHOLE warehouse in the v2 catalog: after this,
     * `spark.table("<name>.gold.fact_billing")`, `"<name>.silver.doctors"`
     * etc. resolve through [[graft.catalog.PathCatalog]] — versioned dirs
@@ -204,6 +196,14 @@ object Gold {
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
   }
 
+  /** The reference's SQL-form aggregates (GL:260-288), executed VERBATIM —
+    * `CREATE OR REPLACE TABLE … AS SELECT`, with `USING parquet` standing
+    * in for `USING DELTA` — against the registered
+    * [[graft.catalog.PathCatalog]] (the session catalog rejects REPLACE for
+    * file-source tables). Facts are exposed as temp views over the built
+    * gold tables; each aggregate runs only when its upstream fact exists,
+    * mirroring GL:262,275's tableExists guards. Returns skip reasons.
+    */
   def runSqlAggregates(spark: SparkSession, warehouse: String,
       log: String => Unit = println): Seq[String] = {
     spark.conf.set("spark.sql.catalog.graft_gold", "graft.catalog.PathCatalog")

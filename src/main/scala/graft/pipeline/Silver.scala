@@ -165,7 +165,11 @@ object Silver {
     * history corruption) — in a single shuffle on the merge key.
     */
   def splitBatch(spark: SparkSession, rawDir: String, e: Entity): (DataFrame, DataFrame) = {
-    val (ok, dead) = Cleaning.quarantine(e.clean(readRaw(spark, rawDir, e)), e.required)
+    // Materialize the cleaned frame once: the ok/dead split feeds TWO
+    // separate write actions (merge + quarantine), and without this the
+    // raw scan + full cleaning chain executes per action.
+    val cleaned = e.clean(readRaw(spark, rawDir, e)).localCheckpoint(true)
+    val (ok, dead) = Cleaning.quarantine(cleaned, e.required)
     (Dedup.keyUnique(ok, e.keys), dead)
   }
 

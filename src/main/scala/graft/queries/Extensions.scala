@@ -833,6 +833,11 @@ object Extensions {
       labels = next
       rounds += 1
     }
+    // Fail LOUD on non-convergence: returning partially-propagated labels
+    // would silently keep extra "survivors" (and hash-mismatch the
+    // transitive-closure oracle with no hint why).
+    require(changed == 0,
+      s"connectedComponents: not converged after $rounds rounds ($changed labels still changing) — component diameter exceeds the round cap")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))

@@ -61,9 +61,14 @@ class GoldSqlSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("billing_year"), s"partition column lost:\n$plan")
 
-    // sink-managed tables are read-only through the catalog
+    // sink-managed tables are read-only through the catalog — including
+    // the SCD2 history dirs, whose schema sidecar must NOT be mistaken for
+    // PathCatalog's own writable-table marker
     intercept[Exception] {
       spark.sql("INSERT INTO graft_wh.gold.dim_doctor SELECT * FROM graft_wh.gold.dim_doctor")
+    }
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_wh.silver.doctors SELECT * FROM graft_wh.silver.doctors")
     }
   }
 
