@@ -81,7 +81,11 @@ class PathCatalog extends TableCatalog with SupportsNamespaces {
       Some(new Path(dir, v))
     } else if (fs.exists(dir) && fs.listStatus(dir).exists { st =>
       val n = st.getPath.getName
-      n.endsWith(".parquet") || (st.isDirectory && n.contains("="))
+      // Hidden-prefix guard on the partition probe: Spark's own discovery
+      // skips '.'/'_' children, so a dir holding ONLY crash leftovers like
+      // `.end_date=….staging` must not list as a table whose scan is empty.
+      n.endsWith(".parquet") ||
+        (st.isDirectory && n.contains("=") && !n.startsWith(".") && !n.startsWith("_"))
     }) Some(dir)
     else None
   }
@@ -226,11 +230,14 @@ object PathCatalog {
     * write builder to support truncation, which Spark's FileWriteBuilder
     * does not advertise. Truncation is stage-and-swap, not
     * delete-then-write: `toBatch` MOVES the previous data files into a
-    * dot-prefixed `.replaced` dir (invisible to file listings, so a
-    * concurrent read planned during the write still resolves its files);
-    * commit deletes them, abort RESTORES them — a failed or killed
-    * REPLACE/INSERT OVERWRITE leaves the previous contents, not an empty
-    * table. Deferred to `toBatch` so planning stays side-effect-free.
+    * dot-prefixed `.replaced` dir (hidden from NEW listings only — an
+    * already-planned scan holds the old absolute paths and will fail on
+    * them, same as a delete; the guarantee bought here is abort/failed-job
+    * RESTORE under the single-writer/regenerable contract, not
+    * concurrent-reader safety); commit deletes them, abort restores them —
+    * a failed or killed REPLACE/INSERT OVERWRITE leaves the previous
+    * contents, not an empty table. Deferred to `toBatch` so planning stays
+    * side-effect-free.
     * Hard-crash caveat (documented contract): a crash between toBatch and
     * commit leaves the new files partial with the old ones parked in
     * `.replaced` — these tables are regenerable CTAS aggregates; rerunning

@@ -70,11 +70,16 @@ object Scd2History {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Close the staged-swap crash window: a complete staging directory whose
+  /** Close the staged-swap crash window: a COMPLETE staging directory whose
     * target partition is MISSING is the interrupted swap's new content —
-    * promote it; one whose target survived is stale pre-swap output —
-    * clear it. Returns the promoted partition names. Runs at the head of
-    * every merge; safe to call anytime under the single-writer contract.
+    * promote it; anything else (stale pre-swap output whose target
+    * survived, or a partial staging from a crash mid-write) is cleared.
+    * Completeness is proven by Spark's `_SUCCESS` marker — written only at
+    * job commit — so a crash midway through the staging write (a day's
+    * FIRST delta has no pre-existing target to distinguish it) can never
+    * promote half a delta as live history. Returns the promoted partition
+    * names. Runs at the head of every merge; safe to call anytime under
+    * the single-writer contract.
     */
   def recover(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
@@ -84,7 +89,8 @@ object Scd2History {
       st.getPath.getName match {
         case StagingRe(target) =>
           val targetDir = new Path(root, target)
-          if (!fs.exists(targetDir)) {
+          val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
+          if (complete && !fs.exists(targetDir)) {
             if (!fs.rename(st.getPath, targetDir))
               throw new java.io.IOException(s"Scd2History.recover: failed to promote ${st.getPath}")
             Some(target)
@@ -107,6 +113,14 @@ object Scd2History {
     val staging = new Path(root, stagingName(dirName))
     if (fs.exists(staging)) fs.delete(staging, true)
     rows.write.mode("overwrite").parquet(staging.toString)
+    // The marker is load-bearing: recover() treats its absence as "partial
+    // write, discard". A session configured to skip _SUCCESS (e.g.
+    // marksuccessfuljobs=false) must fail HERE, before the delete below
+    // opens the crash window recovery could no longer close.
+    if (!fs.exists(new Path(staging, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"Scd2History: $staging has no _SUCCESS marker after commit — " +
+          "crash recovery requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
     val target = new Path(root, dirName)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(staging, target))
@@ -171,12 +185,30 @@ object Scd2History {
     * protocol here). The current partition and the DATA are untouched
     * (CompactionSpec). Safe anytime under the single-writer contract;
     * rerunning is idempotent.
+    *
+    * `parallelism` defaults to the CLOSED-PARTITION COUNT — one task per
+    * day, the widest layout that still yields one file per partition — so
+    * a years-deep history does not funnel through a single task; pass an
+    * explicit value only to trade task count against file count (e.g. a
+    * small cluster compacting 10⁴ days).
     */
-  def compactClosed(spark: SparkSession, path: String, parallelism: Int = 1): Unit = {
+  def compactClosed(spark: SparkSession, path: String, parallelism: Int = 0): Unit = {
+    val nClosed = listClosedPartitions(spark, path).size
+    if (nClosed == 0) return
+    val tasks = if (parallelism > 0) parallelism else nClosed
     val closed = readAll(spark, path).filter(col(Scd2.EndDate).isNotNull)
     Tables.overwritePartitionsDynamic(
-      closed.repartition(parallelism, col(Scd2.EndDate)),
+      closed.repartition(tasks, col(Scd2.EndDate)),
       path, Seq(Scd2.EndDate))
+  }
+
+  /** The closed (immutable) partition directory names under `path`. */
+  def listClosedPartitions(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).filter(n =>
+      n.startsWith(s"${Scd2.EndDate}=") && n != CurrentDirName)
   }
 
   /** Incremental merge: full [[Scd2.merge]] semantics against the current
@@ -211,5 +243,107 @@ object Scd2History {
       publishPartition(spark, path, deltaDirName(asOf), delta.drop(Scd2.EndDate))
     publishPartition(spark, path, CurrentDirName,
       merged.filter(col(Scd2.IsCurrent)).drop(Scd2.EndDate))
+  }
+
+  // --------------------------------------------------------------------
+  // Unified bucketed + incremental layout — the two 100 TB properties at
+  // once. [[merge]] above writes only current + delta but full-outer-joins
+  // a plain-parquet current (BOTH sides shuffle); the round-2 bucketed
+  // variant ([[Tables.overwriteBucketed]] of the whole history) merges
+  // exchange-free but rewrites everything. Here the CURRENT rows live in a
+  // catalog table BUCKETED (and sorted) on the merge key while closed rows
+  // keep the end_date-partitioned path layout:
+  //
+  //   silver/doctors__history/            ← closed partitions + sidecar
+  //     _scd2_schema.json
+  //     end_date=2026-02-01/              ← immutable once written
+  //   catalog table silver_doctors        ← current rows, bucketed by key
+  //
+  // A merge then reads the current side PRE-PARTITIONED (the only exchange
+  // in the plan is the incoming batch moving to the bucket layout —
+  // Scd2BucketedSpec asserts it), appends the day's expired delta to its
+  // own path partition, and rewrites ONLY the current table (bucketed, via
+  // the staged catalog swap). Cost: O(batch) shuffle, O(current + delta)
+  // write — the full equivalent of Delta's file-level MERGE
+  // (Silver Layer.py:86-118) with plain parquet + a metastore.
+  //
+  // The stored current table carries business columns + effective_date
+  // only: end_date/is_current are constants (null/true) for every current
+  // row, so they are reconstructed on read rather than stored — which also
+  // makes it impossible for a buggy writer to park an expired row in the
+  // current table.
+  // --------------------------------------------------------------------
+
+  /** The current snapshot of the unified layout: the bucketed catalog
+    * table with the constant half of the SCD2 triplet reconstructed.
+    * Projections over literals preserve the scan's bucketed distribution,
+    * so frames read here join/aggregate on the merge key exchange-free.
+    */
+  def readCurrentBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .withColumn(Scd2.EndDate, lit(null).cast("date"))
+      .withColumn(Scd2.IsCurrent, lit(true))
+
+  /** Full history of the unified layout: closed path partitions (sidecar
+    * schema-of-record, null-filled under evolution) plus the current
+    * table. `allowMissingColumns` covers the crash window where the
+    * sidecar is ahead of the not-yet-swapped current table (schema-ahead
+    * is harmless — the missing column reads null, exactly what the
+    * post-swap table would hold for pre-evolution rows).
+    */
+  def readAllBucketed(spark: SparkSession, path: String, table: String): DataFrame =
+    readAll(spark, path).unionByName(
+      readCurrentBucketed(spark, table), allowMissingColumns = true)
+
+  /** First load of the unified layout: current rows into the bucketed
+    * table, an empty closed-history root + sidecar beside it.
+    */
+  def bootstrapBucketed(source: DataFrame, asOf: LocalDate, path: String,
+      table: String, keys: Seq[String], numBuckets: Int): Unit = {
+    val spark = source.sparkSession
+    val stamped = Scd2.bootstrap(source, asOf)
+    fsOf(spark, path).mkdirs(new Path(path))
+    Tables.writeSchemaSidecar(spark, path, stamped.schema)
+    Tables.overwriteBucketed(
+      stamped.drop(Scd2.EndDate, Scd2.IsCurrent), table, keys, numBuckets)
+  }
+
+  /** Incremental merge on the unified layout. Plan shape: ONE exchange
+    * (the batch); writes: the day's delta partition (staged swap) + the
+    * current table (staged catalog swap). Crash anywhere ⇒ rerun the same
+    * (batch, asOf) load — [[Tables.recoverStaged]] + [[recover]] close the
+    * swap windows and the merge itself is idempotent (an already-applied
+    * batch detects no changes, and the delta union + distinct absorbs
+    * re-emitted expired rows).
+    */
+  def mergeBucketed(
+      spark: SparkSession,
+      path: String,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      asOf: LocalDate,
+      numBuckets: Int): Unit = {
+    Tables.recoverStaged(spark, table)
+    recover(spark, path)
+    val (current, alignedBatch) = align(readCurrentBucketed(spark, table), batch)
+    // Materialized BEFORE any mutation: the delta publish and the staged
+    // current-table write must not re-execute a plan whose inputs are
+    // being swapped underneath it.
+    val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
+      .localCheckpoint(true)
+    Tables.writeSchemaSidecar(spark, path, merged.schema)
+    val existingDelta = readAll(spark, path)
+      .filter(col(Scd2.EndDate) === lit(asOf.toString).cast("date"))
+    val delta = merged.filter(!col(Scd2.IsCurrent))
+      .unionByName(existingDelta)
+      .distinct()
+      .localCheckpoint(true)
+    if (!delta.isEmpty)
+      publishPartition(spark, path, deltaDirName(asOf), delta.drop(Scd2.EndDate))
+    Tables.overwriteBucketed(
+      merged.filter(col(Scd2.IsCurrent)).drop(Scd2.EndDate, Scd2.IsCurrent),
+      table, keys, numBuckets)
   }
 }

@@ -198,33 +198,46 @@ object Silver {
       quarantinePath(warehouse, e.name), Seq("load_date"))
   }
 
-  /** Catalog table name for the bucketed silver variant. */
+  /** Catalog table name for the bucketed silver variant (current rows). */
   def silverTable(name: String): String = s"silver_$name"
 
-  /** Bucketed-history variant of [[runEntity]]: the SCD2 history lives in
-    * a catalog table BUCKETED on the merge key, so `Scd2.merge`'s
-    * full-outer join reads the history side pre-partitioned — the only
-    * exchange in the merge plan is the (small) incoming batch being
-    * shuffled to the bucket layout. At 100 TB this is the difference
-    * between re-shuffling the entire accumulated history every load and
-    * shuffling just the day's batch: the history pays its shuffle once, at
-    * write time, and every subsequent merge reuses it
-    * (Scd2BucketedSpec asserts the plan shape).
+  /** Closed-history path for the bucketed silver variant — distinct from
+    * [[silverPath]] so the two sink layouts can never collide in one
+    * warehouse (the plain layout keeps its current partition in the path;
+    * the bucketed layout keeps current in the catalog table).
     */
-  def runEntityBucketed(spark: SparkSession, rawDir: String, e: Entity,
-      asOf: LocalDate, numBuckets: Int = 8): Unit = {
-    val (cleaned, _) = splitBatch(spark, rawDir, e)
+  def silverHistoryPath(warehouse: String, name: String): String =
+    s"$warehouse/silver/${name}__history"
+
+  /** Bucketed-incremental variant of [[runEntity]]
+    * ([[Scd2History.mergeBucketed]]): current rows live in a catalog table
+    * BUCKETED on the merge key, closed rows in end_date path partitions.
+    * The merge plan's only exchange is the (small) incoming batch being
+    * shuffled to the bucket layout — the current side reads
+    * pre-partitioned (Scd2BucketedSpec asserts the shape) — and the write
+    * touches only the current table + the day's delta partition. At
+    * 100 TB this is the difference between re-shuffling AND rewriting the
+    * accumulated history every load and paying O(batch) shuffle +
+    * O(current + delta) write. Quarantine routing is identical to
+    * [[runEntity]] — the dead-letter path is shared, so accounting
+    * reconciles on either variant (QuarantineSpec).
+    */
+  def runEntityBucketed(spark: SparkSession, rawDir: String, warehouse: String,
+      e: Entity, asOf: LocalDate, numBuckets: Int = 8): Unit = {
+    val (cleaned, dead) = splitBatch(spark, rawDir, e)
     val tbl = silverTable(e.name)
+    val path = silverHistoryPath(warehouse, e.name)
     // A writer that crashed mid-swap leaves the live name unbound with the
-    // full history parked in __staging/__old; promote it BEFORE the
-    // bootstrap-vs-merge branch or that history is silently discarded.
+    // current state parked in __staging/__old; promote it BEFORE the
+    // bootstrap-vs-merge branch or that state is silently discarded.
     Tables.recoverStaged(spark, tbl)
-    val result =
-      if (spark.catalog.tableExists(tbl))
-        Scd2.merge(spark.table(tbl), cleaned, e.keys, e.compareCols, asOf)
-      else
-        Scd2.bootstrap(cleaned, asOf)
-    Tables.overwriteBucketed(result, tbl, e.keys, numBuckets)
+    if (spark.catalog.tableExists(tbl))
+      Scd2History.mergeBucketed(spark, path, tbl, cleaned, e.keys, e.compareCols, asOf, numBuckets)
+    else
+      Scd2History.bootstrapBucketed(cleaned, asOf, path, tbl, e.keys, numBuckets)
+    Tables.overwritePartitionsDynamic(
+      dead.withColumn("load_date", lit(asOf.toString).cast("date")),
+      quarantinePath(warehouse, e.name), Seq("load_date"))
   }
 
   /** Run all six entity pipelines. The entities are independent jobs, so

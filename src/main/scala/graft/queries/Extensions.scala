@@ -84,6 +84,21 @@ object Extensions {
     */
   val HotBucketCap = 64
 
+  /** Capped bucket-member list for the pair generators: the flood-proof
+    * `bounded_sorted_list` aggregate when the session has GraftExtensions
+    * registered; on a bare session, `slice(array_sort(collect_list(…)))` —
+    * identical output whenever the cap doesn't bind (all non-adversarial
+    * data; the oracles agree either way), but the collect materializes the
+    * FULL bucket first, so the O(cap)-state flood guarantee requires the
+    * extension (HotBucketSpec runs with it registered). Same degradation
+    * contract as [[Sim.cosineByName]]/`topk_pairs`: every extension
+    * dependency in the query surface is optional-with-fallback.
+    */
+  private def boundedSortedList(s: SparkSession, cap: Int, e: String): Column =
+    if (s.catalog.functionExists("bounded_sorted_list"))
+      expr(s"bounded_sorted_list($cap, $e)")
+    else slice(array_sort(collect_list(expr(e))), 1, cap)
+
   /** Shared deterministic hyperplanes for embedding LSH (md5-parity ±1). */
   lazy val Planes: Array[Array[Double]] = Sim.hyperplanes(LshPlanes, EmbeddingDim)
 
@@ -135,7 +150,7 @@ object Extensions {
     // non-adversarial data.
     bands
       .groupBy(col("band"), col("h"))
-      .agg(expr(s"bounded_sorted_list($HotBucketCap, doc_id)").as("ids"))
+      .agg(boundedSortedList(s, HotBucketCap, "doc_id").as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -179,7 +194,7 @@ object Extensions {
       .groupBy(col("source"), col("sv.seg"), col("sv.v"))
       // capped bucket list (struct elements order by doc_id first — same
       // order array_sort gave); flood-bounded like q18
-      .agg(expr(s"bounded_sorted_list($HotBucketCap, m)").as("ms"))
+      .agg(boundedSortedList(s, HotBucketCap, "m").as("ms"))
       .filter(size(col("ms")) > 1)
       .select(col("source"), explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -285,7 +300,7 @@ object Extensions {
     val b = bucketedEmb(s, dir)
     val pairs = b
       .groupBy(col("bucket"))
-      .agg(expr(s"bounded_sorted_list($HotBucketCap, vec_id)").as("ids"))
+      .agg(boundedSortedList(s, HotBucketCap, "vec_id").as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->

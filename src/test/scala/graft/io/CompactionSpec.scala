@@ -51,7 +51,22 @@ class CompactionSpec extends SparkSpec {
     val currentFiles = parquetFiles(Paths.get(path, "end_date=__HIVE_DEFAULT_PARTITION__"))
       .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
 
-    Scd2History.compactClosed(spark, path)
+    // Default parallelism = closed-partition count: the write stage must
+    // run one task PER closed partition (2 here), not funnel the whole
+    // history through a single task.
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        taskCounts.add(sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Scd2History.compactClosed(spark, path)
+      Thread.sleep(500) // listener bus is async; let it drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(taskCounts.asScala.map(_.toInt).exists(_ == closedDirs.size),
+      s"expected a ${closedDirs.size}-task compaction stage, saw stages of ${taskCounts.asScala.mkString(",")} tasks")
 
     closedDirs.foreach(d => assert(parquetFiles(d).size == 1,
       s"$d expected exactly one file post-compaction"))

@@ -1,9 +1,7 @@
 package graft.io
 
-import java.nio.file.{Files, Paths}
-import java.security.MessageDigest
+import java.nio.file.Files
 import java.time.LocalDate
-import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 import graft.engine.Scd2
 import graft.pipeline.Silver
@@ -22,35 +20,9 @@ import org.apache.spark.sql.functions._
   */
 class Scd2IncrementalSpec extends SparkSpec {
 
-  private val rawDir = "/root/reference/hospital_raw_data"
-  private val entity = Silver.entities.find(_.name == "doctors").get
+  import DoctorsBatches.{writeBatches, partitionDigests}
 
-  /** Edited copies of doctors_raw.csv: batch 2 changes rows 0/1 and adds a
-    * doctor; batch 3 changes row 0 again and adds another.
-    */
-  private def writeBatches(): (String, String, String) = {
-    val lines = Files.readAllLines(Paths.get(s"$rawDir/doctors_raw.csv")).asScala.toVector
-    val header = lines.head
-    val body = lines.tail
-    def mutate(l: String, idx: Int, v: String) = {
-      val c = l.split(",", -1); c(idx) = v; c.mkString(",")
-    }
-    val b2 = body.zipWithIndex.map {
-      case (l, 0) => mutate(l, 3, "Neurology")
-      case (l, 1) => mutate(l, 4, "40")
-      case (l, _) => l
-    } :+ "00000000-0000-0000-0000-00000000beef,New,Doctor,Oncology,7"
-    val b3 = b2.zipWithIndex.map {
-      case (l, 0) => mutate(l, 3, "Cardiology")
-      case (l, _) => l
-    } :+ "00000000-0000-0000-0000-00000000cafe,Second,Doctor,Radiology,3"
-    def dump(b: Vector[String]) = {
-      val d = Files.createTempDirectory("graft_incr_raw").toString
-      Files.write(Paths.get(s"$d/doctors_raw.csv"), (header +: b).asJava)
-      d
-    }
-    (rawDir, dump(b2), dump(b3))
-  }
+  private val entity = Silver.entities.find(_.name == "doctors").get
 
   private def cleaned(raw: String): DataFrame =
     Silver.splitBatch(spark, raw, entity)._1
@@ -61,19 +33,6 @@ class Scd2IncrementalSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] =
     df.select(cols.map(c => col(c).cast("string")): _*)
       .collect().map(_.mkString("|")).sorted.toSeq
-
-  private def partitionDigests(path: String): Map[String, String] = {
-    val root = Paths.get(path)
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("end_date=") &&
-        !p.getFileName.toString.contains("__HIVE_DEFAULT_PARTITION__"))
-      .flatMap(part => Files.list(part).iterator().asScala.filterNot(_.getFileName.toString.startsWith(".")))
-      .map { f =>
-        val md = MessageDigest.getInstance("MD5")
-        (root.relativize(f).toString,
-          md.digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString)
-      }.toMap
-  }
 
   test("incremental sink: bit-identical to Scd2.merge over 3 batches, closed partitions immutable, pruned reads, idempotent rerun") {
     val (raw1, raw2, raw3) = writeBatches()

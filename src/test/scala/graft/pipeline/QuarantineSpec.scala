@@ -76,4 +76,34 @@ class QuarantineSpec extends SparkSpec {
     assert(q2.count() == 2 * nDeadExpected)
     assert(q2.select("load_date").distinct().count() == 2)
   }
+
+  test("bucketed variant routes quarantine identically; accounting reconciles") {
+    val wh = Files.createTempDirectory("graft_quar_bkt").toString
+    val raw = dirtyBatch()
+    val table = Silver.silverTable("doctors")
+    try {
+      Silver.runEntityBucketed(spark, raw, wh, entity, LocalDate.parse("2026-01-01"))
+
+      val cleanedAll = entity.clean(Silver.readRaw(spark, raw, entity))
+      val nClean = cleanedAll.count()
+      val bad = entity.required.map(col(_).isNull).reduce(_ || _)
+      val nDead = cleanedAll.filter(bad).count()
+      val nOk = nClean - nDead
+      val nUnique = cleanedAll.filter(!bad).select(entity.keys.map(col): _*).distinct().count()
+
+      val quarantined = Silver.readQuarantine(spark, wh, "doctors").get
+      assert(quarantined.count() == nDead)
+      assert(quarantined.select("quarantine_reason").distinct()
+        .collect().map(_.getString(0)).toSet == Set("doctor_id"))
+
+      val silverCurrent =
+        graft.io.Scd2History.readCurrentBucketed(spark, table).count()
+      // cleaned = silver current + quarantined + key-deduped
+      assert(nClean == silverCurrent + nDead + (nOk - nUnique))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__staging")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__old")
+    }
+  }
 }
