@@ -121,11 +121,19 @@ class PathCatalog extends TableCatalog with SupportsNamespaces {
       case Some(schema) =>
         new PathCatalog.PathTable(parquetTable(ident, Seq(dir), Some(schema)), dir, () => fs)
       case None =>
-        snapshotDir(dir) match {
+        // SCD2 history dirs (generation-pointer layout) scan ONLY the live
+        // generation leaves — a raw scan of the root would double-count
+        // reader-grace generations — with the schema-of-record sidecar
+        // (shared helper in Tables: single filename constant, no drift).
+        val historyLeaves = graft.io.Scd2History.liveLeafPaths(spark, dir.toString)
+        if (historyLeaves.nonEmpty) {
+          val sidecar = graft.io.Tables.readSchemaSidecar(spark, dir.toString)
+          new PathCatalog.ReadOnlyTable(
+            parquetTable(ident, historyLeaves.map(new Path(_)), sidecar))
+        } else snapshotDir(dir) match {
           case Some(snap) =>
-            // SCD2 history dirs carry a schema-of-record sidecar (shared
-            // helper in Tables — single filename constant, no drift); other
-            // layouts infer from parquet
+            // other sink layouts: live snapshot or plain dir, schema from
+            // sidecar when present, else inferred from parquet
             val sidecar = graft.io.Tables.readSchemaSidecar(spark, dir.toString)
             new PathCatalog.ReadOnlyTable(parquetTable(ident, Seq(snap), sidecar))
           case None => throw new NoSuchTableException(ident)

@@ -11,75 +11,158 @@ import graft.engine.Scd2
   * reference gets the equivalent from Delta's file-level MERGE,
   * Silver Layer.py:86-118).
   *
-  * Layout: the history is ONE parquet table partitioned by `end_date`.
-  * SCD2 gives that column a special shape — current rows have
-  * `end_date IS NULL` (the Hive default partition), and every row expired
-  * by the merge of day D has `end_date = D` — so the partition key is also
-  * the mutation boundary:
+  * Layout: one directory per `end_date` value — the SCD2 mutation
+  * boundary (current rows have null end_date; rows expired by the merge
+  * of day D carry end_date = D) — and inside each, the
+  * [[Tables.overwriteKeeping]] versioned-snapshot pattern at PARTITION
+  * granularity: numbered generation directories plus a tiny `_gen`
+  * pointer naming the live one.
   *
   * {{{
   *   silver/doctors/
   *     _scd2_schema.json                       ← schema-of-record sidecar
   *     end_date=__HIVE_DEFAULT_PARTITION__/    ← the current snapshot
-  *     end_date=2026-02-01/                    ← rows expired on 2026-02-01
-  *     end_date=2026-03-01/                    ← … immutable once written
+  *       _gen                                  ← "2": the live generation
+  *       gen=00000001/                         ← previous gen (reader grace)
+  *       gen=00000002/                         ← live gen
+  *     end_date=2026-02-01/                    ← rows expired 2026-02-01
+  *       _gen
+  *       gen=00000001/
   * }}}
   *
-  * A merge therefore:
-  *  - READS only the current partition plus the asOf day's existing delta
-  *    (both partition-pruned — older closed history never rescans);
-  *  - WRITES exactly two partition directories via STAGED SWAPS: the asOf
-  *    delta (the day's newly-expired rows UNIONED with any already-expired
-  *    same-day rows, so multiple merges per day — streaming micro-batches,
-  *    intraday reruns — accumulate instead of replacing each other), then
-  *    the rewritten current snapshot. Older closed partitions are never
-  *    touched — byte-identical across merges.
+  * Every mutation is publish-flip-GC: write the new generation directory
+  * under a dot-prefixed staging name, RENAME it into place (the target
+  * never pre-exists, so the rename is an atomic creation — there is no
+  * delete-then-rename window), atomically flip the partition's `_gen`
+  * pointer, then GC all generations except the new live one and the
+  * immediately-previous one. A reader therefore NEVER observes a missing
+  * or partial partition: it resolves each `_gen` once at plan time and
+  * reads complete, immutable generation directories whose files outlive
+  * the next merge (the grace copy). The reader contract matches
+  * [[Tables.overwrite]]'s: a scan that spans TWO merges of the same
+  * partition can lose its grace files — at that point the snapshot it
+  * planned is two generations stale.
   *
-  * Staged swap = write the new directory under a dot-prefixed staging name
-  * (invisible to partition discovery), then delete-target + rename. The
-  * only crash window is between that delete and rename, and [[recover]] —
-  * run at the head of every merge — closes it by promoting a complete
-  * staging whose target is missing (and clearing stale stagings whose
-  * target survived). The merge output is materialized (localCheckpoint)
-  * BEFORE any directory is mutated, so the plan never reads a directory
-  * it is about to replace. Crash anywhere ⇒ rerun the same (batch, asOf)
-  * load: every line of the publish sequence is idempotent under that
-  * rerun (Scd2IncrementalSpec / Scd2CrashSpec).
+  * `end_date` is stored as a DATA column in the files (not parsed from
+  * the directory name): generation directories are plain parquet leaf
+  * dirs, so no partition-discovery rules constrain the layout, and every
+  * file carries a single end_date value — parquet min/max stats make an
+  * end_date filter skip the file as cheaply as partition pruning would.
+  * The common access paths don't even rely on that: [[readCurrent]] and
+  * the merge's same-day delta read list ONLY the directories they need
+  * (directory-name pruning at plan construction).
   *
-  * Cost per merge is O(current + batch) read and O(current + day-delta)
-  * write, independent of accumulated history: at 100 TB of history with a
-  * GB-scale current dimension, this is the difference between a daily
-  * full-table rewrite and a daily current-partition refresh. (Delta's
-  * file-level MERGE narrows the write further, to only the FILES holding
-  * matched keys; partition-level is the finest granularity plain parquet
-  * supports. Combine with [[Tables.saveBucketed]]-style layouts if the
-  * current partition itself outgrows a rewrite.)
+  * A merge READS the current generation plus the asOf day's live delta,
+  * and WRITES at most two generations: the day's delta — the newly
+  * expired rows unioned with the day's existing delta, so intraday
+  * re-merges (streaming micro-batches, reruns with changed data)
+  * accumulate; skipped entirely when nothing new expired, which keeps an
+  * idempotent rerun byte-identical — then the rewritten current
+  * snapshot. Older closed partitions are never touched. Cost per merge:
+  * O(current + batch) read, O(current + day-delta) write, independent of
+  * accumulated history.
   *
-  * Contract: single writer per table; a reader racing the swap of a
-  * partition can observe it briefly absent (the documented tradeoff vs the
-  * versioned-snapshot sink — snapshot isolation plus partition-level
-  * mutation needs a real txn log).
+  * Crash anywhere ⇒ rerun the same (batch, asOf) load: [[recover]]
+  * clears incomplete stagings (proof of completeness is Spark's
+  * `_SUCCESS` marker), an un-flipped orphan generation is unreferenced
+  * and GC'd by the next publish, and the merge itself re-detects the
+  * same changes (Scd2IncrementalSpec / Scd2CrashSpec).
+  *
+  * Contract: single writer per table (concurrent writers would need CAS
+  * on the pointer files, which HDFS rename provides and object stores
+  * sell as conditional writes — same boundary as [[Tables.overwrite]]).
   */
 object Scd2History {
 
-  private val CurrentDirName = s"${Scd2.EndDate}=__HIVE_DEFAULT_PARTITION__"
+  private[io] val CurrentDirName = s"${Scd2.EndDate}=__HIVE_DEFAULT_PARTITION__"
   private def deltaDirName(asOf: LocalDate) = s"${Scd2.EndDate}=$asOf"
-  private def stagingName(dir: String) = s".$dir.staging"
-  private val StagingRe = ("""^\.(""" + Scd2.EndDate + """=.+)\.staging$""").r
+
+  /** Per-partition live-generation pointer file; [[Tables.read]] also
+    * dispatches on the current partition's pointer to recognize the
+    * layout.
+    */
+  private[io] val GenPtr = "_gen"
+  private def genDirName(g: Int) = f"gen=$g%08d"
+  private val GenDirRe = """^gen=(\d{8})$""".r
+  private val StagingRe = """^\..+\.staging$""".r
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Close the staged-swap crash window: a COMPLETE staging directory whose
-    * target partition is MISSING is the interrupted swap's new content —
-    * promote it; anything else (stale pre-swap output whose target
-    * survived, or a partial staging from a crash mid-write) is cleared.
-    * Completeness is proven by Spark's `_SUCCESS` marker — written only at
-    * job commit — so a crash midway through the staging write (a day's
-    * FIRST delta has no pre-existing target to distinguish it) can never
-    * promote half a delta as live history. Returns the promoted partition
-    * names. Runs at the head of every merge; safe to call anytime under
-    * the single-writer contract.
+  private def listGens(fs: FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case GenDirRe(n) => Some(n.toInt)
+      case _ => None
+    })
+
+  private def readGenPtr(fs: FileSystem, dir: Path): Option[Int] = {
+    val f = new Path(dir, GenPtr)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try scala.util.Try(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+      finally in.close()
+    }
+  }
+
+  /** Atomic pointer flip — FileContext rename-with-OVERWRITE, the same
+    * primitive [[Tables.overwriteKeeping]] flips `_current` with.
+    */
+  private def writeGenPtr(spark: SparkSession, dir: Path, gen: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(dir, s".$GenPtr.tmp")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, new Path(dir, GenPtr), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Publish `rows` (full schema, `end_date` included as a data column)
+    * as the new live generation of `partDir`: staged write, atomic rename
+    * into a NEVER-pre-existing target, pointer flip, GC-with-grace.
+    */
+  private def publishGen(spark: SparkSession, path: String, partDir: String,
+      rows: DataFrame): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    val dir = new Path(root, partDir)
+    val newGen = listGens(fs, dir).maxOption.getOrElse(0) + 1
+    val staging = new Path(root, s".$partDir.${genDirName(newGen)}.staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    rows.write.mode("overwrite").parquet(staging.toString)
+    // The marker is load-bearing: recover() treats its absence as "partial
+    // write, discard". A session configured to skip _SUCCESS must fail
+    // HERE, before anything becomes visible.
+    if (!fs.exists(new Path(staging, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"Scd2History: $staging has no _SUCCESS marker after commit — " +
+          "crash recovery requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
+    fs.mkdirs(dir)
+    val target = new Path(dir, genDirName(newGen))
+    if (fs.exists(target))
+      throw new java.io.IOException(
+        s"Scd2History: $target already exists — concurrent writer detected (single-writer contract)")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"Scd2History: failed to publish $staging to $target")
+    val prevLive = readGenPtr(fs, dir)
+    writeGenPtr(spark, dir, newGen)
+    // GC: keep the new live generation plus the immediately-previous live
+    // one (grace for readers that resolved it before this flip).
+    listGens(fs, dir)
+      .filterNot(g => g == newGen || prevLive.contains(g))
+      .foreach(g => fs.delete(new Path(dir, genDirName(g)), true))
+  }
+
+  /** Clear incomplete or orphaned staging directories (a crash anywhere
+    * before the rename). Nothing is ever promoted from a staging — a
+    * rerun of the same (batch, asOf) load regenerates the content — so
+    * recovery can never publish half a write. Returns the cleared names.
+    * Runs at the head of every merge; safe anytime under the
+    * single-writer contract.
     */
   def recover(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
@@ -87,70 +170,74 @@ object Scd2History {
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case StagingRe(target) =>
-          val targetDir = new Path(root, target)
-          val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
-          if (complete && !fs.exists(targetDir)) {
-            if (!fs.rename(st.getPath, targetDir))
-              throw new java.io.IOException(s"Scd2History.recover: failed to promote ${st.getPath}")
-            Some(target)
-          } else {
-            fs.delete(st.getPath, true)
-            None
-          }
+        case n @ StagingRe() =>
+          fs.delete(st.getPath, true)
+          Some(n)
         case _ => None
       }
     }
   }
 
-  /** Write `rows` (WITHOUT the end_date column — it is encoded in the
-    * directory name) as partition `dirName` via the staged swap.
+  /** The live generation leaf directories: for each partition dir, the
+    * one its `_gen` pointer names (a dir without a pointer is a crash
+    * orphan mid-first-publish — invisible until its writer reruns).
     */
-  private def publishPartition(spark: SparkSession, path: String,
-      dirName: String, rows: DataFrame): Unit = {
-    val fs = fsOf(spark, path)
-    val root = new Path(path)
-    val staging = new Path(root, stagingName(dirName))
-    if (fs.exists(staging)) fs.delete(staging, true)
-    rows.write.mode("overwrite").parquet(staging.toString)
-    // The marker is load-bearing: recover() treats its absence as "partial
-    // write, discard". A session configured to skip _SUCCESS (e.g.
-    // marksuccessfuljobs=false) must fail HERE, before the delete below
-    // opens the crash window recovery could no longer close.
-    if (!fs.exists(new Path(staging, "_SUCCESS")))
-      throw new java.io.IOException(
-        s"Scd2History: $staging has no _SUCCESS marker after commit — " +
-          "crash recovery requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
-    val target = new Path(root, dirName)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"Scd2History: failed to publish $staging to $target")
+  private def liveLeaves(fs: FileSystem, root: Path,
+      only: Option[String] = None): Seq[Path] = {
+    if (!fs.exists(root)) return Seq.empty
+    val partDirs = only match {
+      case Some(name) => Seq(new Path(root, name)).filter(fs.exists)
+      case None => fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${Scd2.EndDate}="))
+        .map(_.getPath)
+    }
+    partDirs.flatMap(d => readGenPtr(fs, d).map(g => new Path(d, genDirName(g))))
   }
 
-  /** The current snapshot: reads ONLY the `end_date IS NULL` partition
-    * (partition pruning — the closed history is not even listed into the
-    * scan).
+  private def readLeaves(spark: SparkSession, path: String,
+      only: Option[String]): DataFrame = {
+    val fs = fsOf(spark, path)
+    val leaves = liveLeaves(fs, new Path(path), only).map(_.toString)
+    val schema = Tables.readSchemaSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(s"Scd2History: no schema sidecar under $path"))
+    if (leaves.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // Schema-of-record read: pre-evolution generations null-fill newer
+    // columns; column order is pinned by the sidecar everywhere.
+    else spark.read.schema(schema).parquet(leaves: _*)
+  }
+
+  /** The full history: every partition's live generation. */
+  def readAll(spark: SparkSession, path: String): DataFrame =
+    readLeaves(spark, path, None)
+
+  /** Live generation leaf directories, for external readers that build
+    * their own scans (the path catalog): empty when `path` holds no
+    * pointer-carrying partitions, i.e. is not (yet) this layout.
+    */
+  def liveLeafPaths(spark: SparkSession, path: String): Seq[String] =
+    liveLeaves(fsOf(spark, path), new Path(path), None).map(_.toString)
+
+  /** The current snapshot: lists and reads ONLY the current partition's
+    * live generation — the closed history is not even listed, let alone
+    * scanned (directory-name pruning at plan construction).
     */
   def readCurrent(spark: SparkSession, path: String): DataFrame =
-    readAll(spark, path).filter(col(Scd2.EndDate).isNull)
+    readLeaves(spark, path, Some(CurrentDirName))
 
-  /** The full history (all partitions) — for point-in-time reads
-    * ([[Scd2.snapshotAt]], [[Scd2.pointInTimeJoin]]). Delegates to
-    * [[Tables.read]]: the schema sidecar is the schema-of-record
-    * (deterministic under evolution, null-fills pre-evolution files, O(1)
-    * planning instead of a mergeSchema footer scan).
-    */
-  def readAll(spark: SparkSession, path: String): DataFrame =
-    Tables.read(spark, path)
+  /** The asOf day's live delta (empty frame if the day has none). */
+  private def readDay(spark: SparkSession, path: String, asOf: LocalDate): DataFrame =
+    readLeaves(spark, path, Some(deltaDirName(asOf)))
 
-  /** First load: stamp the SCD2 triplet and lay down the partitioned
-    * table (everything lands in the current partition).
+  /** First load: stamp the SCD2 triplet and publish everything as the
+    * current partition's first generation.
     */
   def bootstrap(source: DataFrame, asOf: LocalDate, path: String): Unit = {
     val spark = source.sparkSession
     val stamped = Scd2.bootstrap(source, asOf)
-    stamped.write.mode("overwrite").partitionBy(Scd2.EndDate).parquet(path)
+    fsOf(spark, path).mkdirs(new Path(path))
     Tables.writeSchemaSidecar(spark, path, stamped.schema)
+    publishGen(spark, path, CurrentDirName, stamped)
   }
 
   /** Schema evolution at the merge boundary (Delta mergeSchema semantics):
@@ -174,35 +261,58 @@ object Scd2History {
   }
 
   /** Small-file compaction for the closed partitions — the maintenance op
-    * this layout eventually needs: each merge writes its expired delta
-    * through the session's shuffle parallelism, so a closed partition is
+    * this layout eventually needs: each merge writes its delta through the
+    * session's shuffle parallelism, so a closed partition's generation is
     * born as up-to-`shuffle.partitions` tiny shards. Compaction reads the
-    * closed rows, hash-repartitions BY the partition key — every day's
-    * rows colocate onto one task, so each closed partition compacts to ONE
-    * file; `parallelism` only spreads distinct days across tasks — and
-    * dynamic-overwrites only the closed partitions (data identical on both
-    * sides of any crash, so the multi-partition commit needs no swap
-    * protocol here). The current partition and the DATA are untouched
-    * (CompactionSpec). Safe anytime under the single-writer contract;
-    * rerunning is idempotent.
-    *
-    * `parallelism` defaults to the CLOSED-PARTITION COUNT — one task per
-    * day, the widest layout that still yields one file per partition — so
-    * a years-deep history does not funnel through a single task; pass an
-    * explicit value only to trade task count against file count (e.g. a
-    * small cluster compacting 10⁴ days).
+    * closed live rows in ONE job, hash-repartitioned BY end_date — every
+    * day's rows colocate onto one task, so each day compacts to ONE file;
+    * `parallelism` defaults to the closed-partition count (one task per
+    * day — a years-deep history does not funnel through a single task; an
+    * explicit value trades task count against file count) — stages the
+    * per-day outputs, then publishes each day through the same
+    * pointer-flip protocol as a merge: readers racing a compaction keep
+    * their grace generation. The current partition and the DATA are
+    * untouched (CompactionSpec); rerunning is idempotent.
     */
   def compactClosed(spark: SparkSession, path: String, parallelism: Int = 0): Unit = {
-    val nClosed = listClosedPartitions(spark, path).size
-    if (nClosed == 0) return
-    val tasks = if (parallelism > 0) parallelism else nClosed
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    val days = listClosedPartitions(spark, path)
+      .filter(d => readGenPtr(fs, new Path(root, d)).isDefined)
+    if (days.isEmpty) return
+    val tasks = if (parallelism > 0) parallelism else days.size
     val closed = readAll(spark, path).filter(col(Scd2.EndDate).isNotNull)
-    Tables.overwritePartitionsDynamic(
-      closed.repartition(tasks, col(Scd2.EndDate)),
-      path, Seq(Scd2.EndDate))
+      .repartition(tasks, col(Scd2.EndDate))
+    // One distributed job into a staging root, then per-day atomic
+    // publishes (rename + pointer flip) — a crash mid-loop leaves the
+    // remaining days on their old live generation; rerun re-compacts.
+    val staging = new Path(root, ".compact.staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // The partition column must not be dropped from the files: copy it so
+    // the directory layout gets end_date=D while the data keeps end_date.
+    closed.withColumn("__part_end_date", col(Scd2.EndDate))
+      .write.mode("overwrite").partitionBy("__part_end_date").parquet(staging.toString)
+    if (!fs.exists(new Path(staging, "_SUCCESS")))
+      throw new java.io.IOException(s"Scd2History: $staging has no _SUCCESS marker after commit")
+    days.foreach { day =>
+      val srcDay = new Path(staging, day.replace(s"${Scd2.EndDate}=", "__part_end_date="))
+      if (fs.exists(srcDay)) {
+        val dir = new Path(root, day)
+        val newGen = listGens(fs, dir).maxOption.getOrElse(0) + 1
+        val target = new Path(dir, genDirName(newGen))
+        if (!fs.rename(srcDay, target))
+          throw new java.io.IOException(s"Scd2History: failed to publish compacted $srcDay to $target")
+        val prevLive = readGenPtr(fs, dir)
+        writeGenPtr(spark, dir, newGen)
+        listGens(fs, dir)
+          .filterNot(g => g == newGen || prevLive.contains(g))
+          .foreach(g => fs.delete(new Path(dir, genDirName(g)), true))
+      }
+    }
+    fs.delete(staging, true)
   }
 
-  /** The closed (immutable) partition directory names under `path`. */
+  /** The closed (non-current) partition directory names under `path`. */
   def listClosedPartitions(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
     val root = new Path(path)
@@ -212,8 +322,10 @@ object Scd2History {
   }
 
   /** Incremental merge: full [[Scd2.merge]] semantics against the current
-    * partition only, published as two staged partition swaps (day delta
-    * first, then current — see the object doc for the crash analysis).
+    * partition only, published as at most two pointer-flipped generations
+    * (day delta first, then current — see the object doc for the crash
+    * analysis). A rerun whose delta adds nothing new skips the delta
+    * publish entirely, keeping closed partitions byte-identical.
     */
   def merge(
       spark: SparkSession,
@@ -224,25 +336,30 @@ object Scd2History {
       asOf: LocalDate): Unit = {
     recover(spark, path)
     val (current, alignedBatch) = align(readCurrent(spark, path), batch)
-    // Materialize BEFORE mutating any directory the plan reads. The merge
+    // Materialize BEFORE publishing: the generation writes must not
+    // re-execute a plan whose input pointers are about to move. The merge
     // output is current-sized — the cheap thing to pin.
     val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
       .localCheckpoint(true)
     Tables.writeSchemaSidecar(spark, path, merged.schema) // schema-ahead is harmless; stale-behind is not
-    // Day-delta accumulation: a second merge on the same asOf (streaming
-    // micro-batches, intraday rerun with changed data) must ADD its expired
-    // rows to the day's partition, not replace them. distinct() collapses
-    // the exact duplicates an idempotent rerun produces.
-    val existingDelta = readAll(spark, path)
-      .filter(col(Scd2.EndDate) === lit(asOf.toString).cast("date"))
-    val delta = merged.filter(!col(Scd2.IsCurrent))
-      .unionByName(existingDelta)
-      .distinct()
-      .localCheckpoint(true)
-    if (!delta.isEmpty) // a no-change day publishes no (empty) delta partition
-      publishPartition(spark, path, deltaDirName(asOf), delta.drop(Scd2.EndDate))
-    publishPartition(spark, path, CurrentDirName,
-      merged.filter(col(Scd2.IsCurrent)).drop(Scd2.EndDate))
+    publishDelta(spark, path, merged, asOf)
+    publishGen(spark, path, CurrentDirName, merged.filter(col(Scd2.IsCurrent)))
+  }
+
+  /** Day-delta accumulation: a second merge on the same asOf (streaming
+    * micro-batches, intraday rerun with changed data) ADDS its expired
+    * rows to the day's partition. `exceptAll` makes the idempotent-rerun
+    * case (identical expired rows re-emitted) a publish-free no-op.
+    */
+  private def publishDelta(spark: SparkSession, path: String,
+      merged: DataFrame, asOf: LocalDate): Unit = {
+    val cols = merged.columns.map(col).toIndexedSeq
+    val expired = merged.filter(!col(Scd2.IsCurrent)).select(cols: _*)
+    val existing = readDay(spark, path, asOf).select(cols: _*)
+    if (!expired.exceptAll(existing).isEmpty) {
+      val delta = expired.unionByName(existing).distinct().localCheckpoint(true)
+      publishGen(spark, path, deltaDirName(asOf), delta)
+    }
   }
 
   // --------------------------------------------------------------------
@@ -252,11 +369,11 @@ object Scd2History {
   // variant ([[Tables.overwriteBucketed]] of the whole history) merges
   // exchange-free but rewrites everything. Here the CURRENT rows live in a
   // catalog table BUCKETED (and sorted) on the merge key while closed rows
-  // keep the end_date-partitioned path layout:
+  // keep the generation-pointer path layout above:
   //
   //   silver/doctors__history/            ← closed partitions + sidecar
   //     _scd2_schema.json
-  //     end_date=2026-02-01/              ← immutable once written
+  //     end_date=2026-02-01/gen=00000001/ ← pointer-flipped generations
   //   catalog table silver_doctors        ← current rows, bucketed by key
   //
   // A merge then reads the current side PRE-PARTITIONED (the only exchange
@@ -309,12 +426,12 @@ object Scd2History {
   }
 
   /** Incremental merge on the unified layout. Plan shape: ONE exchange
-    * (the batch); writes: the day's delta partition (staged swap) + the
+    * (the batch); writes: the day's delta generation (pointer flip) + the
     * current table (staged catalog swap). Crash anywhere ⇒ rerun the same
     * (batch, asOf) load — [[Tables.recoverStaged]] + [[recover]] close the
     * swap windows and the merge itself is idempotent (an already-applied
-    * batch detects no changes, and the delta union + distinct absorbs
-    * re-emitted expired rows).
+    * batch detects no changes, and the delta `exceptAll` absorbs
+    * re-emitted expired rows without re-publishing).
     */
   def mergeBucketed(
       spark: SparkSession,
@@ -334,14 +451,7 @@ object Scd2History {
     val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
       .localCheckpoint(true)
     Tables.writeSchemaSidecar(spark, path, merged.schema)
-    val existingDelta = readAll(spark, path)
-      .filter(col(Scd2.EndDate) === lit(asOf.toString).cast("date"))
-    val delta = merged.filter(!col(Scd2.IsCurrent))
-      .unionByName(existingDelta)
-      .distinct()
-      .localCheckpoint(true)
-    if (!delta.isEmpty)
-      publishPartition(spark, path, deltaDirName(asOf), delta.drop(Scd2.EndDate))
+    publishDelta(spark, path, merged, asOf)
     Tables.overwriteBucketed(
       merged.filter(col(Scd2.IsCurrent)).drop(Scd2.EndDate, Scd2.IsCurrent),
       table, keys, numBuckets)

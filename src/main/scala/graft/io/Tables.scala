@@ -35,6 +35,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object Tables {
 
   private val Manifest = "_current"
+  private val Retention = "_retention"
+
+  private def readRetention(fs: FileSystem, root: Path): Option[Int] = {
+    val f = new Path(root, Retention)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try scala.util.Try(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+      finally in.close()
+    }
+  }
 
   /** Read one of the driver's testdata tables (TESTDATA.md).
     *
@@ -98,48 +110,57 @@ object Tables {
   }
 
   /** Read a managed table: resolve `_current` to its live snapshot
-    * directory. A path without a manifest is read as a plain parquet
-    * directory (externally-produced inputs) — with the schema sidecar as
-    * the schema-of-record when present, so evolved history tables read
-    * consistently everywhere (Gold included), not from an arbitrary
-    * pre-evolution file footer.
+    * directory. A dir whose current partition carries a generation
+    * pointer is an [[Scd2History]] layout — delegate to its reader (live
+    * generations only; a raw `spark.read.parquet` over such a dir would
+    * double-count reader-grace generations). Any other path is read as a
+    * plain parquet directory (externally-produced inputs) — with the
+    * schema sidecar as the schema-of-record when present, so evolved
+    * history tables read consistently everywhere (Gold included), not
+    * from an arbitrary pre-evolution file footer.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fs, new Path(root, Manifest)) match {
       case Some(v) => spark.read.parquet(new Path(root, v).toString)
-      case None => readSchemaSidecar(spark, path) match {
-        case Some(schema) => spark.read.schema(schema).parquet(path)
-        case None => spark.read.parquet(path)
-      }
+      case None =>
+        if (fs.exists(new Path(new Path(root, Scd2History.CurrentDirName), Scd2History.GenPtr)))
+          Scd2History.readAll(spark, path)
+        else readSchemaSidecar(spark, path) match {
+          case Some(schema) => spark.read.schema(schema).parquet(path)
+          case None => spark.read.parquet(path)
+        }
     }
   }
 
   /** Overwrite `path` with snapshot isolation: stage the complete new
     * snapshot into the next version directory, atomically flip `_current`,
-    * then GC everything but the new and immediately-previous versions
-    * (the previous stays so a reader that resolved it mid-overwrite still
-    * completes). Mirrors the reference's `mode("overwrite").saveAsTable`
+    * then GC down to the table's retention policy — the persisted
+    * `_retention` sidecar if one was ever set via [[overwriteKeeping]],
+    * else the 2-version minimum (live + the in-flight-reader grace copy).
+    * Mirrors the reference's `mode("overwrite").saveAsTable`
     * (Silver Layer.py:120 etc.) without Delta's txn log.
     */
   def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
-    overwriteKeeping(df, path, partitionBy, keepVersions = 2)
+    overwriteKeeping(df, path, partitionBy, keepVersions = 0)
 
   /** [[overwrite]] with a version-retention policy — the time-travel knob:
     * the newest `keepVersions` snapshots survive GC (minimum 2: the live
     * version plus the in-flight-reader grace copy), readable by
     * [[readVersion]] / discoverable by [[listVersions]]. The VACUUM-style
     * subset of Delta's version history: retention is count-based and
-    * PER-WRITE — every writer of a deep-retention table must pass the same
-    * `keepVersions` (a plain [[overwrite]] call GCs back down to 2; there
-    * is no per-table retention record without a txn log). A snapshot's
-    * cost is a full copy, so deep retention belongs on dims/aggs, not fact
-    * tables ([[graft.io.Scd2History]] covers point-in-time reads of SCD2
-    * data logically, far cheaper).
+    * PERSISTED — an explicit `keepVersions` is recorded in a `_retention`
+    * sidecar (Delta records retention in table metadata the same way), so
+    * the policy is set ONCE and every later plain [[overwrite]] honors it
+    * instead of silently GC-ing history down to 2. `keepVersions = 0`
+    * (the [[overwrite]] default) means "the table's persisted policy, or
+    * the minimum". A snapshot's cost is a full copy, so deep retention
+    * belongs on dims/aggs, not fact tables ([[graft.io.Scd2History]]
+    * covers point-in-time reads of SCD2 data logically, far cheaper).
     */
   def overwriteKeeping(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 0): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -178,13 +199,26 @@ object Tables {
     try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    // GC: keep the manifest plus the newest `keepVersions` version dirs
-    // (always including the one just published — covers the live version
-    // and the in-flight-reader grace copy at the minimum retention). This
-    // also clears pre-versioning loose files and abandoned staging dirs.
+    // Persist an explicitly-requested policy BEFORE GC-ing with it, so a
+    // crash between the two leaves the stricter (deeper) retention on
+    // record rather than an already-GC'd table with no policy.
+    if (keepVersions > 0 && !readRetention(fs, root).contains(keepVersions)) {
+      val out = fs.create(new Path(root, Retention), true)
+      try out.write(keepVersions.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val effectiveKeep =
+      if (keepVersions > 0) keepVersions
+      else readRetention(fs, root).getOrElse(2)
+
+    // GC: keep the manifest + retention sidecar plus the newest
+    // `effectiveKeep` version dirs (always including the one just
+    // published — covers the live version and the in-flight-reader grace
+    // copy at the minimum retention). This also clears pre-versioning
+    // loose files and abandoned staging dirs.
     val versions = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("v\\d{8}")).sorted(Ordering[String].reverse)
-    val keep = Set(Manifest) ++ versions.take(math.max(keepVersions, 2))
+    val keep = Set(Manifest, Retention) ++ versions.take(math.max(effectiveKeep, 2))
     fs.listStatus(root).foreach { st =>
       if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
     }

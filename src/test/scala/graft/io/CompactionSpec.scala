@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
-  private def parquetFiles(dir: JPath): Seq[JPath] =
-    if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+  /** Data files of the LIVE generation of a partition dir (resolve the
+    * `_gen` pointer, list that generation).
+    */
+  private def liveFiles(dir: JPath): Seq[JPath] =
+    if (!Files.exists(dir) || !Files.exists(dir.resolve("_gen"))) Seq.empty
+    else {
+      val gen = Files.readString(dir.resolve("_gen")).trim.toInt
+      val genDir = dir.resolve(f"gen=$gen%08d")
+      if (!Files.exists(genDir)) Seq.empty
+      else Files.list(genDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
 
   test("closed partitions compact to one file each; rows identical; current untouched") {
     val path = Files.createTempDirectory("graft_compact").toString
@@ -46,9 +54,9 @@ class CompactionSpec extends SparkSpec {
     val before = canon()
     val closedDirs = Seq("end_date=2026-02-01", "end_date=2026-03-01")
       .map(d => Paths.get(path, d))
-    closedDirs.foreach(d => assert(parquetFiles(d).size > 1,
-      s"$d expected multi-file pre-compaction (got ${parquetFiles(d).size})"))
-    val currentFiles = parquetFiles(Paths.get(path, "end_date=__HIVE_DEFAULT_PARTITION__"))
+    closedDirs.foreach(d => assert(liveFiles(d).size > 1,
+      s"$d expected multi-file pre-compaction (got ${liveFiles(d).size})"))
+    val currentFiles = liveFiles(Paths.get(path, "end_date=__HIVE_DEFAULT_PARTITION__"))
       .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
 
     // Default parallelism = closed-partition count: the write stage must
@@ -68,16 +76,16 @@ class CompactionSpec extends SparkSpec {
     assert(taskCounts.asScala.map(_.toInt).exists(_ == closedDirs.size),
       s"expected a ${closedDirs.size}-task compaction stage, saw stages of ${taskCounts.asScala.mkString(",")} tasks")
 
-    closedDirs.foreach(d => assert(parquetFiles(d).size == 1,
+    closedDirs.foreach(d => assert(liveFiles(d).size == 1,
       s"$d expected exactly one file post-compaction"))
     assert(canon() == before, "compaction must not change a row")
-    val currentAfter = parquetFiles(Paths.get(path, "end_date=__HIVE_DEFAULT_PARTITION__"))
+    val currentAfter = liveFiles(Paths.get(path, "end_date=__HIVE_DEFAULT_PARTITION__"))
       .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
     assert(currentAfter == currentFiles, "current partition untouched")
 
     // idempotent rerun
     Scd2History.compactClosed(spark, path)
     assert(canon() == before)
-    closedDirs.foreach(d => assert(parquetFiles(d).size == 1))
+    closedDirs.foreach(d => assert(liveFiles(d).size == 1))
   }
 }

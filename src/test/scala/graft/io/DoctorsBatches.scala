@@ -38,15 +38,20 @@ object DoctorsBatches {
     (rawDir, dump(b2), dump(b3))
   }
 
-  /** MD5 per data file in each CLOSED (non-default) end_date partition —
-    * the byte-immutability witness.
+  /** MD5 per data file (recursive — the layout nests generation dirs
+    * inside each partition dir) in each CLOSED (non-default) end_date
+    * partition — the byte-immutability witness. Paths are relative to the
+    * table root, so a new generation appearing for an untouched day also
+    * fails the comparison.
     */
   def partitionDigests(path: String): Map[String, String] = {
     val root = Paths.get(path)
     Files.list(root).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("end_date=") &&
         !p.getFileName.toString.contains("__HIVE_DEFAULT_PARTITION__"))
-      .flatMap(part => Files.list(part).iterator().asScala.filterNot(_.getFileName.toString.startsWith(".")))
+      .flatMap(part => Files.walk(part).iterator().asScala)
+      .filter(f => Files.isRegularFile(f) &&
+        !f.getFileName.toString.startsWith(".") && !f.getFileName.toString.startsWith("_"))
       .map { f =>
         val md = MessageDigest.getInstance("MD5")
         (root.relativize(f).toString,

@@ -36,39 +36,57 @@ class Scd2CrashSpec extends SparkSpec {
     assert(currentOf(path) == Map(1L -> "a2", 2L -> "b2"))
   }
 
-  test("recover promotes a staged partition whose target vanished mid-swap") {
-    val path = Files.createTempDirectory("graft_swapcrash").toString
+  test("a reader that planned before a merge completes on its pre-merge snapshot") {
+    val path = Files.createTempDirectory("graft_readerrace").toString
     Scd2History.bootstrap(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d1, path)
     Scd2History.merge(spark, path, Seq((1L, "a2"), (2L, "b")).toDF("id", "v"), keys, compare, d2)
-    val wantCurrent = currentOf(path)
 
-    // replay the crash window: current swapped OUT (deleted) but the
-    // staging rename never happened — move current back to its staging name
-    val root = Paths.get(path)
-    val cur = root.resolve("end_date=__HIVE_DEFAULT_PARTITION__")
-    val staging = root.resolve(".end_date=__HIVE_DEFAULT_PARTITION__.staging")
-    Files.move(cur, staging)
-    assert(Scd2History.readCurrent(spark, path).count() == 0, "current partition is gone")
+    // the racing reader: resolves the live generations NOW (plan + file
+    // listing), executes only after the writer publishes again
+    val preCurrent = Scd2History.readCurrent(spark, path)
+    val preAll = Scd2History.readAll(spark, path)
+    preCurrent.queryExecution.executedPlan // force planning/listing
+    preAll.queryExecution.executedPlan
 
-    val promoted = Scd2History.recover(spark, path)
-    assert(promoted == Seq("end_date=__HIVE_DEFAULT_PARTITION__"))
-    assert(currentOf(path) == wantCurrent, "recovery restored the staged content")
-    assert(Scd2History.recover(spark, path).isEmpty, "recovery is idempotent")
+    // the writer merges (publishes a new current generation and GCs —
+    // keeping the one the reader resolved as its grace copy)
+    Scd2History.merge(spark, path, Seq((1L, "a3"), (2L, "b")).toDF("id", "v"), keys, compare, d2)
+
+    // the pre-planned reader COMPLETES, on the snapshot it resolved: no
+    // missing partition, no FileNotFound, pre-merge values
+    assert(preCurrent.select("id", "v").as[(Long, String)].collect().toMap
+      == Map(1L -> "a2", 2L -> "b"))
+    assert(preAll.count() == 3) // 2 current + 1 expired, as of plan time
+    // a FRESH reader sees the post-merge state
+    assert(currentOf(path) == Map(1L -> "a3", 2L -> "b"))
   }
 
-  test("recover clears a stale staging whose target survived (pre-swap crash)") {
+  test("recover clears incomplete stagings; an unflipped orphan generation stays invisible and is GC'd") {
     val path = Files.createTempDirectory("graft_stalestaging").toString
     Scd2History.bootstrap(Seq((1L, "a")).toDF("id", "v"), d1, path)
     Scd2History.merge(spark, path, Seq((1L, "a2")).toDF("id", "v"), keys, compare, d2)
-    // a crashed writer left a complete staging but never began the swap —
-    // its target partition still exists, so the staging is stale output
-    val stale = Paths.get(path).resolve(".end_date=2026-02-01.staging")
+    // a crashed writer left a partial staging (no _SUCCESS): cleared, never
+    // promoted — a rerun of the load regenerates the content instead
+    val stale = Paths.get(path).resolve(".end_date=2026-02-01.gen=00000002.staging")
     Files.createDirectories(stale)
     Files.writeString(stale.resolve("part-stale.parquet"), "junk")
-    assert(Scd2History.recover(spark, path).isEmpty, "nothing promoted")
-    assert(!Files.exists(stale), "stale staging cleared")
+    assert(Scd2History.recover(spark, path) == Seq(stale.getFileName.toString))
+    assert(!Files.exists(stale), "incomplete staging cleared")
+    assert(Scd2History.recover(spark, path).isEmpty, "recovery is idempotent")
     // the real partition is untouched
     assert(Scd2History.readAll(spark, path).filter(!col("is_current")).count() == 1)
+
+    // a crash AFTER the rename but BEFORE the pointer flip: the orphan
+    // generation is unreferenced — readers never see it...
+    val dayDir = Paths.get(path).resolve("end_date=2026-02-01")
+    val orphan = dayDir.resolve("gen=00000099")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-orphan.parquet"), "junk")
+    assert(Scd2History.readAll(spark, path).filter(!col("is_current")).count() == 1,
+      "unflipped generation is invisible to readers")
+    // ...and the next publish of that partition GCs it
+    Scd2History.merge(spark, path, Seq((1L, "a3")).toDF("id", "v"), keys, compare, d2)
+    assert(!Files.exists(orphan), "orphan generation GC'd by the next publish")
   }
 
   test("crash between delta and current swap: rerunning the same load converges") {

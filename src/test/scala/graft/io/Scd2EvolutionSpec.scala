@@ -34,11 +34,15 @@ class Scd2EvolutionSpec extends SparkSpec {
     // id=2: v unchanged but score null -> 0.7 is a change -> new version
     assert(current == Set((1L, "a2", Some(0.5)), (2L, "b", Some(0.7))))
 
-    // deterministic schema: readCurrent agrees and still partition-prunes
+    // deterministic schema: readCurrent agrees and scans ONLY the current
+    // partition's live generation (directory-name pruning — closed days
+    // are not even listed into the scan)
     val cur = Scd2History.readCurrent(spark, path)
     assert(cur.columns.sorted.sameElements(all.columns.sorted))
-    val plan = cur.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("isnull(end_date"))
+    val inputs = cur.inputFiles
+    assert(inputs.nonEmpty &&
+      inputs.forall(_.contains("end_date=__HIVE_DEFAULT_PARTITION__/gen=")),
+      s"current read must target only the live current generation: ${inputs.mkString(", ")}")
   }
 
   test("a batch missing a column null-fills it (documented value->null change)") {

@@ -68,10 +68,12 @@ class Scd2IncrementalSpec extends SparkSpec {
     assert(after3.keys.exists(_.startsWith("end_date=2026-03-01")),
       "batch 3's delta landed in its own closed partition")
 
-    // 3. merge input reads only the current partition (pruned scan)
-    val plan = Scd2History.readCurrent(spark, path).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("isnull(end_date"),
-      s"end_date IS NULL did not reach the scan as a partition filter:\n$plan")
+    // 3. merge input reads only the current partition's live generation
+    // (directory-name pruning — closed days are not even listed)
+    val inputs = Scd2History.readCurrent(spark, path).inputFiles
+    assert(inputs.nonEmpty &&
+      inputs.forall(_.contains("end_date=__HIVE_DEFAULT_PARTITION__/gen=")),
+      s"current read must target only the live current generation: ${inputs.mkString(", ")}")
 
     // 4. idempotent rerun of the same (batch, asOf)
     Scd2History.merge(spark, path, cleaned(raw3), entity.keys, entity.compareCols, d3)

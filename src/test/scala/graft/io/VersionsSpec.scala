@@ -29,4 +29,16 @@ class VersionsSpec extends SparkSpec {
     (1 to 3).foreach(i => Tables.overwrite(Seq(i).toDF("x"), path))
     assert(Tables.listVersions(spark, path) == Seq("v00000003", "v00000002"))
   }
+
+  test("retention policy persists: set once, honored by later plain overwrites") {
+    val path = Files.createTempDirectory("graft_versions3").toString
+    // deep retention set ONCE...
+    Tables.overwriteKeeping(Seq(1).toDF("x"), path, keepVersions = 4)
+    // ...then only plain overwrite calls — the persisted policy must hold
+    (2 to 5).foreach(i => Tables.overwrite(Seq(i).toDF("x"), path))
+    val versions = Tables.listVersions(spark, path)
+    assert(versions == Seq("v00000005", "v00000004", "v00000003", "v00000002"),
+      s"plain overwrite GC'd past the persisted retention: $versions")
+    assert(Tables.readVersion(spark, path, "v00000002").as[Int].head() == 2)
+  }
 }
