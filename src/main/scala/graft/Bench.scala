@@ -24,16 +24,22 @@ object Bench {
     // JVM initialization.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Two timed runs per query, report the MIN: single samples on a shared
-    // machine are dominated by ambient load (observed ±25 % total swing on
-    // identical code); min-of-2 measures the code, not the neighbors.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(timed(), timed())
+    // Three timed runs per query in INTERLEAVED rounds (q1..qN, q1..qN,
+    // q1..qN), report the per-query MIN: single samples on a shared
+    // machine are dominated by ambient load (observed ±25 % total swing
+    // on identical code), and back-to-back samples of one query land
+    // under the same load spike — interleaving decorrelates the samples
+    // so at least one round of each query usually lands on quiet cores.
+    // The min measures the code, not the neighbors.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rounds = (1 to 3).map(_ => ordered.map { case (name, fn) => name -> timed(fn) })
+    val results = ordered.map { case (name, _) =>
+      name -> rounds.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -68,9 +68,13 @@ import graft.engine.Scd2
   * and GC'd by the next publish, and the merge itself re-detects the
   * same changes (Scd2IncrementalSpec / Scd2CrashSpec).
   *
-  * Contract: single writer per table (concurrent writers would need CAS
-  * on the pointer files, which HDFS rename provides and object stores
-  * sell as conditional writes — same boundary as [[Tables.overwrite]]).
+  * Contract: single writer per table, ENFORCED by epoch fencing
+  * ([[Fencing]]): every load acquires a token at start and re-checks it
+  * before each pointer flip, so a zombie writer superseded mid-merge
+  * aborts loudly instead of clobbering the newer writer's commit
+  * (FencingSpec). Full lost-update-free concurrency would additionally
+  * need the store to check tokens on write (Delta's txn log, object-store
+  * conditional PUTs) — same boundary as [[Tables.overwrite]].
   */
 object Scd2History {
 
@@ -123,10 +127,11 @@ object Scd2History {
 
   /** Publish `rows` (full schema, `end_date` included as a data column)
     * as the new live generation of `partDir`: staged write, atomic rename
-    * into a NEVER-pre-existing target, pointer flip, GC-with-grace.
+    * into a NEVER-pre-existing target, fencing check, pointer flip,
+    * GC-with-grace.
     */
   private def publishGen(spark: SparkSession, path: String, partDir: String,
-      rows: DataFrame): Unit = {
+      rows: DataFrame, epoch: Long): Unit = {
     val fs = fsOf(spark, path)
     val root = new Path(path)
     val dir = new Path(root, partDir)
@@ -141,6 +146,11 @@ object Scd2History {
       throw new java.io.IOException(
         s"Scd2History: $staging has no _SUCCESS marker after commit — " +
           "crash recovery requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
+    // Zombie-writer fence, twice: before the rename (absent a race this
+    // leaves nothing behind but a staging for recover() to clear) and
+    // again at the last instant before the flip makes anything visible —
+    // the rename in between is additive, so aborting there is still safe.
+    Fencing.check(fs, root, epoch)
     fs.mkdirs(dir)
     val target = new Path(dir, genDirName(newGen))
     if (fs.exists(target))
@@ -148,6 +158,7 @@ object Scd2History {
         s"Scd2History: $target already exists — concurrent writer detected (single-writer contract)")
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"Scd2History: failed to publish $staging to $target")
+    Fencing.check(fs, root, epoch)
     val prevLive = readGenPtr(fs, dir)
     writeGenPtr(spark, dir, newGen)
     // GC: keep the new live generation plus the immediately-previous live
@@ -235,9 +246,9 @@ object Scd2History {
   def bootstrap(source: DataFrame, asOf: LocalDate, path: String): Unit = {
     val spark = source.sparkSession
     val stamped = Scd2.bootstrap(source, asOf)
-    fsOf(spark, path).mkdirs(new Path(path))
+    val epoch = Fencing.acquire(fsOf(spark, path), new Path(path))
     Tables.writeSchemaSidecar(spark, path, stamped.schema)
-    publishGen(spark, path, CurrentDirName, stamped)
+    publishGen(spark, path, CurrentDirName, stamped, epoch)
   }
 
   /** Schema evolution at the merge boundary (Delta mergeSchema semantics):
@@ -280,6 +291,7 @@ object Scd2History {
     val days = listClosedPartitions(spark, path)
       .filter(d => readGenPtr(fs, new Path(root, d)).isDefined)
     if (days.isEmpty) return
+    val epoch = Fencing.acquire(fs, root)
     val tasks = if (parallelism > 0) parallelism else days.size
     val closed = readAll(spark, path).filter(col(Scd2.EndDate).isNotNull)
       .repartition(tasks, col(Scd2.EndDate))
@@ -302,6 +314,7 @@ object Scd2History {
         val target = new Path(dir, genDirName(newGen))
         if (!fs.rename(srcDay, target))
           throw new java.io.IOException(s"Scd2History: failed to publish compacted $srcDay to $target")
+        Fencing.check(fs, root, epoch) // superseded mid-loop: stop before this day's flip
         val prevLive = readGenPtr(fs, dir)
         writeGenPtr(spark, dir, newGen)
         listGens(fs, dir)
@@ -333,7 +346,22 @@ object Scd2History {
       batch: DataFrame,
       keys: Seq[String],
       compareCols: Seq[String],
-      asOf: LocalDate): Unit = {
+      asOf: LocalDate): Unit =
+    // Fencing token for this load — checked before every pointer flip, so
+    // a zombie writer superseded mid-merge aborts instead of clobbering
+    // (FencingSpec drives the interleaving through the seam below).
+    mergeFenced(spark, path, batch, keys, compareCols, asOf,
+      Fencing.acquire(fsOf(spark, path), new Path(path)))
+
+  private[io] def mergeFenced(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      asOf: LocalDate,
+      epoch: Long): Unit = {
+    val fs = fsOf(spark, path)
     recover(spark, path)
     val (current, alignedBatch) = align(readCurrent(spark, path), batch)
     // Materialize BEFORE publishing: the generation writes must not
@@ -342,8 +370,9 @@ object Scd2History {
     val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
       .localCheckpoint(true)
     Tables.writeSchemaSidecar(spark, path, merged.schema) // schema-ahead is harmless; stale-behind is not
-    publishDelta(spark, path, merged, asOf)
-    publishGen(spark, path, CurrentDirName, merged.filter(col(Scd2.IsCurrent)))
+    publishDelta(spark, path, merged, asOf, epoch)
+    publishGen(spark, path, CurrentDirName, merged.filter(col(Scd2.IsCurrent)), epoch)
+    Fencing.gc(fs, new Path(path), epoch)
   }
 
   /** Day-delta accumulation: a second merge on the same asOf (streaming
@@ -352,13 +381,13 @@ object Scd2History {
     * case (identical expired rows re-emitted) a publish-free no-op.
     */
   private def publishDelta(spark: SparkSession, path: String,
-      merged: DataFrame, asOf: LocalDate): Unit = {
+      merged: DataFrame, asOf: LocalDate, epoch: Long): Unit = {
     val cols = merged.columns.map(col).toIndexedSeq
     val expired = merged.filter(!col(Scd2.IsCurrent)).select(cols: _*)
     val existing = readDay(spark, path, asOf).select(cols: _*)
     if (!expired.exceptAll(existing).isEmpty) {
       val delta = expired.unionByName(existing).distinct().localCheckpoint(true)
-      publishGen(spark, path, deltaDirName(asOf), delta)
+      publishGen(spark, path, deltaDirName(asOf), delta, epoch)
     }
   }
 
@@ -442,6 +471,11 @@ object Scd2History {
       compareCols: Seq[String],
       asOf: LocalDate,
       numBuckets: Int): Unit = {
+    // The path side is fenced like [[merge]]; the catalog-table swap is
+    // only as protected as the metastore's rename atomicity — a zombie is
+    // still stopped before the DELTA publish, bounding the damage to the
+    // recoverable staged-table state.
+    val epoch = Fencing.acquire(fsOf(spark, path), new Path(path))
     Tables.recoverStaged(spark, table)
     recover(spark, path)
     val (current, alignedBatch) = align(readCurrentBucketed(spark, table), batch)
@@ -451,9 +485,10 @@ object Scd2History {
     val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
       .localCheckpoint(true)
     Tables.writeSchemaSidecar(spark, path, merged.schema)
-    publishDelta(spark, path, merged, asOf)
+    publishDelta(spark, path, merged, asOf, epoch)
     Tables.overwriteBucketed(
       merged.filter(col(Scd2.IsCurrent)).drop(Scd2.EndDate, Scd2.IsCurrent),
       table, keys, numBuckets)
+    Fencing.gc(fsOf(spark, path), new Path(path), epoch)
   }
 }

@@ -161,6 +161,17 @@ object Tables {
     */
   def overwriteKeeping(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       keepVersions: Int = 0): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // Fencing token for this write — checked before every irreversible
+    // step, so a writer that stalls while a newer one starts fails
+    // loudly instead of clobbering the newer commit (FencingSpec drives
+    // the interleaving through the seam below).
+    overwriteFenced(df, path, partitionBy, keepVersions, Fencing.acquire(fs, root))
+  }
+
+  private[io] def overwriteFenced(df: DataFrame, path: String, partitionBy: Seq[String],
+      keepVersions: Int, epoch: Long): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -183,6 +194,7 @@ object Tables {
     // staging dir inside it and the flip below would publish the stale crash
     // leftovers. The rename result is checked for the same reason: promoting
     // nothing and then flipping the manifest is silent corruption.
+    Fencing.check(fs, root, epoch)
     val target = new Path(root, next)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(staging, target))
@@ -192,6 +204,7 @@ object Tables {
     // onto `_current` (atomic on HDFS + local FS). Both ops go through
     // FileContext: rename-overwrite needs it, and its create path skips the
     // local ChecksumFileSystem's .crc side files.
+    Fencing.check(fs, root, epoch)
     val tmp = new Path(root, s".$Manifest.tmp")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
     val out = fc.create(tmp,
@@ -211,17 +224,22 @@ object Tables {
       if (keepVersions > 0) keepVersions
       else readRetention(fs, root).getOrElse(2)
 
-    // GC: keep the manifest + retention sidecar plus the newest
-    // `effectiveKeep` version dirs (always including the one just
-    // published — covers the live version and the in-flight-reader grace
-    // copy at the minimum retention). This also clears pre-versioning
-    // loose files and abandoned staging dirs.
+    // GC: keep the manifest + retention sidecar + fencing markers plus
+    // the newest `effectiveKeep` version dirs (always including the one
+    // just published — covers the live version and the in-flight-reader
+    // grace copy at the minimum retention). This also clears
+    // pre-versioning loose files and abandoned staging dirs. A stale
+    // writer never reaches this GC (the checks above throw first), so it
+    // cannot delete a newer writer's staging or version.
+    Fencing.check(fs, root, epoch)
     val versions = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("v\\d{8}")).sorted(Ordering[String].reverse)
     val keep = Set(Manifest, Retention) ++ versions.take(math.max(effectiveKeep, 2))
     fs.listStatus(root).foreach { st =>
-      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      val n = st.getPath.getName
+      if (!keep.contains(n) && !n.startsWith("_epoch.")) fs.delete(st.getPath, true)
     }
+    Fencing.gc(fs, root, epoch)
   }
 
   /** Retained snapshot versions of a managed table, newest first. */

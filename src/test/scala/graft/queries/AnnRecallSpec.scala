@@ -92,4 +92,57 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"query-directed recall $recall%.2f < 0.8")
     assert(volume <= budget, s"candidate volume $volume exceeds 3x d1 budget $budget")
   }
+
+  /** The documented knob sweep (SCALING.md "ANN recall-vs-cost"): recall@3
+    * and candidate volume per (plane count × probe schedule), against the
+    * same brute-force truth. Run with
+    * `sbt "testOnly graft.queries.AnnRecallSpec"` and read the info lines;
+    * the table in SCALING.md is this output verbatim. The assertions pin
+    * only the structural laws (more probes ⇒ recall never drops, fewer
+    * planes ⇒ candidate volume never drops), not the point values — those
+    * are measurements, not contracts.
+    */
+  test("recall-vs-cost sweep: planes x probe schedule (table for SCALING.md)") {
+    val sweep = for (nPlanes <- Seq(4, 6, 8)) yield {
+      val pl = Sim.hyperplanes(nPlanes, 64)
+      val e = graft.io.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        .withColumn("bucket", Sim.lshBucket(col("vec"), pl))
+        .cache()
+      def measure(probesOf: org.apache.spark.sql.Column, frame: org.apache.spark.sql.DataFrame) = {
+        val q = frame.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+            explode(probesOf).as("pbucket"))
+        val joined = e.as("c")
+          .join(q, col("c.bucket") === col("pbucket") && col("q_id") =!= col("c.vec_id"))
+        val got = joined
+          .select(col("q_id"), col("c.vec_id").as("n_id"),
+            Sim.cosine(col("q_vec"), col("c.vec")).as("sim"))
+          .groupBy("q_id").agg(expr("topk_pairs(3, sim, n_id)").as("t"))
+          .select(col("q_id"), explode(col("t")).as("p"))
+          .select(col("q_id"), col("p.id").as("n_id"))
+          .as[(Long, Long)].collect().toSet
+        ((truth intersect got).size.toDouble / truth.size, joined.count())
+      }
+      val (rs, vs) = measure(array(col("bucket")), e)
+      val d1 = array(col("bucket") +:
+        (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
+      val (rd, vd) = measure(d1, e)
+      val eMs = e.withColumn("ms", Extensions.marginSortExpr(col("vec"), pl))
+      val qd = array(Extensions.probeMasks("ms").map(m => col("bucket").bitwiseXOR(m)): _*)
+      val (rq, vq) = measure(qd, eMs)
+      e.unpersist()
+      info(f"| $nPlanes planes | single $rs%.2f @ $vs%4d | d1 $rd%.2f @ $vd%4d | query-directed $rq%.2f @ $vq%4d |")
+      (nPlanes, (rs, vs), (rd, vd), (rq, vq))
+    }
+    sweep.foreach { case (_, (rs, vs), (rd, vd), (rq, _)) =>
+      assert(rd >= rs, "d1 probing must not lose recall vs single-probe")
+      assert(rq >= rs, "query-directed probing must not lose recall vs single-probe")
+      assert(vd >= vs, "d1 probes at least the single-probe volume")
+    }
+    // more planes ⇒ smaller buckets ⇒ candidate volume shrinks
+    val singleVolumes = sweep.map(_._2._2)
+    assert(singleVolumes == singleVolumes.sorted.reverse,
+      s"single-probe candidate volume should fall as planes rise: $singleVolumes")
+  }
 }

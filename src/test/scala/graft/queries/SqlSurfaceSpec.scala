@@ -44,8 +44,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(Tables.read(spark, path).as[Int].collect().toSet == Set(4, 5))
     // layout: manifest + live version + previous version (reader grace), no staging
     // (dot-prefixed entries — e.g. the local FS's checksum side files — are
-    // hidden from Spark/Hadoop listings and don't participate in the layout)
-    def visible(p: String) = new java.io.File(p).listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    // hidden from Spark/Hadoop listings and don't participate in the layout;
+    // _epoch.* fencing markers are writer bookkeeping, covered by FencingSpec)
+    def visible(p: String) = new java.io.File(p).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_epoch.")).toSet
     assert(visible(path) == Set("_current", "v00000001", "v00000002"))
     // third overwrite GCs v1, keeps v2 as the grace version
     Tables.overwrite(Seq(6).toDF("v"), path)
