@@ -79,6 +79,8 @@ object SparkEntry {
     "q60_time_pairs" -> (Extensions.q60TimePairs _),
     "q61_dedup_clusters" -> (Extensions.q61DedupClusters _),
     "q62_seq_packing" -> (Extensions.q62SeqPacking _),
+    "q63_pq_encode" -> (Extensions.q63PqEncode _),
+    "q64_ivfpq_search" -> (Extensions.q64IvfpqSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

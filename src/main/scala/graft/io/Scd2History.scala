@@ -236,6 +236,16 @@ object Scd2History {
   def readCurrent(spark: SparkSession, path: String): DataFrame =
     readLeaves(spark, path, Some(CurrentDirName))
 
+  /** The rows expired on `asOf` — that day's live delta generation, an
+    * empty frame if the day has none. Directory-pruned: only the one day
+    * dir is listed. The day's NEW current versions are
+    * `readCurrent(…).filter(effective_date = asOf)`; together these two
+    * frames are the load's full change set (what downstream incremental
+    * consumers — [[graft.pipeline.Gold.runIncremental]] — key off).
+    */
+  def readExpiredOn(spark: SparkSession, path: String, asOf: LocalDate): DataFrame =
+    readDay(spark, path, asOf)
+
   /** The asOf day's live delta (empty frame if the day has none). */
   private def readDay(spark: SparkSession, path: String, asOf: LocalDate): DataFrame =
     readLeaves(spark, path, Some(deltaDirName(asOf)))

@@ -43,9 +43,11 @@ object Gold {
   /** GL:29: current SCD2 rows when the table is versioned, all rows when not.
     * When the table also carries `end_date` (always, for well-formed SCD2:
     * is_current ⇔ end_date IS NULL), the equivalent null test is added so
-    * the filter PRUNES PARTITIONS of the end_date-partitioned incremental
-    * history layout (graft.io.Scd2History) — gold builds then scan only the
-    * current snapshot, never the accumulated closed history.
+    * the filter SKIPS the closed history's files: in the
+    * [[graft.io.Scd2History]] generation layout every closed file holds a
+    * single non-null end_date, so its parquet null-count stat fails
+    * `end_date IS NULL` and the file is pruned at the scan — gold builds
+    * read only the current snapshot, never the accumulated history.
     */
   private def current(df: DataFrame): DataFrame =
     if (!df.columns.contains("is_current")) df
@@ -244,6 +246,112 @@ object Gold {
           |FROM fact_admissions
           |GROUP BY admission_year, admission_month, reason""".stripMargin),
     ).flatten
+  }
+
+  /** The partitioned facts, with what an incremental refresh needs to
+    * know: the silver entity they derive from, the business-date column
+    * that places a row in a (year, month) partition, and that partition
+    * column pair.
+    */
+  private final case class FactSpec(
+      name: String, entity: String, dateCol: String,
+      yearCol: String, monthCol: String,
+      build: (SparkSession, String) => Either[String, DataFrame])
+
+  private val factSpecs = Seq(
+    FactSpec("fact_billing", "billing", "billing_date",
+      "billing_year", "billing_month", factBilling),
+    FactSpec("fact_admissions", "admissions", "admission_date",
+      "admission_year", "admission_month", factAdmissions),
+    FactSpec("fact_vitals", "vitals", "ts",
+      "vital_year", "vital_month", factVitals))
+
+  /** Incremental gold refresh for the asOf load — the 100 TB fact-build
+    * pattern: rebuild ONLY the (year, month) partitions the day's silver
+    * delta touched, not the table. The change set is the day's expired
+    * rows ([[graft.io.Scd2History.readExpiredOn]], directory-pruned) plus
+    * the day's new current versions (`effective_date = asOf`); the months
+    * their BUSINESS dates fall in — not the load date! a backdated
+    * amendment touches last year's partition — are rebuilt from current
+    * silver and dynamic-partition-overwritten in place. A month whose
+    * rebuild comes back EMPTY (its last row's date was amended into a
+    * different month) is deleted explicitly — dynamic overwrite only
+    * replaces partitions it writes, and leaving the stale month behind
+    * would resurrect the moved row.
+    *
+    * Facts therefore live in the PLAIN dynamic-partition layout here (the
+    * per-table tradeoff [[graft.io.Tables.overwritePartitionsDynamic]]
+    * documents: partition-level refresh for large facts, versioned
+    * snapshots for dims/aggs); manage a given fact with EITHER [[run]]
+    * (full versioned rebuild, reference parity) or this — not both.
+    * Dims and the aggregate tables are current-snapshot-sized and rebuilt
+    * whole, as in [[run]] (incremental AGGREGATE maintenance would need
+    * mergeable partial state per month — the aggs here are small enough
+    * that recomputation wins).
+    */
+  def runIncremental(spark: SparkSession, warehouse: String, asOf: LocalDate,
+      log: String => Unit = println): Seq[String] = {
+    import graft.io.Scd2History
+    val asOfDate = lit(asOf.toString).cast("date")
+    val factSkips = factSpecs.map { fs =>
+      fs.build(spark, warehouse) match {
+        case Left(reason) =>
+          val msg = s"Skipping ${fs.name} — $reason"
+          log(msg)
+          Some(msg)
+        case Right(df) =>
+          val path = goldPath(warehouse, fs.name)
+          val parts = Seq(fs.yearCol, fs.monthCol)
+          if (!Tables.exists(spark, path)) {
+            // first build: all months, same layout
+            Tables.overwritePartitionsDynamic(df, path, parts)
+          } else {
+            val silver = Silver.silverPath(warehouse, fs.entity)
+            val changed = Scd2History.readExpiredOn(spark, silver, asOf)
+              .unionByName(Scd2History.readCurrent(spark, silver)
+                .filter(col(graft.engine.Scd2.EffectiveDate) === asOfDate))
+            val touched = changed
+              .select(year(col(fs.dateCol)).as(fs.yearCol),
+                month(col(fs.dateCol)).as(fs.monthCol))
+              .na.drop().distinct()
+              .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+            if (touched.nonEmpty) {
+              val rebuilt = df.filter(touched.toSeq
+                .map { case (y, m) => col(fs.yearCol) === y && col(fs.monthCol) === m }
+                .reduce(_ || _))
+              val nonEmpty = rebuilt
+                .select(fs.yearCol, fs.monthCol).distinct()
+                .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+              Tables.overwritePartitionsDynamic(rebuilt, path, parts)
+              // emptied months: delete their partition dirs explicitly
+              val fsys = new org.apache.hadoop.fs.Path(path)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              (touched -- nonEmpty).foreach { case (y, m) =>
+                fsys.delete(new org.apache.hadoop.fs.Path(
+                  s"$path/${fs.yearCol}=$y/${fs.monthCol}=$m"), true)
+              }
+            }
+          }
+          None
+      }
+    }
+    def build(name: String, table: Either[String, DataFrame]): Option[String] =
+      table match {
+        case Right(df) => Tables.overwrite(df, goldPath(warehouse, name)); None
+        case Left(reason) =>
+          val msg = s"Skipping $name — $reason"
+          log(msg)
+          Some(msg)
+      }
+    val rest = Seq(
+      build("dim_patient", dimPatient(spark, warehouse)),
+      build("dim_doctor", dimDoctor(spark, warehouse)),
+      build("dim_date", Right(dimDate(spark, warehouse, asOf))),
+      build("fact_doctor_activity", factDoctorActivity(spark, warehouse)),
+      build("agg_revenue_month", aggRevenueMonth(spark, warehouse)),
+      build("agg_admissions_reason_month", aggAdmissionsReasonMonth(spark, warehouse)),
+    ).flatten
+    factSkips.flatten ++ rest
   }
 
   /** Build all gold tables; facts keep the reference's (year, month)

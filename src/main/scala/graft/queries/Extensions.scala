@@ -888,4 +888,117 @@ object Extensions {
     */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhoneRe = "(\\([0-9]{3}\\) ?|[0-9]{3}-)[0-9]{3,4}-[0-9]{4}"
+
+  /** Product-quantization geometry: EmbeddingDim splits into PqM
+    * subspaces of PqSubDim dims, each quantized against PqK centroids —
+    * a vector compresses to PqM small codes (here 8 × 4 bits), the
+    * memory shape that fits 10⁹-vector indexes in RAM (FAISS IVFPQ's
+    * layout). Codebooks here are the PqK lowest-id vectors — a
+    * deterministic stand-in with the exact shape a trained codebook
+    * (q56's k-means output) drops into.
+    */
+  val PqM = 8
+  val PqSubDim: Int = EmbeddingDim / PqM
+  val PqK = 16
+
+  /** Sequential-order dot of subspace `sub` (0-based) of two vectors —
+    * [[Sim.dot]] over aligned slices, bit-reproducible in DuckDB.
+    */
+  private def subDot(a: Column, b: Column, sub: Column): Column =
+    Sim.dot(
+      slice(a, sub * PqSubDim + 1, lit(PqSubDim)),
+      slice(b, sub * PqSubDim + 1, lit(PqSubDim)))
+
+  /** The whole PqK-entry codebook collected onto ONE row (sorted by id —
+    * deterministic fold order), for a scale-free single-row broadcast:
+    * encoding is then a per-row higher-order-function fold, no join and
+    * no row explosion against the corpus.
+    */
+  private def pqCodebookRow(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqK)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("int").as("cb_id"), col("vec").as("cb_vec")))).as("cbs"))
+
+  /** Per-subspace argmax-dot code array: element s is
+    * struct(code, score) for subspace s. Strict `>` keeps the FIRST
+    * (lowest-id) centroid on ties — matching the oracle's
+    * `ORDER BY d DESC, cb_id`.
+    */
+  private def pqCodesExpr: Column =
+    transform(sequence(lit(0), lit(PqM - 1)), sub => {
+      val best = aggregate(
+        col("cbs"),
+        struct(lit(Double.NegativeInfinity).as("d"), lit(-1).as("id")),
+        (acc, cb) => {
+          val d = subDot(col("vec"), cb.getField("cb_vec"), sub)
+          when(d > acc.getField("d"),
+            struct(d.as("d"), cb.getField("cb_id").as("id"))).otherwise(acc)
+        })
+      struct(best.getField("id").as("code"), best.getField("d").as("score"))
+    })
+
+  /** PQ encode: each embedding compresses to PqM per-subspace codes
+    * (argmax dot against the subspace codebook). Map-only over the corpus
+    * — the codebook rides a one-row broadcast and the argmax is an
+    * in-expression fold, so no join, no shuffle, no explosion; output is
+    * relational (vec_id, subspace, code, score) for the oracle.
+    */
+  def q63PqEncode(s: SparkSession, dir: String): DataFrame = {
+    val emb = widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+    emb.crossJoin(broadcast(pqCodebookRow(emb)))
+      .select(col("vec_id"), posexplode(pqCodesExpr).as(Seq("subspace", "best")))
+      .select(col("vec_id"), col("subspace").cast("int").as("subspace"),
+        col("best.code").as("code"), r4(col("best.score")).as("score"))
+  }
+
+  /** IVF-PQ search — q53's coarse quantizer composed with q63's codes:
+    * candidates enter the cell equi-join carrying ONLY their PqM codes
+    * (never their vectors), and matched candidates are scored by
+    * asymmetric distance — the query subvector dotted with the
+    * candidate's CODEBOOK centroid per subspace, summed. This is the
+    * 10⁹-vector memory/plan shape (FAISS IVFPQ): the corpus-wide state is
+    * codes + cells, the full-precision vectors appear only on the query
+    * side. Explosion to (pair × subspace) happens AFTER cell selection —
+    * cost follows matched candidates, not the corpus — and the ADC sum
+    * runs through DECIMAL, so ranking is bit-stable under any
+    * partitioning/merge order (float sums are not associative).
+    */
+  def q64IvfpqSearch(s: SparkSession, dir: String): DataFrame = {
+    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
+    // materialized once: feeds the codebook row, the candidate side, and
+    // the query side
+    val base = widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .withColumn("dots", dots)
+      .localCheckpoint(true)
+    val cb = base.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("cb_id"), col("vec").as("cb_vec"))
+    val cand = base.crossJoin(broadcast(pqCodebookRow(base)))
+      .select(col("vec_id"),
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"),
+        pqCodesExpr.as("codes"))
+    val ranked = array_sort(array(Planes.indices.map(j =>
+      struct((-element_at(col("dots"), j + 1)).as("m"), lit(j).as("j"))): _*))
+    val q = base.filter(col("vec_id") < 10)
+      .withColumn("sd", ranked)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(slice(col("sd"), 1, IvfNprobe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p.j").as("pcell"))
+    val partials = cand
+      .join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_vec"), col("vec_id").as("n_id"),
+        posexplode(col("codes")).as(Seq("subspace", "best")))
+      .join(broadcast(cb), col("best.code") === col("cb_id"))
+      .select(col("q_id"), col("n_id"),
+        subDot(col("q_vec"), col("cb_vec"), col("subspace")).cast("decimal(28,14)").as("pd"))
+    partials.groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("pd")).as("sd"))
+      .select(col("q_id"), col("n_id"), col("sd").cast("double").as("adc"))
+      .groupBy(col("q_id"))
+      .agg(expr("topk_pairs(3, adc, n_id)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("adc"))
+  }
 }

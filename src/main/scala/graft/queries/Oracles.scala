@@ -645,6 +645,64 @@ object Oracles {
          |  abs(a90 - e90) / e90 <= 0.02 AS p90_within_2pct
          |FROM g""".stripMargin,
 
+    "q63_pq_encode" -> {
+      val sub = Extensions.PqSubDim
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |cb AS (SELECT vec_id AS cb_id, vec AS cb_vec FROM e WHERE vec_id < ${Extensions.PqK}),
+         |sub AS (SELECT CAST(i AS INTEGER) AS s
+         |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
+         |x AS (SELECT e.vec_id, sub.s, cb.cb_id,
+         |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
+         |                         list_slice(cb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS d
+         |      FROM e CROSS JOIN cb CROSS JOIN sub),
+         |b AS (SELECT vec_id, s, cb_id, d,
+         |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cb_id) AS rn
+         |      FROM x)
+         |SELECT vec_id, s AS subspace, CAST(cb_id AS INTEGER) AS code, ${r("d", 4)} AS score
+         |FROM b WHERE rn = 1""".stripMargin
+    },
+
+    "q64_ivfpq_search" -> {
+      val sub = Extensions.PqSubDim
+      val dots = (0 until Extensions.LshPlanes)
+        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
+        .mkString("[", ",\n    ", "]")
+      val sd = (0 until Extensions.LshPlanes)
+        .map(j => s"{'m': -dots[${j + 1}], 'j': $j}")
+        .mkString("list_sort([", ", ", "])")
+      val probes = (1 to Extensions.IvfNprobe).map(i => s"sd[$i].j").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |e AS (SELECT vec_id, vec, $dots AS dots FROM d),
+         |cb AS (SELECT vec_id AS cb_id, vec AS cb_vec FROM d WHERE vec_id < ${Extensions.PqK}),
+         |sub AS (SELECT CAST(i AS INTEGER) AS s
+         |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
+         |x AS (SELECT d.vec_id, sub.s, cb.cb_id,
+         |        list_dot_product(list_slice(d.vec, sub.s*$sub+1, sub.s*$sub+$sub),
+         |                         list_slice(cb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS dd
+         |      FROM d CROSS JOIN cb CROSS JOIN sub),
+         |codes AS (SELECT vec_id, s, cb_id AS code FROM (
+         |        SELECT vec_id, s, cb_id,
+         |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dd DESC, cb_id) AS rn
+         |        FROM x) WHERE rn = 1),
+         |cand AS (SELECT vec_id,
+         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell FROM e),
+         |qm AS (SELECT vec_id, vec, $sd AS sd FROM e WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, unnest($probes) AS pcell FROM qm),
+         |pr AS (SELECT q.q_id, q.q_vec, c.vec_id AS n_id
+         |       FROM cand c JOIN q ON c.cell = q.pcell AND q.q_id <> c.vec_id),
+         |pa AS (SELECT pr.q_id, pr.n_id,
+         |         CAST(list_dot_product(
+         |           list_slice(pr.q_vec, co.s*$sub+1, co.s*$sub+$sub),
+         |           list_slice(cb.cb_vec, co.s*$sub+1, co.s*$sub+$sub)) AS DECIMAL(28,14)) AS pd
+         |       FROM pr JOIN codes co ON co.vec_id = pr.n_id
+         |               JOIN cb ON cb.cb_id = co.code),
+         |ad AS (SELECT q_id, n_id, CAST(sum(pd) AS DOUBLE) AS adc FROM pa GROUP BY q_id, n_id),
+         |rr AS (SELECT q_id, n_id, adc,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank FROM ad)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("adc", 4)} AS adc
+         |FROM rr WHERE rank <= 3""".stripMargin
+    },
+
     "q56_kmeans_step" -> {
       val dots = (0 until Extensions.LshPlanes)
         .map(j => s"list_dot_product(vec, ${planeSql(j)})")
