@@ -93,8 +93,16 @@ object Oracles {
   }
 
   private val lshPairSelect: String =
-    """SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |FROM bands a JOIN bands b
+    // cap-aware (HotBucketCap smallest doc_ids per bucket — the bounded
+    // aggregate's keep rule; a no-op at bucket sizes the banding admits
+    // on this data, load-bearing if a bucket ever concentrates)
+    s"""SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM (SELECT * FROM (SELECT doc_id, band, h,
+      |        row_number() OVER (PARTITION BY band, h ORDER BY doc_id) AS rn
+      |      FROM bands) WHERE rn <= ${Extensions.HotBucketCap}) a
+      |JOIN (SELECT * FROM (SELECT doc_id, band, h,
+      |        row_number() OVER (PARTITION BY band, h ORDER BY doc_id) AS rn
+      |      FROM bands) WHERE rn <= ${Extensions.HotBucketCap}) b
       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
 
   /** q06's SCD2 end-state, shared with the as-of join oracle (q42). */
@@ -239,12 +247,29 @@ object Oracles {
     "q19_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents",
 
-    "q37_simhash_pairs" ->
-      s"""WITH h AS (SELECT doc_id, source, $simhashSql AS simhash FROM documents)
-         |SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+    "q37_simhash_pairs" -> {
+      // The pigeonhole banding is EXACT (any hamming<=2 pair shares a
+      // segment), so the oracle needs no bands — but the per-bucket
+      // HotBucketCap is part of the operator's semantics and BINDS at
+      // sf>=0.1 (correlated simhashes concentrate segment buckets), so it
+      // is mirrored: a pair survives iff both sides are among some shared
+      // bucket's `HotBucketCap` smallest (doc_id, simhash) members — the
+      // bounded aggregate's exact keep rule.
+      val segs = Seq((0, 6), (6, 5), (11, 5)).zipWithIndex.map { case ((shift, width), i) =>
+        s"SELECT doc_id, source, simhash, $i AS seg, (simhash >> $shift) & ${(1 << width) - 1} AS v FROM h"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH h AS (SELECT doc_id, source, $simhashSql AS simhash FROM documents),
+         |segs AS (
+         |  $segs),
+         |kept AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source, seg, v ORDER BY doc_id, simhash) AS rn
+         |  FROM segs) WHERE rn <= ${Extensions.HotBucketCap})
+         |SELECT DISTINCT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+         |FROM kept a JOIN kept b
+         |  ON a.source = b.source AND a.seg = b.seg AND a.v = b.v AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+    },
 
     "q20_jaccard_pairs" -> {
       val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
@@ -278,8 +303,12 @@ object Oracles {
       s"SELECT vec_id, ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings",
 
     "q32_cosine_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+      // cap-aware bucket membership, mirroring bounded_sorted_list (see q37)
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
          |  ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings),
+         |e AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  FROM e0) WHERE rn <= ${Extensions.HotBucketCap}),
          |p AS (
          |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, ${cosSql("a.vec", "b.vec")} AS sim
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
