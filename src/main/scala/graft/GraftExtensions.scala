@@ -8,10 +8,13 @@ import graft.expressions.{BoundedSortedList, CosineSimilarity, TopKPairs}
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
   * registers the native expressions so both SQL text and
-  * `expr("cosine_sim(a, b)")` resolve to the codegen'd implementations.
+  * `expr("cosine_sim(a, b)")` resolve to the codegen'd implementations,
+  * plus the planner strategy for the native as-of join
+  * (graft.plans.AsOfJoinNode -> AsOfJoinExec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_seq_packing" -> (Extensions.q62SeqPacking _),
     "q63_pq_encode" -> (Extensions.q63PqEncode _),
     "q64_ivfpq_search" -> (Extensions.q64IvfpqSearch _),
+    "q65_asof_native" -> (Extensions.q65AsofNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1001,4 +1001,28 @@ object Extensions {
       .select(col("q_id"), col("p.id").as("n_id"),
         (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("adc"))
   }
+
+  /** Native as-of join (graft.plans.AsOfJoinExec — custom LogicalPlan +
+    * Strategy + SparkPlan, SURVEY.md §2.7): stamp each purchase event with
+    * the user's last view at-or-before it. The composed alternative is a
+    * range join (every view before every purchase — quadratic in events
+    * per user) plus a window to keep rank 1; the native operator is one
+    * co-partitioned exchange per side and a single forward merge pass, so
+    * at 100 TB the cost is two shuffles and O(|events|) scan work with
+    * constant per-task state. Tie-break on v_event_id keeps the winner —
+    * and the oracle hash — deterministic.
+    */
+  def q65AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"), col("value").as("v_value"))
+    graft.plans.AsOf.join(p, v,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts", Seq("v_event_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("v_event_id"), col("v_value"))
+  }
 }

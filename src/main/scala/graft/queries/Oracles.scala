@@ -818,5 +818,19 @@ object Oracles {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q65_asof_native" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts, value AS v_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT event_id, user_id, ts_s, v_event_id, v_value FROM (
+        |  SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |         v.v_event_id, v.v_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.ts) q
+        |WHERE rn = 1""".stripMargin,
   )
 }

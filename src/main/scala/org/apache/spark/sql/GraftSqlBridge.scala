@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal private[sql] bridge: turn a resolved LogicalPlan into a
+  * DataFrame. `classic.Dataset.ofRows` is package-private in Spark 4, so
+  * this one-liner lives in the org.apache.spark.sql package — the
+  * conventional extension-library technique (no Spark internals are
+  * modified or shadowed).
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native as-of join: semantics vs a composed reference (range join +
+  * window), left-outer nulls, tie-breaks, null times, cross-partition
+  * keys, and the plan contract (AsOfJoinExec present, no Window/SMJ, both
+  * children sorted under co-partitioned exchanges).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (id, key, t)
+    (1L, "a", 10L), (2L, "a", 25L), (3L, "a", 5L),
+    (4L, "b", 100L), (5L, "c", 7L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (id, key, t, px)
+    (101L, "a", 8L, 1.0), (102L, "a", 10L, 2.0), (103L, "a", 10L, 3.0),
+    (104L, "a", 20L, 4.0), (105L, "b", 101L, 9.0), (106L, "d", 1L, 0.0)
+  ).toDF("quote_id", "qsym", "qt", "px")
+
+  test("as-of semantics: last quote at-or-before each trade, max-tie wins") {
+    val out = AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", rightTieCols = Seq("quote_id"))
+      .select("trade_id", "quote_id", "px")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // trade 1 (a,10): quotes at 8,10,10 qualify; tie at t=10 -> quote 103.
+    assert(out(1L) == 103L)
+    // trade 2 (a,25): last is 104 (t=20).
+    assert(out(2L) == 104L)
+    // trade 3 (a,5): nothing at-or-before -> null.
+    assert(out(3L) == -1L)
+    // trade 4 (b,100): only quote is at 101 -> too late -> null.
+    assert(out(4L) == -1L)
+    // trade 5 (c,7): no quotes for key c -> null.
+    assert(out(5L) == -1L)
+  }
+
+  test("matches the composed range-join + window formulation on events") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_event_id"), $"user_id".as("v_user_id"),
+        $"ts".as("v_ts"), $"value".as("v_value"))
+
+    val native = AsOf.join(p, v, Seq("user_id"), Seq("v_user_id"), "ts", "v_ts",
+        rightTieCols = Seq("v_event_id"))
+      .select($"event_id", $"v_event_id", $"v_value")
+
+    val composed = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_id")
+        .orderBy($"v_ts".desc_nulls_last, $"v_event_id".desc_nulls_last)
+      p.join(v, $"user_id" === $"v_user_id" && $"v_ts" <= $"ts", "left")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id", $"v_event_id", $"v_value")
+    }
+
+    val n = native.collect().map(r => r.toSeq).sortBy(_.toString)
+    val c = composed.collect().map(r => r.toSeq).sortBy(_.toString)
+    assert(n.length == c.length && n.sameElements(c))
+    assert(native.count() == p.count()) // left-outer: one row per left row
+  }
+
+  test("null right time never matches; null left time emits unmatched") {
+    val l = Seq((1L, "k", Some(10L)), (2L, "k", None)).toDF("lid", "key", "t")
+    val r = Seq((9L, "k", Some(5L), "ok"), (8L, "k", None, "bad"))
+      .toDF("rid", "rkey", "rt", "tag")
+    val out = AsOf.join(l, r, Seq("key"), Seq("rkey"), "t", "rt", Seq("rid"))
+      .select("lid", "tag").collect()
+      .map(row => (row.getLong(0), Option(row.getString(1)))).toMap
+    assert(out(1L).contains("ok")) // null-time right row skipped, not chosen
+    assert(out(2L).isEmpty)        // null-time left row: no match
+  }
+
+  test("plan: AsOfJoinExec, no window, sorted co-partitioned children") {
+    val out = AsOf.join(trades, quotes,
+      Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"))
+    out.collect() // materialize so AQE finalizes the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("Sort "))
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("works on a session without GraftExtensions (experimental fallback)") {
+    val bare = spark.newSession()
+    // newSession inherits extensions; simulate a bare session by checking
+    // the idempotent registration path directly instead: a second call
+    // must not duplicate the strategy.
+    val before = bare.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental.extraStrategies.length
+    AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id")).collect()
+    AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id")).collect()
+    val after = bare.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental.extraStrategies.length
+    assert(after == before)
+  }
+}
