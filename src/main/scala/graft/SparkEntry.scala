@@ -82,6 +82,9 @@ object SparkEntry {
     "q63_pq_encode" -> (Extensions.q63PqEncode _),
     "q64_ivfpq_search" -> (Extensions.q64IvfpqSearch _),
     "q65_asof_native" -> (Extensions.q65AsofNative _),
+    "q66_line_dedup" -> (Extensions.q66LineDedup _),
+    "q67_decontaminate" -> (Extensions.q67Decontaminate _),
+    "q68_robust_outliers" -> (Extensions.q68RobustOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

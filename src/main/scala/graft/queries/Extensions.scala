@@ -1002,6 +1002,125 @@ object Extensions {
         (col("pos") + 1).cast("int").as("rank"), r4(col("p.score")).as("adc"))
   }
 
+  /** q66: the "line" unit for boilerplate removal. The synthetic documents
+    * carry no newlines, so the unit is non-overlapping k-token chunks —
+    * the operator shape (explode -> corpus-wide frequency -> drop -> ordered
+    * reassembly) is exactly C4/CCNet line-level dedup.
+    */
+  val ChunkTokens = 3
+  /** q66: a chunk appearing in >= this many distinct docs is boilerplate. */
+  val BoilerplateMinDocs = 5
+  /** q67: contamination shingle width (tokens). */
+  val DecontamGram = 4
+  /** q67: docs with doc_id % this == 0 form the held-out benchmark set. */
+  val BenchmarkMod = 97
+
+  /** C4/CCNet-style boilerplate line removal (SURVEY.md §7.5 dedup
+    * family): explode every document into its k-token chunks, count each
+    * chunk's document frequency CORPUS-WIDE, drop chunks that appear in >=
+    * BoilerplateMinDocs distinct documents, and reassemble the remaining
+    * chunks in original order. 100 TB shape: the frequency aggregation
+    * shuffles 16-byte md5 digests (never chunk text); the flagged set is
+    * tiny by construction (only corpus-repeated content) so the removal
+    * join is a broadcast anti-join — document text crosses the wire only
+    * for the per-document reassembly, whose state is bounded by document
+    * length. Docs whose every chunk is boilerplate surface with a NULL
+    * text_clean rather than disappearing.
+    */
+  def q66LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val chunks = widen(s, docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $ChunkTokens.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $ChunkTokens + 1, $ChunkTokens)))"))
+        .as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+      .localCheckpoint(true) // feeds the count AND the removal join once
+    val flagged = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerplateMinDocs)
+      .select("h")
+    val kept = chunks.join(broadcast(flagged), Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"))
+        .as("text_clean"))
+    docs
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(ChunkTokens.toDouble))
+          .cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Benchmark decontamination (the training-data hygiene step every LLM
+    * pipeline runs before training): a deterministic held-out set
+    * (doc_id % BenchmarkMod == 0) contributes its distinct token
+    * DecontamGram-shingles; every other document is scored by how many of
+    * its shingles collide with that set. 100 TB shape: the benchmark side
+    * is distinct-reduced digests (benchmarks are small by definition) and
+    * rides a broadcast, so the corpus side is one map-side explode + hash
+    * join + per-doc count — no corpus-vs-corpus shuffle. Shingles shorter
+    * than the gram width produce no grams (document shorter than the
+    * window), matching the oracle's empty generate_series.
+    */
+  def q67Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val grams = widen(s, docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"case when size(toks) >= $DecontamGram then " +
+          s"transform(sequence(1, size(toks) - $DecontamGram + 1), " +
+          s"i -> concat_ws(' ', slice(toks, i, $DecontamGram))) " +
+          "else array() end")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val bench = grams.filter(col("doc_id") % BenchmarkMod === 0)
+      .select("h").distinct()
+    val hits = grams.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_hits"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Robust outlier envelope per event_type: exact median and MAD (median
+    * absolute deviation) — the curation filter that survives heavy-tailed
+    * telemetry where mean/stddev break. Two exact-percentile aggregations
+    * over (event_type) — a handful of groups, so the per-group sorted
+    * state is the only non-map cost — then one counting pass with the
+    * 3-group stats broadcast. Median/MAD interpolation is the same
+    * p*(n-1) formula in Spark's percentile and DuckDB's quantile_cont on
+    * identical doubles, so the unrounded values the outlier comparison
+    * uses are bit-identical; display columns go through the portable
+    * floor-rounding.
+    */
+  def q68RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val stats = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), r4(col("med")).as("med"),
+        r4(col("mad")).as("mad"), col("n"), col("n_outliers"))
+  }
+
   /** Native as-of join (graft.plans.AsOfJoinExec — custom LogicalPlan +
     * Strategy + SparkPlan, SURVEY.md §2.7): stamp each purchase event with
     * the user's last view at-or-before it. The composed alternative is a

@@ -832,5 +832,56 @@ object Oracles {
         |           ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn
         |  FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.ts) q
         |WHERE rn = 1""".stripMargin,
+
+    "q66_line_dedup" -> {
+      val k = Extensions.ChunkTokens
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |ch AS (SELECT doc_id, i AS pos,
+         |         array_to_string(list_slice(toks, i*$k + 1, i*$k + $k), ' ') AS chunk
+         |       FROM tok, unnest(generate_series(0,
+         |         CAST(ceil(len(toks) / $k.0) AS BIGINT) - 1)) AS t(i)),
+         |fl AS (SELECT chunk FROM ch GROUP BY chunk
+         |       HAVING count(DISTINCT doc_id) >= ${Extensions.BoilerplateMinDocs}),
+         |kept AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM fl)),
+         |rb AS (SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+         |       FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |          CAST(ceil(len(string_split(text, ' ')) / $k.0) AS BIGINT) AS n_chunks
+         |        FROM d)
+         |SELECT d.doc_id, rb.text_clean, coalesce(rb.n_kept, 0) AS n_kept,
+         |       tot.n_chunks - coalesce(rb.n_kept, 0) AS n_dropped
+         |FROM d JOIN tot USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin
+    },
+
+    "q67_decontaminate" -> {
+      val g = Extensions.DecontamGram
+      val m = Extensions.BenchmarkMod
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |grams AS (SELECT doc_id,
+         |            array_to_string(list_slice(toks, i, i + $g - 1), ' ') AS g
+         |          FROM d, unnest(generate_series(1, len(toks) - $g + 1)) AS t(i)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $m = 0),
+         |hits AS (SELECT doc_id, count(*) AS n FROM grams
+         |         WHERE doc_id % $m <> 0 AND g IN (SELECT g FROM bench)
+         |         GROUP BY doc_id)
+         |SELECT d2.doc_id, coalesce(h.n, 0) AS n_hits, coalesce(h.n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $m <> 0) d2
+         |LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
+
+    "q68_robust_outliers" ->
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |      FROM e GROUP BY event_type),
+         |s AS (SELECT e.event_type, m.med,
+         |        quantile_cont(abs(e.value - m.med), 0.5) AS mad
+         |      FROM e JOIN m USING (event_type) GROUP BY e.event_type, m.med)
+         |SELECT e.event_type, ${r("s.med", 4)} AS med, ${r("s.mad", 4)} AS mad,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM e JOIN s USING (event_type)
+         |GROUP BY e.event_type, s.med, s.mad""".stripMargin,
   )
 }
