@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_line_dedup" -> (Extensions.q66LineDedup _),
     "q67_decontaminate" -> (Extensions.q67Decontaminate _),
     "q68_robust_outliers" -> (Extensions.q68RobustOutliers _),
+    "q69_asof_forward" -> (Extensions.q69AsofForward _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -31,13 +31,16 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * kept candidate) — the same scan shape as a sort-merge join but with
   * last-match-wins instead of all-matches semantics.
   *
-  * Semantics are LEFT OUTER: a left row with no qualifying right row keeps
-  * nulls on the right payload. Determinism: among right rows that share
-  * (key, time), the winner is the greatest by `rightTies` (the caller
-  * supplies a tiebreak column, e.g. a unique id), so results are stable
-  * under any partitioning — required for the hash-checked oracle.
-  * Null times never match: a null-time right row is skipped, a null-time
-  * left row emits unmatched.
+  * Directions mirror pandas `merge_asof`: backward (default) picks the
+  * last right row with time <= left time; forward picks the first with
+  * time >= left time. `isLeftOuter` = true (default) keeps unmatched left
+  * rows with nulls on the right payload; false drops them (inner).
+  * Determinism: among right rows that share (key, time), backward keeps
+  * the greatest and forward the least by `rightTies` (the caller supplies
+  * a tiebreak column, e.g. a unique id), so results are stable under any
+  * partitioning — required for the hash-checked oracle. Null times never
+  * match: a null-time right row is skipped, a null-time left row emits
+  * unmatched.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -46,7 +49,9 @@ case class AsOfJoinNode(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTies: Seq[Expression])
+    rightTies: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward,
+    isLeftOuter: Boolean = true)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
@@ -60,11 +65,21 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Match direction, mirroring pandas merge_asof: backward = last right row
+  * with time <= left time; forward = first right row with time >= left
+  * time. (Both resolve ties deterministically via the right tiebreak sort:
+  * backward keeps the greatest tie, forward the least.)
+  */
+sealed trait AsOfDirection extends Serializable
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 /** Planner rule mapping the logical as-of node to its physical operator. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, ties) =>
-      AsOfJoinExec(lk, rk, lt, rt, ties, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, ties, dir, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, ties, dir, outer,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -85,6 +100,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTies: Seq[Expression],
+    direction: AsOfDirection,
+    isLeftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -98,7 +115,8 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   // The tiebreak columns only order the RIGHT side: sorted ascending, the
-  // merge's last-qualifying-row-wins picks the max tie, deterministically.
+  // backward merge's last-qualifying-row-wins picks the max tie and the
+  // forward merge's first-unconsumed-row-wins the min tie, deterministically.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys ++ (rightTime +: rightTies)).map(SortOrder(_, Ascending)))
@@ -117,6 +135,8 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val joinedOutput = output
+    val forward = direction == AsOfForward
+    val outer = isLeftOuter
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
@@ -141,29 +161,39 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var candidate: InternalRow = null // copy: survives rHead advances
         private var candidateKey: InternalRow = null
+        private var ready: InternalRow = null // next emitted row (inner skips)
 
-        override def hasNext: Boolean = lIter.hasNext
+        private def advanceRight(): Unit = {
+          rHead = if (rIter.hasNext) rIter.next() else null
+        }
 
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          val lKey = lKeyProj(l) // projection buffer: compare before reuse
-          val lT = lTimeProj(l)
+        /** Backward: consume right rows with key < lKey or (key == lKey and
+          * time <= lT), retaining the last as the (copied) candidate.
+          * Forward: consume right rows with key < lKey or (key == lKey and
+          * time < lT); the match is then the un-consumed rHead itself when
+          * its key equals lKey (a later left row may need the same row).
+          */
+        private def matchFor(lKey: InternalRow, lT: InternalRow): InternalRow = {
           val lTimeNull = lT.isNullAt(0)
           var advancing = true
           while (advancing && rHead != null) {
             val rKey = rKeyProj(rHead)
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) {
-              rHead = if (rIter.hasNext) rIter.next() else null
+              advanceRight()
             } else if (c == 0) {
               val rT = rTimeProj(rHead)
               if (rT.isNullAt(0)) {
                 // Null-time right rows can never qualify for any left row.
-                rHead = if (rIter.hasNext) rIter.next() else null
-              } else if (!lTimeNull && timeOrd.compare(rT, lT) <= 0) {
+                advanceRight()
+              } else if (lTimeNull) {
+                advancing = false
+              } else if (!forward && timeOrd.compare(rT, lT) <= 0) {
                 candidate = rHead.copy()
                 candidateKey = rKeyProj(candidate).copy()
-                rHead = if (rIter.hasNext) rIter.next() else null
+                advanceRight()
+              } else if (forward && timeOrd.compare(rT, lT) < 0) {
+                advanceRight()
               } else {
                 advancing = false
               }
@@ -171,10 +201,39 @@ case class AsOfJoinExec(
               advancing = false
             }
           }
-          val matched = !lTimeNull && candidate != null &&
-            keyOrd.compare(candidateKey, lKey) == 0
-          numOutputRows += 1
-          resultProj(joined(l, if (matched) candidate else nullRight))
+          if (lTimeNull) {
+            null
+          } else if (forward) {
+            if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+              !rTimeProj(rHead).isNullAt(0)) rHead else null
+          } else {
+            if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
+              candidate else null
+          }
+        }
+
+        private def computeNext(): Unit = {
+          while (ready == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l) // projection buffer: compare before reuse
+            val m = matchFor(lKey, lTimeProj(l))
+            if (m != null) {
+              numOutputRows += 1
+              ready = resultProj(joined(l, m))
+            } else if (outer) {
+              numOutputRows += 1
+              ready = resultProj(joined(l, nullRight))
+            } // inner: skip unmatched left rows and keep scanning
+          }
+        }
+
+        override def hasNext: Boolean = { computeNext(); ready != null }
+
+        override def next(): InternalRow = {
+          computeNext()
+          val r = ready
+          ready = null
+          r
         }
       }
     }
@@ -192,10 +251,13 @@ case class AsOfJoinExec(
   */
 object AsOf {
 
-  /** Left as-of join: every `left` row picks the last `right` row with
-    * equal keys and `rightTimeCol` <= `leftTimeCol`, ties broken by the
-    * greatest `rightTieCols`. Output = left columns ++ right columns
-    * (right nullable); disambiguate duplicate names before joining.
+  /** As-of join: every `left` row picks the last `right` row with equal
+    * keys and `rightTimeCol` <= `leftTimeCol` (backward, the default), or
+    * the first with `rightTimeCol` >= `leftTimeCol` (forward). Ties are
+    * broken by `rightTieCols` (backward keeps the greatest, forward the
+    * least). `leftOuter` = false drops unmatched left rows instead of
+    * null-padding. Output = left columns ++ right columns (right
+    * nullable); disambiguate duplicate names before joining.
     */
   def join(
       left: DataFrame,
@@ -204,7 +266,9 @@ object AsOf {
       rightKeyCols: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
-      rightTieCols: Seq[String] = Nil): DataFrame = {
+      rightTieCols: Seq[String] = Nil,
+      direction: AsOfDirection = AsOfBackward,
+      leftOuter: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -220,7 +284,8 @@ object AsOf {
       rightKeyCols.map(resolve(rPlan, _, "right")),
       resolve(lPlan, leftTimeCol, "left"),
       resolve(rPlan, rightTimeCol, "right"),
-      rightTieCols.map(resolve(rPlan, _, "right")))
+      rightTieCols.map(resolve(rPlan, _, "right")),
+      direction, leftOuter)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 

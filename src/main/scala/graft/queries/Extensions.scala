@@ -1144,4 +1144,29 @@ object Extensions {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("v_event_id"), col("v_value"))
   }
+
+  /** Forward + inner as-of join (graft.plans.AsOfJoinExec): stamp each
+    * view event with the user's FIRST purchase at-or-after it — the
+    * time-to-conversion attribution shape — dropping views that never
+    * convert (inner mode). Same two-shuffle single-merge-pass plan as
+    * q65; forward just flips which side of the merge frontier wins, and
+    * inner filters inside the iterator (no extra operator). Tie-break on
+    * p_event_id keeps the winner deterministic for the oracle hash.
+    */
+  def q69AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    graft.plans.AsOf.join(v, p,
+        Seq("user_id"), Seq("p_user_id"), "ts", "p_ts", Seq("p_event_id"),
+        direction = graft.plans.AsOfForward, leftOuter = false)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("p_event_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
+        col("p_value"))
+  }
 }

@@ -883,5 +883,19 @@ object Oracles {
          |  CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM e JOIN s USING (event_type)
          |GROUP BY e.event_type, s.med, s.mad""".stripMargin,
+
+    "q69_asof_forward" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts_s, p_event_id, p_ts_s, p_value FROM (
+        |  SELECT v.event_id, v.user_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |         p.p_event_id, strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s, p.p_value,
+        |         row_number() OVER (PARTITION BY v.event_id
+        |           ORDER BY p.p_ts ASC NULLS LAST, p.p_event_id ASC NULLS LAST) AS rn
+        |  FROM v JOIN p ON v.user_id = p.p_user_id AND p.p_ts >= v.ts) q
+        |WHERE rn = 1""".stripMargin,
   )
 }

@@ -81,6 +81,65 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L).isEmpty)        // null-time left row: no match
   }
 
+  test("forward direction: first quote at-or-after each trade, min-tie wins") {
+    val out = AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", rightTieCols = Seq("quote_id"),
+        direction = AsOfForward)
+      .select("trade_id", "quote_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // trade 1 (a,10): first at-or-after is the t=10 tie -> min tie 102.
+    assert(out(1L) == 102L)
+    // trade 2 (a,25): nothing at-or-after -> null.
+    assert(out(2L) == -1L)
+    // trade 3 (a,5): first at-or-after is 101 (t=8).
+    assert(out(3L) == 101L)
+    // trade 4 (b,100): quote 105 at t=101 qualifies forward.
+    assert(out(4L) == 105L)
+    // trade 5 (c,7): no quotes for key c -> null.
+    assert(out(5L) == -1L)
+  }
+
+  test("forward matches a composed min-over-future formulation on events") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_event_id"), $"user_id".as("v_user_id"),
+        $"ts".as("v_ts"), $"value".as("v_value"))
+
+    val native = AsOf.join(p, v, Seq("user_id"), Seq("v_user_id"), "ts", "v_ts",
+        rightTieCols = Seq("v_event_id"), direction = AsOfForward)
+      .select($"event_id", $"v_event_id", $"v_value")
+
+    val composed = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_id")
+        .orderBy($"v_ts".asc_nulls_last, $"v_event_id".asc_nulls_last)
+      p.join(v, $"user_id" === $"v_user_id" && $"v_ts" >= $"ts", "left")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id", $"v_event_id", $"v_value")
+    }
+
+    val n = native.collect().map(r => r.toSeq).sortBy(_.toString)
+    val c = composed.collect().map(r => r.toSeq).sortBy(_.toString)
+    assert(n.length == c.length && n.sameElements(c))
+  }
+
+  test("inner mode drops unmatched left rows, backward and forward") {
+    val back = AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"), leftOuter = false)
+      .select("trade_id").collect().map(_.getLong(0)).toSet
+    assert(back == Set(1L, 2L)) // 3 (too early), 4 (too late), 5 (no key) drop
+    val fwd = AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
+        direction = AsOfForward, leftOuter = false)
+      .select("trade_id").collect().map(_.getLong(0)).toSet
+    assert(fwd == Set(1L, 3L, 4L)) // 2 (nothing later), 5 (no key) drop
+  }
+
   test("plan: AsOfJoinExec, no window, sorted co-partitioned children") {
     val out = AsOf.join(trades, quotes,
       Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"))
