@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
   SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.internal.SQLConf
 
 /** Native as-of (point-in-time, "aj") join: for every left row, attach the
   * LAST right row with the same key whose time is <= the left row's time —
@@ -74,12 +75,25 @@ sealed trait AsOfDirection extends Serializable
 case object AsOfBackward extends AsOfDirection
 case object AsOfForward extends AsOfDirection
 
-/** Planner rule mapping the logical as-of node to its physical operator. */
+/** Planner rule mapping the logical as-of node to a physical operator:
+  * [[BroadcastAsOfJoinExec]] when the right side's estimated size is under
+  * `spark.sql.autoBroadcastJoinThreshold` (zero shuffle and zero sort on
+  * the large left side — the only scalable plan when the left is 100 TB
+  * and the right a dimension-sized lookup), else the co-partitioned
+  * sort-merge [[AsOfJoinExec]].
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, ties, dir, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, ties, dir, outer,
-        planLater(l), planLater(r)) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(lk, rk, lt, rt, ties, dir, outer,
+            planLater(l), planLater(r))
+        else
+          AsOfJoinExec(lk, rk, lt, rt, ties, dir, outer,
+            planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -241,6 +255,154 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join: the right side is broadcast whole (Catalyst
+  * inserts the BroadcastExchange for the required
+  * [[BroadcastDistribution]]), each task builds a per-key index of
+  * (time, ties)-sorted right rows from the broadcast array, and every
+  * left row resolves its match with one hash lookup plus a binary search
+  * on time. The left side needs NO exchange and NO sort — the operator is
+  * map-only over the probe side and preserves its partitioning/ordering —
+  * which at 100 TB is the difference between a full-table shuffle and a
+  * scan, exactly as broadcast-hash vs sort-merge for equi-joins. The
+  * per-task index build is O(|R| log |R|) on a right side already gated
+  * small by the planner threshold (the BroadcastNestedLoopJoin pattern).
+  *
+  * Matching semantics are identical to [[AsOfJoinExec]]: the sort order
+  * (time asc, ties asc) makes the greatest qualifying index the max tie
+  * for backward and the least qualifying index the min tie for forward;
+  * null-time right rows are dropped at index build; null-time left rows
+  * emit unmatched (outer) or drop (inner).
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTies: Seq[Expression],
+    direction: AsOfDirection,
+    isLeftOuter: Boolean,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Map-only over the left child: partitioning and ordering pass through.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOutput = left.output
+    val rOutput = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val rTies = rightTies
+    val joinedOutput = output
+    val forward = direction == AsOfForward
+    val outer = isLeftOuter
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOutput)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOutput)
+      val rSortProj = UnsafeProjection.create(rTime +: rTies, rOutput)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val sortOrd = RowOrdering.createNaturalAscendingOrdering(
+        (rTime +: rTies).map(_.dataType))
+      val resultProj = UnsafeProjection.create(
+        joinedOutput, lOutput ++ rOutput.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOutput.length)
+      val joined = new JoinedRow
+
+      // Per-key index over the broadcast rows: parallel arrays of the
+      // 1-col time key and (time, ties) sort key (copied — projections
+      // buffer-share) plus the full row (referenced — broadcast rows are
+      // stable), sorted by (time, ties). Null-time rows never match:
+      // dropped at build.
+      final class Bucket {
+        val times = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private val sortKeys = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        def add(time: InternalRow, sortKey: InternalRow, row: InternalRow): Unit = {
+          times += time; sortKeys += sortKey; rows += row
+        }
+        def sortInPlace(): Unit = {
+          val order = sortKeys.indices.sortBy(sortKeys)(sortOrd)
+          val ts = order.map(times).toArray
+          val rs = order.map(rows).toArray
+          times.clear(); times ++= ts
+          rows.clear(); rows ++= rs
+        }
+      }
+      val index = new java.util.HashMap[InternalRow, Bucket]()
+      broadcastRows.value.foreach { raw =>
+        val t = rTimeProj(raw)
+        if (!t.isNullAt(0)) {
+          val key = rKeyProj(raw).copy()
+          var b = index.get(key)
+          if (b == null) { b = new Bucket; index.put(key, b) }
+          b.add(t.copy(), rSortProj(raw).copy(), raw)
+        }
+      }
+      index.values.forEach(_.sortInPlace())
+
+      // Backward: greatest i with times(i) <= lT. Forward: least i with
+      // times(i) >= lT. Returns -1 when no index qualifies.
+      def search(b: Bucket, lT: InternalRow): Int = {
+        var lo = 0
+        var hi = b.times.length - 1
+        var found = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val c = timeOrd.compare(b.times(mid), lT)
+          if (if (forward) c >= 0 else c <= 0) {
+            found = mid
+            if (forward) hi = mid - 1 else lo = mid + 1
+          } else {
+            if (forward) lo = mid + 1 else hi = mid - 1
+          }
+        }
+        found
+      }
+
+      lIter.flatMap { l =>
+        val lT = lTimeProj(l)
+        var m: InternalRow = null
+        if (!lT.isNullAt(0)) {
+          val b = index.get(lKeyProj(l))
+          if (b != null) {
+            val i = search(b, lT)
+            if (i >= 0) m = b.rows(i)
+          }
+        }
+        if (m != null) {
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(l, m)))
+        } else if (outer) {
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(l, nullRight)))
+        } else Iterator.empty
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1,15 +1,34 @@
 package graft.plans
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Native as-of join: semantics vs a composed reference (range join +
-  * window), left-outer nulls, tie-breaks, null times, cross-partition
-  * keys, and the plan contract (AsOfJoinExec present, no Window/SMJ, both
-  * children sorted under co-partitioned exchanges).
+  * window), left-outer nulls, tie-breaks, null times, direction and
+  * outer/inner modes — each checked on BOTH physical paths (broadcast
+  * index and co-partitioned sort-merge; the planner picks by right-side
+  * size, pinned here via autoBroadcastJoinThreshold) — plus the plan
+  * contract for each path.
   */
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
+
+  private val ThresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+
+  /** Run `body` once per physical path: broadcast (10MB threshold covers
+    * every right side here) and sort-merge (threshold -1 disables
+    * broadcast). Restores the session default afterwards.
+    */
+  private def onBothPaths(body: String => Unit): Unit = {
+    val old = spark.conf.get(ThresholdKey)
+    try {
+      for ((v, label) <- Seq("10485760" -> "broadcast", "-1" -> "merge")) {
+        spark.conf.set(ThresholdKey, v)
+        body(label)
+      }
+    } finally spark.conf.set(ThresholdKey, old)
+  }
 
   private def trades = Seq(
     // (id, key, t)
@@ -23,22 +42,28 @@ class AsOfJoinSpec extends SparkSpec {
     (104L, "a", 20L, 4.0), (105L, "b", 101L, 9.0), (106L, "d", 1L, 0.0)
   ).toDF("quote_id", "qsym", "qt", "px")
 
-  test("as-of semantics: last quote at-or-before each trade, max-tie wins") {
-    val out = AsOf.join(trades, quotes,
-        Seq("sym"), Seq("qsym"), "t", "qt", rightTieCols = Seq("quote_id"))
-      .select("trade_id", "quote_id", "px")
+  private def tradeQuote(df: DataFrame): Map[Long, Long] =
+    df.select("trade_id", "quote_id")
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap
-    // trade 1 (a,10): quotes at 8,10,10 qualify; tie at t=10 -> quote 103.
-    assert(out(1L) == 103L)
-    // trade 2 (a,25): last is 104 (t=20).
-    assert(out(2L) == 104L)
-    // trade 3 (a,5): nothing at-or-before -> null.
-    assert(out(3L) == -1L)
-    // trade 4 (b,100): only quote is at 101 -> too late -> null.
-    assert(out(4L) == -1L)
-    // trade 5 (c,7): no quotes for key c -> null.
-    assert(out(5L) == -1L)
+
+  test("as-of semantics: last quote at-or-before each trade, max-tie wins") {
+    onBothPaths { label =>
+      val out = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", rightTieCols = Seq("quote_id")))
+      withClue(s"[$label] ") {
+        // trade 1 (a,10): quotes at 8,10,10 qualify; tie at t=10 -> quote 103.
+        assert(out(1L) == 103L)
+        // trade 2 (a,25): last is 104 (t=20).
+        assert(out(2L) == 104L)
+        // trade 3 (a,5): nothing at-or-before -> null.
+        assert(out(3L) == -1L)
+        // trade 4 (b,100): only quote is at 101 -> too late -> null.
+        assert(out(4L) == -1L)
+        // trade 5 (c,7): no quotes for key c -> null.
+        assert(out(5L) == -1L)
+      }
+    }
   }
 
   test("matches the composed range-join + window formulation on events") {
@@ -50,10 +75,6 @@ class AsOfJoinSpec extends SparkSpec {
       .select($"event_id".as("v_event_id"), $"user_id".as("v_user_id"),
         $"ts".as("v_ts"), $"value".as("v_value"))
 
-    val native = AsOf.join(p, v, Seq("user_id"), Seq("v_user_id"), "ts", "v_ts",
-        rightTieCols = Seq("v_event_id"))
-      .select($"event_id", $"v_event_id", $"v_value")
-
     val composed = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"event_id")
@@ -63,41 +84,53 @@ class AsOfJoinSpec extends SparkSpec {
         .filter($"rn" === 1)
         .select($"event_id", $"v_event_id", $"v_value")
     }
-
-    val n = native.collect().map(r => r.toSeq).sortBy(_.toString)
     val c = composed.collect().map(r => r.toSeq).sortBy(_.toString)
-    assert(n.length == c.length && n.sameElements(c))
-    assert(native.count() == p.count()) // left-outer: one row per left row
+
+    onBothPaths { label =>
+      val native = AsOf.join(p, v, Seq("user_id"), Seq("v_user_id"), "ts", "v_ts",
+          rightTieCols = Seq("v_event_id"))
+        .select($"event_id", $"v_event_id", $"v_value")
+      val n = native.collect().map(r => r.toSeq).sortBy(_.toString)
+      withClue(s"[$label] ") {
+        assert(n.length == c.length && n.sameElements(c))
+        assert(native.count() == p.count()) // left-outer: one row per left row
+      }
+    }
   }
 
   test("null right time never matches; null left time emits unmatched") {
-    val l = Seq((1L, "k", Some(10L)), (2L, "k", None)).toDF("lid", "key", "t")
-    val r = Seq((9L, "k", Some(5L), "ok"), (8L, "k", None, "bad"))
-      .toDF("rid", "rkey", "rt", "tag")
-    val out = AsOf.join(l, r, Seq("key"), Seq("rkey"), "t", "rt", Seq("rid"))
-      .select("lid", "tag").collect()
-      .map(row => (row.getLong(0), Option(row.getString(1)))).toMap
-    assert(out(1L).contains("ok")) // null-time right row skipped, not chosen
-    assert(out(2L).isEmpty)        // null-time left row: no match
+    onBothPaths { label =>
+      val l = Seq((1L, "k", Some(10L)), (2L, "k", None)).toDF("lid", "key", "t")
+      val r = Seq((9L, "k", Some(5L), "ok"), (8L, "k", None, "bad"))
+        .toDF("rid", "rkey", "rt", "tag")
+      val out = AsOf.join(l, r, Seq("key"), Seq("rkey"), "t", "rt", Seq("rid"))
+        .select("lid", "tag").collect()
+        .map(row => (row.getLong(0), Option(row.getString(1)))).toMap
+      withClue(s"[$label] ") {
+        assert(out(1L).contains("ok")) // null-time right row skipped, not chosen
+        assert(out(2L).isEmpty)        // null-time left row: no match
+      }
+    }
   }
 
   test("forward direction: first quote at-or-after each trade, min-tie wins") {
-    val out = AsOf.join(trades, quotes,
+    onBothPaths { label =>
+      val out = tradeQuote(AsOf.join(trades, quotes,
         Seq("sym"), Seq("qsym"), "t", "qt", rightTieCols = Seq("quote_id"),
-        direction = AsOfForward)
-      .select("trade_id", "quote_id")
-      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
-      .toMap
-    // trade 1 (a,10): first at-or-after is the t=10 tie -> min tie 102.
-    assert(out(1L) == 102L)
-    // trade 2 (a,25): nothing at-or-after -> null.
-    assert(out(2L) == -1L)
-    // trade 3 (a,5): first at-or-after is 101 (t=8).
-    assert(out(3L) == 101L)
-    // trade 4 (b,100): quote 105 at t=101 qualifies forward.
-    assert(out(4L) == 105L)
-    // trade 5 (c,7): no quotes for key c -> null.
-    assert(out(5L) == -1L)
+        direction = AsOfForward))
+      withClue(s"[$label] ") {
+        // trade 1 (a,10): first at-or-after is the t=10 tie -> min tie 102.
+        assert(out(1L) == 102L)
+        // trade 2 (a,25): nothing at-or-after -> null.
+        assert(out(2L) == -1L)
+        // trade 3 (a,5): first at-or-after is 101 (t=8).
+        assert(out(3L) == 101L)
+        // trade 4 (b,100): quote 105 at t=101 qualifies forward.
+        assert(out(4L) == 105L)
+        // trade 5 (c,7): no quotes for key c -> null.
+        assert(out(5L) == -1L)
+      }
+    }
   }
 
   test("forward matches a composed min-over-future formulation on events") {
@@ -109,10 +142,6 @@ class AsOfJoinSpec extends SparkSpec {
       .select($"event_id".as("v_event_id"), $"user_id".as("v_user_id"),
         $"ts".as("v_ts"), $"value".as("v_value"))
 
-    val native = AsOf.join(p, v, Seq("user_id"), Seq("v_user_id"), "ts", "v_ts",
-        rightTieCols = Seq("v_event_id"), direction = AsOfForward)
-      .select($"event_id", $"v_event_id", $"v_value")
-
     val composed = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"event_id")
@@ -122,34 +151,65 @@ class AsOfJoinSpec extends SparkSpec {
         .filter($"rn" === 1)
         .select($"event_id", $"v_event_id", $"v_value")
     }
-
-    val n = native.collect().map(r => r.toSeq).sortBy(_.toString)
     val c = composed.collect().map(r => r.toSeq).sortBy(_.toString)
-    assert(n.length == c.length && n.sameElements(c))
+
+    onBothPaths { label =>
+      val native = AsOf.join(p, v, Seq("user_id"), Seq("v_user_id"), "ts", "v_ts",
+          rightTieCols = Seq("v_event_id"), direction = AsOfForward)
+        .select($"event_id", $"v_event_id", $"v_value")
+      val n = native.collect().map(r => r.toSeq).sortBy(_.toString)
+      withClue(s"[$label] ")(assert(n.length == c.length && n.sameElements(c)))
+    }
   }
 
   test("inner mode drops unmatched left rows, backward and forward") {
-    val back = AsOf.join(trades, quotes,
-        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"), leftOuter = false)
-      .select("trade_id").collect().map(_.getLong(0)).toSet
-    assert(back == Set(1L, 2L)) // 3 (too early), 4 (too late), 5 (no key) drop
-    val fwd = AsOf.join(trades, quotes,
-        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
-        direction = AsOfForward, leftOuter = false)
-      .select("trade_id").collect().map(_.getLong(0)).toSet
-    assert(fwd == Set(1L, 3L, 4L)) // 2 (nothing later), 5 (no key) drop
+    onBothPaths { label =>
+      val back = AsOf.join(trades, quotes,
+          Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"), leftOuter = false)
+        .select("trade_id").collect().map(_.getLong(0)).toSet
+      val fwd = AsOf.join(trades, quotes,
+          Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
+          direction = AsOfForward, leftOuter = false)
+        .select("trade_id").collect().map(_.getLong(0)).toSet
+      withClue(s"[$label] ") {
+        assert(back == Set(1L, 2L)) // 3 (too early), 4 (too late), 5 (no key) drop
+        assert(fwd == Set(1L, 3L, 4L)) // 2 (nothing later), 5 (no key) drop
+      }
+    }
   }
 
-  test("plan: AsOfJoinExec, no window, sorted co-partitioned children") {
-    val out = AsOf.join(trades, quotes,
-      Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"))
-    out.collect() // materialize so AQE finalizes the plan
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"))
-    assert(!plan.contains("Window"))
-    assert(!plan.contains("SortMergeJoin"))
-    assert(plan.contains("Sort "))
-    assert(plan.contains("Exchange hashpartitioning"))
+  test("merge plan: AsOfJoinExec, no window, sorted co-partitioned children") {
+    onBothPaths { label =>
+      if (label == "merge") {
+        val out = AsOf.join(trades, quotes,
+          Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"))
+        out.collect() // materialize so AQE finalizes the plan
+        val plan = out.queryExecution.executedPlan.toString
+        assert(plan.contains("AsOfJoin"))
+        assert(!plan.contains("BroadcastAsOfJoin"))
+        assert(!plan.contains("Window"))
+        assert(!plan.contains("SortMergeJoin"))
+        assert(plan.contains("Sort "))
+        assert(plan.contains("Exchange hashpartitioning"))
+      }
+    }
+  }
+
+  test("broadcast plan: no exchange, no sort on the probe side") {
+    onBothPaths { label =>
+      if (label == "broadcast") {
+        val out = AsOf.join(trades, quotes,
+          Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"))
+        out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastAsOfJoin"))
+        assert(plan.contains("BroadcastExchange"))
+        // The 100 TB contract: the probe side is scanned in place — no
+        // shuffle, no sort anywhere in the plan.
+        assert(!plan.contains("Exchange hashpartitioning"))
+        assert(!plan.contains("Sort "))
+      }
+    }
   }
 
   test("works on a session without GraftExtensions (experimental fallback)") {
