@@ -86,6 +86,7 @@ object SparkEntry {
     "q67_decontaminate" -> (Extensions.q67Decontaminate _),
     "q68_robust_outliers" -> (Extensions.q68RobustOutliers _),
     "q69_asof_forward" -> (Extensions.q69AsofForward _),
+    "q70_bigram_fluency" -> (Extensions.q70BigramFluency _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

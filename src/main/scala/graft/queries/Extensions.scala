@@ -1091,6 +1091,49 @@ object Extensions {
         (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** q70: a bigram appearing in <= this many docs is "rare" (noise signal). */
+  val RareMaxDocs = 2
+
+  /** Bigram fluency statistics (KenLM-style LM scoring's exact-arithmetic
+    * cousin): count every bigram's document frequency CORPUS-WIDE, then
+    * score each document by the average corpus df of its bigrams and by
+    * its rare-bigram fraction — high avg df = boilerplate-ish common
+    * phrasing, high rare fraction = noise/garble; the pair is the standard
+    * C4/Gopher-family fluency curation signal without a trained LM.
+    * Cross-engine determinism: both scores are ratios of exact integers
+    * computed in ONE double division (IEEE correctly-rounded, so
+    * bit-identical in Spark and DuckDB — the q68 pattern), then
+    * floor-rounded for display.
+    * 100 TB shape: bigrams shuffle as 16-byte md5 digests for both the
+    * frequency aggregation and the score join (text never shuffles); the
+    * digest equi-join is plan-of-record for train+score two-pass scoring —
+    * the bigram vocabulary grows with the corpus, so no broadcast side
+    * exists, and both sides arrive hash-partitioned on the digest.
+    */
+  def q70BigramFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val grams = widen(s, docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "case when size(toks) >= 2 then " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i])) " +
+          "else array() end")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .localCheckpoint(true) // feeds the corpus count AND the score join once
+    val df = grams.select("doc_id", "h").distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("bdf"))
+    grams.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("bdf")).as("sum_df"),
+        sum(when(col("bdf") <= RareMaxDocs, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("sum_df").cast("double") / col("n_bigrams")).as("avg_df"),
+        r4(col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
+  }
+
   /** Robust outlier envelope per event_type: exact median and MAD (median
     * absolute deviation) — the curation filter that survives heavy-tailed
     * telemetry where mean/stddev break. Two exact-percentile aggregations

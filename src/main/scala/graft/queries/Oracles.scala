@@ -897,5 +897,26 @@ object Oracles {
         |           ORDER BY p.p_ts ASC NULLS LAST, p.p_event_id ASC NULLS LAST) AS rn
         |  FROM v JOIN p ON v.user_id = p.p_user_id AND p.p_ts >= v.ts) q
         |WHERE rn = 1""".stripMargin,
+
+    "q70_bigram_fluency" -> {
+      val rare = Extensions.RareMaxDocs
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+         |  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2),
+         |bdf AS (
+         |  SELECT g, count(DISTINCT doc_id) AS bdf FROM g GROUP BY g),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(bdf.bdf) AS DOUBLE) AS sum_df,
+         |    CAST(sum(CASE WHEN bdf.bdf <= $rare THEN 1 ELSE 0 END) AS DOUBLE) AS n_rare
+         |  FROM g JOIN bdf USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  ${r("sum_df / n_bigrams", 4)} AS avg_df,
+         |  ${r("n_rare / n_bigrams", 4)} AS rare_frac
+         |FROM sc""".stripMargin
+    },
   )
 }

@@ -3,8 +3,8 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Structural invariants for the round-6 curation operators (q66-q68);
-  * value-level correctness is pinned by the DuckDB oracles.
+/** Structural invariants for the round-6 curation operators (q66-q68,
+  * q70); value-level correctness is pinned by the DuckDB oracles.
   */
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +66,33 @@ class CurationSpec extends SparkSpec {
     assert(out(1L))
     assert(!out(2L))
     assert(!out.contains(0L))
+  }
+
+  test("q70: fluency score bounds and controlled-corpus values") {
+    val out = Extensions.q70BigramFluency(spark, dir).cache()
+    // every scored doc has >= 1 bigram and both ratios land in range:
+    // avg_df in [1, #docs], rare_frac in [0, 1]
+    assert(out.filter($"n_bigrams" < 1).count() == 0)
+    assert(out.filter($"avg_df" < 1.0 || $"rare_frac" < 0.0 || $"rare_frac" > 1.0)
+      .count() == 0)
+    out.unpersist()
+
+    // Controlled corpus: "a b" is in 3 docs (common), each docN tail bigram
+    // is unique (rare at RareMaxDocs = 2).
+    val df = Seq(
+      (1L, "a b one1 two1"), (2L, "a b one2 two2"), (3L, "a b one3 two3")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q70").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Extensions.q70BigramFluency(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // each doc: 3 bigrams ("a b" df=3; "b oneN" df=1; "oneN twoN" df=1)
+    rows.values.foreach { case (n, avg, rare) =>
+      assert(n == 3L)
+      assert(math.abs(avg - 5.0 / 3) < 1e-3) // (3 + 1 + 1) / 3, floor-rounded
+      assert(math.abs(rare - 2.0 / 3) < 1e-3)
+    }
   }
 
   test("q68: envelope sanity — MAD >= 0, outliers a strict minority") {
