@@ -87,6 +87,7 @@ object SparkEntry {
     "q68_robust_outliers" -> (Extensions.q68RobustOutliers _),
     "q69_asof_forward" -> (Extensions.q69AsofForward _),
     "q70_bigram_fluency" -> (Extensions.q70BigramFluency _),
+    "q71_range_join" -> (Extensions.q71RangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

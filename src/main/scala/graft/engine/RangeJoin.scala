@@ -1,0 +1,73 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed range join (point-in-interval): pair every point row with
+  * the interval rows that contain it, optionally under equi-keys. Spark
+  * plans a raw `s <= p AND p <= e` predicate as a broadcast-nested-loop
+  * (or cartesian) join — quadratic and a non-starter at scale. The
+  * scalable form is BINNING: each interval replicates to the fixed-width
+  * bins it overlaps, each point maps to exactly one bin, and the match
+  * becomes a hash-partitioned EQUI-join on (keys, bin) followed by the
+  * exact containment filter — the same shape q60 uses for its
+  * same-user 300 s pairs, generalized to arbitrary intervals and keys.
+  *
+  * Cost model at 100 TB: the interval side grows by the replication
+  * factor avg(ceil(len / binWidth)) + 1, the point side not at all, and
+  * everything downstream is one shuffle per side into a codegen'd hash
+  * join. Pick binWidth near the TYPICAL interval length: too small
+  * inflates interval replication, too large piles unrelated rows into
+  * each bin (the filter then discards them post-join). Unbounded interval
+  * lengths are the failure mode (one year-long interval replicates 10^5
+  * bins at minute width) — the per-row `assert_true` guard fails loudly
+  * instead of silently materializing that explosion; split or cap such
+  * intervals upstream.
+  */
+object RangeJoin {
+
+  /** Join `points` to the `intervals` rows whose [startCol, endCol]
+    * contains pointCol, matching `keys` (point-side name -> interval-side
+    * name) exactly. All three range columns must be numeric and on the
+    * same scale (cast timestamps to epoch seconds, dates to epoch days,
+    * upstream). The two sides must have DISJOINT column names (rename
+    * before joining — output = point columns ++ interval columns, and
+    * self-derived sides would otherwise be ambiguous). Intervals with
+    * end < start fail loudly (they would silently never match).
+    *
+    * @param maxBins hard ceiling on bins per interval (replication guard)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      keys: Seq[(String, String)] = Nil,
+      binWidth: Long = 3600L,
+      maxBins: Int = 1024): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"range join: column names must be disjoint across sides " +
+        s"(shared: ${overlap.mkString(", ")}) — rename before joining")
+
+    // assert_true rides the FILTER so column pruning can't drop it: a
+    // valid row maps to null (isNull -> keep), a bad one raises.
+    val guard = assert_true(
+      col(endCol) >= col(startCol) &&
+        (col(endCol) - col(startCol)) <= lit(binWidth) * maxBins,
+      lit(s"range join: interval invalid or spans more than $maxBins bins " +
+        s"of $binWidth — raise binWidth/maxBins or split upstream")).isNull
+    val iv = intervals
+      .filter(guard)
+      .withColumn("__ibin", explode(sequence(
+        floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    val pt = points.withColumn("__pbin", floor(col(pointCol) / binWidth))
+    val cond = keys.map { case (p, i) => col(p) === col(i) }
+      .foldLeft(col("__pbin") === col("__ibin"))(_ && _)
+    pt.join(iv, cond)
+      .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
+      .drop("__pbin", "__ibin")
+  }
+}

@@ -1094,6 +1094,33 @@ object Extensions {
   /** q70: a bigram appearing in <= this many docs is "rare" (noise signal). */
   val RareMaxDocs = 2
 
+  /** Generic range join (graft.engine.RangeJoin — interval binning to an
+    * equi-join, SURVEY.md §2.7): attribute each purchase to the same
+    * user's view-session span (min..max view time per user-day) it falls
+    * inside. The naive formulation is a `BETWEEN` theta-join Spark can
+    * only plan nested-loop; the operator replicates each interval (here
+    * <= 24 h, so <= 5 six-hour bins) and hash-joins on (user, bin) — one
+    * shuffle per side, codegen'd, point side never replicated. All range
+    * arithmetic at epoch-second precision on both engines (q60's
+    * convention).
+    */
+  def q71RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("psec"))
+    val iv = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("i_user_id"), to_date(col("ts")).as("i_day"),
+        col("ts").cast("long").as("vsec"))
+      .groupBy(col("i_user_id"), col("i_day"))
+      .agg(min(col("vsec")).as("s_sec"), max(col("vsec")).as("e_sec"),
+        count(lit(1)).as("n_views"))
+    graft.engine.RangeJoin.pointInInterval(p, iv, "psec", "s_sec", "e_sec",
+        keys = Seq("user_id" -> "i_user_id"), binWidth = 21600L)
+      .select(col("event_id"), col("user_id"), col("psec"),
+        date_format(col("i_day"), "yyyy-MM-dd").as("day_s"),
+        col("n_views"), (col("psec") - col("s_sec")).as("into_session_s"))
+  }
+
   /** Bigram fluency statistics (KenLM-style LM scoring's exact-arithmetic
     * cousin): count every bigram's document frequency CORPUS-WIDE, then
     * score each document by the average corpus df of its bigrams and by

@@ -918,5 +918,23 @@ object Oracles {
          |  ${r("n_rare / n_bigrams", 4)} AS rare_frac
          |FROM sc""".stripMargin
     },
+
+    "q71_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS psec
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS i_day,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS vsec
+        |  FROM events WHERE event_type = 'view'),
+        |iv AS (
+        |  SELECT user_id AS i_user_id, i_day, min(vsec) AS s_sec,
+        |    max(vsec) AS e_sec, count(*) AS n_views
+        |  FROM v GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.psec,
+        |  strftime(iv.i_day, '%Y-%m-%d') AS day_s, iv.n_views,
+        |  p.psec - iv.s_sec AS into_session_s
+        |FROM p JOIN iv ON p.user_id = iv.i_user_id
+        |  AND p.psec BETWEEN iv.s_sec AND iv.e_sec""".stripMargin,
   )
 }
