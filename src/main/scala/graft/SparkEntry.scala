@@ -88,6 +88,7 @@ object SparkEntry {
     "q69_asof_forward" -> (Extensions.q69AsofForward _),
     "q70_bigram_fluency" -> (Extensions.q70BigramFluency _),
     "q71_range_join" -> (Extensions.q71RangeJoin _),
+    "q72_interval_overlap" -> (Extensions.q72IntervalOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -70,4 +70,50 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
       .drop("__pbin", "__ibin")
   }
+
+  /** Interval × interval overlap join: pair every left interval with the
+    * right intervals it overlaps ([ls,le] ∩ [rs,re] nonempty), matching
+    * `keys` exactly. Both sides replicate to their covered bins; a pair
+    * overlapping across SEVERAL shared bins would duplicate, so each pair
+    * is emitted only in its CANONICAL bin — the bin of max(ls, rs), the
+    * overlap's first instant, which both intervals provably cover —
+    * giving exactly-once output with no post-join dedup shuffle. Same
+    * column-disjointness contract and replication guards as
+    * [[pointInInterval]]; cost doubles only in that BOTH sides carry the
+    * replication factor.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      keys: Seq[(String, String)] = Nil,
+      binWidth: Long = 3600L,
+      maxBins: Int = 1024): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"range join: column names must be disjoint across sides " +
+        s"(shared: ${overlapCols.mkString(", ")}) — rename before joining")
+
+    def guarded(df: DataFrame, s: String, e: String, bin: String): DataFrame =
+      df.filter(assert_true(
+          col(e) >= col(s) && (col(e) - col(s)) <= lit(binWidth) * maxBins,
+          lit(s"range join: interval invalid or spans more than $maxBins " +
+            s"bins of $binWidth — raise binWidth/maxBins or split upstream")).isNull)
+        .withColumn(bin, explode(sequence(
+          floor(col(s) / binWidth), floor(col(e) / binWidth))))
+
+    val lv = guarded(left, leftStart, leftEnd, "__lbin")
+    val rv = guarded(right, rightStart, rightEnd, "__rbin")
+    val cond = keys.map { case (l, r) => col(l) === col(r) }
+      .foldLeft(col("__lbin") === col("__rbin"))(_ && _)
+    lv.join(rv, cond)
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        floor(greatest(col(leftStart), col(rightStart)) / binWidth) === col("__lbin"))
+      .drop("__lbin", "__rbin")
+  }
 }

@@ -1121,6 +1121,42 @@ object Extensions {
         col("n_views"), (col("psec") - col("s_sec")).as("into_session_s"))
   }
 
+  /** q72: synthetic transit interval length in days — deterministic from
+    * the line identity so both engines derive identical intervals.
+    */
+  val TransitModDays = 21
+
+  /** Interval-overlap range join (graft.engine.RangeJoin.intervalOverlap):
+    * same-supplier shipment pairs whose transit windows overlap — the
+    * "concurrent in-flight inventory" shape. Intervals are
+    * [ship, ship + 7 + (id % 21)] days (synthesized: the table carries
+    * only l_shipdate); both sides replicate to <= 3 sixteen-day bins and
+    * hash-join on (supplier, bin); the canonical-bin rule (emit only
+    * where the overlap STARTS) makes output exactly-once without a dedup
+    * shuffle. The DuckDB oracle is the naive BETWEEN theta self-join —
+    * fine at oracle scale, nested-loop at ours, which is the point.
+    */
+  def q72IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("a_id"),
+        col("l_suppkey").as("a_supp"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("a_s"))
+      .withColumn("a_e",
+        col("a_s") + 7L + pmod(col("a_id"), lit(TransitModDays)))
+    val rv = li.select(col("a_id").as("b_id"), col("a_supp").as("b_supp"),
+      col("a_s").as("b_s"), col("a_e").as("b_e"))
+    graft.engine.RangeJoin.intervalOverlap(li, rv,
+        "a_s", "a_e", "b_s", "b_e",
+        keys = Seq("a_supp" -> "b_supp"), binWidth = 16L)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_supp").as("supp"), col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s")) + 1L).as("overlap_days"))
+  }
+
   /** Bigram fluency statistics (KenLM-style LM scoring's exact-arithmetic
     * cousin): count every bigram's document frequency CORPUS-WIDE, then
     * score each document by the average corpus df of its bigrams and by

@@ -936,5 +936,20 @@ object Oracles {
         |  p.psec - iv.s_sec AS into_session_s
         |FROM p JOIN iv ON p.user_id = iv.i_user_id
         |  AND p.psec BETWEEN iv.s_sec AND iv.e_sec""".stripMargin,
+
+    "q72_interval_overlap" -> {
+      val m = Extensions.TransitModDays
+      s"""WITH iv AS (
+         |  SELECT l_orderkey * 8 + l_linenumber AS id, l_suppkey AS supp,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+         |  FROM lineitem WHERE year(l_shipdate) = 1996),
+         |ive AS (
+         |  SELECT id, supp, s, s + 7 + (id % $m) AS e FROM iv)
+         |SELECT a.supp, a.id AS a_id, b.id AS b_id,
+         |  least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
+         |FROM ive a JOIN ive b
+         |  ON a.supp = b.supp AND a.id < b.id
+         |  AND a.s <= b.e AND b.s <= a.e""".stripMargin
+    },
   )
 }

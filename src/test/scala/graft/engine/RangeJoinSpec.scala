@@ -67,6 +67,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("disjoint"))
   }
 
+  test("interval overlap: exactly-once across shared bins, edges, keys") {
+    val l = Seq(
+      // (lid, key, s, e) — bin width 10
+      (1L, "a", 0L, 25L),   // spans bins 0-2
+      (2L, "a", 40L, 45L),
+      (3L, "b", 0L, 5L)
+    ).toDF("lid", "lkey", "ls", "le")
+    val r = Seq(
+      (11L, "a", 5L, 22L),  // overlaps lid=1 in bins 0,1,2 -> must emit ONCE
+      (12L, "a", 25L, 30L), // touches lid=1 at exactly 25 (edge) -> overlap
+      (13L, "a", 26L, 30L), // just past lid=1 -> no overlap
+      (14L, "b", 4L, 9L)    // keyed: only matches the b interval
+    ).toDF("rid", "rkey", "rs", "re")
+    val out = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        keys = Seq("lkey" -> "rkey"), binWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    // exactly-once: no duplicates even for the 3-shared-bin pair
+    assert(out.length == out.distinct.length)
+    assert(out.toSet == Set((1L, 11L), (1L, 12L), (3L, 14L)))
+  }
+
   test("plan: equi-join on (key, bin), no nested-loop or cartesian") {
     val out = RangeJoin.pointInInterval(points, intervals, "pt", "s", "e",
       keys = Seq("pkey" -> "ikey"), binWidth = 10L)
