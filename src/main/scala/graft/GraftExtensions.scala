@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{BoundedSortedList, CosineSimilarity, TopKPairs}
+import graft.expressions.{BoundedSortedList, CosineSimilarity, FreqItems, TopKPairs}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BoundedSortedList].getName, "bounded_sorted_list"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BoundedSortedList(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FreqItems(children(0), children(1))))
   }
 }

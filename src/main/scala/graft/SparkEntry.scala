@@ -89,6 +89,7 @@ object SparkEntry {
     "q70_bigram_fluency" -> (Extensions.q70BigramFluency _),
     "q71_range_join" -> (Extensions.q71RangeJoin _),
     "q72_interval_overlap" -> (Extensions.q72IntervalOverlap _),
+    "q73_heavy_hitters" -> (Extensions.q73HeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1197,6 +1197,42 @@ object Extensions {
         r4(col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
   }
 
+  /** q73: Misra-Gries counter budget — 28 counters over 31 distinct
+    * tokens keeps eviction active while the n/(k+1) threshold lands
+    * between the frequent cluster and the tail.
+    */
+  val HeavyK = 28
+
+  /** Corpus heavy hitters via the `freq_items` Misra-Gries aggregate
+    * (graft.expressions.FreqItems) + exact confirmation — the canonical
+    * two-step that makes heavy-hitter mining deterministic AND scalable:
+    * the sketch reduces the corpus to <= k candidates in one O(k)-state
+    * aggregation (an exact GROUP BY would shuffle the whole vocabulary),
+    * the candidates ride a broadcast semi-join to prune the corpus, and
+    * only candidate keys are exact-counted. The MG guarantee (every item
+    * with true count > n/(k+1) is among the candidates) makes the
+    * confirmed set EQUAL to the true heavy-hitter set under any
+    * partitioning — which is what the hash oracle checks. Fallback on a
+    * bare session: skip the sketch prune (exact counts directly) —
+    * identical output, the usual optional-extension contract.
+    */
+  def q73HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = widen(s, t(s, dir, "documents").select("doc_id", "text"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint(true) // feeds sketch, prune join, and total count
+    val counts =
+      if (s.catalog.functionExists("freq_items")) {
+        val cand = toks.agg(expr(s"freq_items($HeavyK, tok)").as("c"))
+          .select(explode(col("c")).as("tok"))
+        toks.join(broadcast(cand), Seq("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      } else toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") > col("n") / lit(HeavyK + 1.0))
+      .select(col("tok"), col("cnt"))
+  }
+
   /** Robust outlier envelope per event_type: exact median and MAD (median
     * absolute deviation) — the curation filter that survives heavy-tailed
     * telemetry where mean/stddev break. Two exact-percentile aggregations

@@ -951,5 +951,14 @@ object Oracles {
          |  ON a.supp = b.supp AND a.id < b.id
          |  AND a.s <= b.e AND b.s <= a.e""".stripMargin
     },
+
+    "q73_heavy_hitters" -> {
+      val k1 = Extensions.HeavyK + 1
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM t)
+         |SELECT tok, cnt FROM c, n WHERE cnt > n / $k1.0""".stripMargin
+    },
   )
 }
