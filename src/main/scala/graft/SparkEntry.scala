@@ -90,6 +90,7 @@ object SparkEntry {
     "q71_range_join" -> (Extensions.q71RangeJoin _),
     "q72_interval_overlap" -> (Extensions.q72IntervalOverlap _),
     "q73_heavy_hitters" -> (Extensions.q73HeavyHitters _),
+    "q74_asof_tolerance" -> (Extensions.q74AsofTolerance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -52,11 +52,14 @@ case class AsOfJoinNode(
     rightTime: Expression,
     rightTies: Seq[Expression],
     direction: AsOfDirection = AsOfBackward,
-    isLeftOuter: Boolean = true)
+    isLeftOuter: Boolean = true,
+    tolerance: Option[Long] = None,
+    allowExactMatches: Boolean = true)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key and matching key arity")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -84,17 +87,41 @@ case object AsOfForward extends AsOfDirection
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, ties, dir, outer) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, ties, dir, outer, tol, exact) =>
       val threshold = SQLConf.get.autoBroadcastJoinThreshold
       val exec =
         if (threshold > 0 && r.stats.sizeInBytes <= threshold)
-          BroadcastAsOfJoinExec(lk, rk, lt, rt, ties, dir, outer,
+          BroadcastAsOfJoinExec(lk, rk, lt, rt, ties, dir, outer, tol, exact,
             planLater(l), planLater(r))
         else
-          AsOfJoinExec(lk, rk, lt, rt, ties, dir, outer,
+          AsOfJoinExec(lk, rk, lt, rt, ties, dir, outer, tol, exact,
             planLater(l), planLater(r))
       exec :: Nil
     case _ => Nil
+  }
+}
+
+/** Numeric view of a single-column time row, for tolerance arithmetic —
+  * internal representations of the supported types are numeric
+  * (timestamps: microseconds; dates: days). Tolerance is therefore in the
+  * column's INTERNAL unit.
+  */
+private[plans] object AsOfTime {
+  import org.apache.spark.sql.types._
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+  def asDouble(row: InternalRow, dt: DataType): Double = dt match {
+    case LongType | TimestampType | TimestampNTZType => row.getLong(0).toDouble
+    case IntegerType | DateType => row.getInt(0).toDouble
+    case DoubleType => row.getDouble(0)
+    case FloatType => row.getFloat(0).toDouble
+    case ShortType => row.getShort(0).toDouble
+    case ByteType => row.getByte(0).toDouble
+    case other => throw new IllegalArgumentException(
+      s"as-of tolerance unsupported for time type ${other.sql}")
   }
 }
 
@@ -116,9 +143,14 @@ case class AsOfJoinExec(
     rightTies: Seq[Expression],
     direction: AsOfDirection,
     isLeftOuter: Boolean,
+    tolerance: Option[Long],
+    allowExactMatches: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
+
+  require(tolerance.isEmpty || AsOfTime.supported(leftTime.dataType),
+    s"as-of tolerance unsupported for time type ${leftTime.dataType.sql}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -151,6 +183,9 @@ case class AsOfJoinExec(
     val joinedOutput = output
     val forward = direction == AsOfForward
     val outer = isLeftOuter
+    val tol = tolerance
+    val exact = allowExactMatches
+    val timeType = leftTime.dataType
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
@@ -175,10 +210,22 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var candidate: InternalRow = null // copy: survives rHead advances
         private var candidateKey: InternalRow = null
+        private var candidateTime: InternalRow = null
         private var ready: InternalRow = null // next emitted row (inner skips)
 
         private def advanceRight(): Unit = {
           rHead = if (rIter.hasNext) rIter.next() else null
+        }
+
+        /** Tolerance gate on the matched pair's time distance (measured
+          * toward the direction of the match; None = unbounded).
+          */
+        private def within(lT: InternalRow, rT: InternalRow): Boolean = tol match {
+          case None => true
+          case Some(t) =>
+            val lv = AsOfTime.asDouble(lT, timeType)
+            val rv = AsOfTime.asDouble(rT, timeType)
+            (if (forward) rv - lv else lv - rv) <= t.toDouble
         }
 
         /** Backward: consume right rows with key < lKey or (key == lKey and
@@ -202,11 +249,16 @@ case class AsOfJoinExec(
                 advanceRight()
               } else if (lTimeNull) {
                 advancing = false
-              } else if (!forward && timeOrd.compare(rT, lT) <= 0) {
+              } else if (!forward &&
+                  (timeOrd.compare(rT, lT) < 0 ||
+                    (exact && timeOrd.compare(rT, lT) == 0))) {
                 candidate = rHead.copy()
                 candidateKey = rKeyProj(candidate).copy()
+                candidateTime = rT.copy()
                 advanceRight()
-              } else if (forward && timeOrd.compare(rT, lT) < 0) {
+              } else if (forward &&
+                  (timeOrd.compare(rT, lT) < 0 ||
+                    (!exact && timeOrd.compare(rT, lT) == 0))) {
                 advanceRight()
               } else {
                 advancing = false
@@ -219,9 +271,11 @@ case class AsOfJoinExec(
             null
           } else if (forward) {
             if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
-              !rTimeProj(rHead).isNullAt(0)) rHead else null
+              !rTimeProj(rHead).isNullAt(0) && within(lT, rTimeProj(rHead)))
+              rHead else null
           } else {
-            if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
+            if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+              within(lT, candidateTime))
               candidate else null
           }
         }
@@ -284,9 +338,14 @@ case class BroadcastAsOfJoinExec(
     rightTies: Seq[Expression],
     direction: AsOfDirection,
     isLeftOuter: Boolean,
+    tolerance: Option[Long],
+    allowExactMatches: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
+
+  require(tolerance.isEmpty || AsOfTime.supported(leftTime.dataType),
+    s"as-of tolerance unsupported for time type ${leftTime.dataType.sql}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -313,6 +372,9 @@ case class BroadcastAsOfJoinExec(
     val joinedOutput = output
     val forward = direction == AsOfForward
     val outer = isLeftOuter
+    val tol = tolerance
+    val exact = allowExactMatches
+    val timeType = leftTime.dataType
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions({ lIter =>
@@ -361,8 +423,9 @@ case class BroadcastAsOfJoinExec(
       }
       index.values.forEach(_.sortInPlace())
 
-      // Backward: greatest i with times(i) <= lT. Forward: least i with
-      // times(i) >= lT. Returns -1 when no index qualifies.
+      // Backward: greatest i with times(i) <= lT (strict < when exact
+      // matches are disallowed). Forward: least i with times(i) >= lT
+      // (strict >). Returns -1 when no index qualifies.
       def search(b: Bucket, lT: InternalRow): Int = {
         var lo = 0
         var hi = b.times.length - 1
@@ -370,7 +433,10 @@ case class BroadcastAsOfJoinExec(
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
           val c = timeOrd.compare(b.times(mid), lT)
-          if (if (forward) c >= 0 else c <= 0) {
+          val qualifies =
+            if (forward) { if (exact) c >= 0 else c > 0 }
+            else { if (exact) c <= 0 else c < 0 }
+          if (qualifies) {
             found = mid
             if (forward) hi = mid - 1 else lo = mid + 1
           } else {
@@ -380,6 +446,14 @@ case class BroadcastAsOfJoinExec(
         found
       }
 
+      def within(lT: InternalRow, rT: InternalRow): Boolean = tol match {
+        case None => true
+        case Some(t) =>
+          val lv = AsOfTime.asDouble(lT, timeType)
+          val rv = AsOfTime.asDouble(rT, timeType)
+          (if (forward) rv - lv else lv - rv) <= t.toDouble
+      }
+
       lIter.flatMap { l =>
         val lT = lTimeProj(l)
         var m: InternalRow = null
@@ -387,7 +461,7 @@ case class BroadcastAsOfJoinExec(
           val b = index.get(lKeyProj(l))
           if (b != null) {
             val i = search(b, lT)
-            if (i >= 0) m = b.rows(i)
+            if (i >= 0 && within(lT, b.times(i))) m = b.rows(i)
           }
         }
         if (m != null) {
@@ -418,7 +492,11 @@ object AsOf {
     * the first with `rightTimeCol` >= `leftTimeCol` (forward). Ties are
     * broken by `rightTieCols` (backward keeps the greatest, forward the
     * least). `leftOuter` = false drops unmatched left rows instead of
-    * null-padding. Output = left columns ++ right columns (right
+    * null-padding. `tolerance` bounds the match's time distance in the
+    * time column's INTERNAL unit (timestamps: microseconds; dates: days;
+    * numerics: their own scale) — pandas merge_asof's tolerance;
+    * `allowExactMatches` = false excludes equal times (strict
+    * before/after). Output = left columns ++ right columns (right
     * nullable); disambiguate duplicate names before joining.
     */
   def join(
@@ -430,7 +508,9 @@ object AsOf {
       rightTimeCol: String,
       rightTieCols: Seq[String] = Nil,
       direction: AsOfDirection = AsOfBackward,
-      leftOuter: Boolean = true): DataFrame = {
+      leftOuter: Boolean = true,
+      tolerance: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -447,7 +527,7 @@ object AsOf {
       resolve(lPlan, leftTimeCol, "left"),
       resolve(rPlan, rightTimeCol, "right"),
       rightTieCols.map(resolve(rPlan, _, "right")),
-      direction, leftOuter)
+      direction, leftOuter, tolerance, allowExactMatches)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 

@@ -1197,6 +1197,33 @@ object Extensions {
         r4(col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
   }
 
+  /** Tolerance-bounded as-of join (pandas merge_asof's `tolerance`,
+    * graft.plans.AsOf): q65's attribution but only when the user's last
+    * view happened within ONE HOUR of the purchase — stale context rows
+    * fall back to null instead of attributing a week-old view. The
+    * tolerance is enforced inside the same merge/binary-search match (no
+    * extra operator, no post-filter pass over candidate pairs);
+    * timestamps measure it in internal MICROSECONDS.
+    */
+  def q74AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // Times at epoch-SECOND granularity (q60's cross-engine convention):
+    // the raw timestamps carry sub-microsecond noise that Spark's µs and
+    // DuckDB's ns representations would truncate differently at the
+    // tolerance boundary.
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("psec"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").cast("long").as("vsec"))
+    graft.plans.AsOf.join(p, v,
+        Seq("user_id"), Seq("v_user_id"), "psec", "vsec", Seq("v_event_id"),
+        tolerance = Some(3600L)) // 1 h
+      .select(col("event_id"), col("user_id"), col("psec"),
+        col("v_event_id"), col("vsec"))
+  }
+
   /** q73: Misra-Gries counter budget — 28 counters over 31 distinct
     * tokens keeps eviction active while the n/(k+1) threshold lands
     * between the frequent cluster and the tail.

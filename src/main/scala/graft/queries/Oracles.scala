@@ -960,5 +960,21 @@ object Oracles {
          |n AS (SELECT count(*) AS n FROM t)
          |SELECT tok, cnt FROM c, n WHERE cnt > n / $k1.0""".stripMargin
     },
+
+    "q74_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS psec
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS v_event_id, user_id AS v_user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS vsec
+        |  FROM events WHERE event_type = 'view')
+        |SELECT event_id, user_id, psec, v_event_id, vsec FROM (
+        |  SELECT p.event_id, p.user_id, p.psec, v.v_event_id, v.vsec,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY v.vsec DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.vsec <= p.psec
+        |    AND v.vsec >= p.psec - 3600) q
+        |WHERE rn = 1""".stripMargin,
   )
 }

@@ -178,6 +178,47 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance bounds the match distance in both directions") {
+    onBothPaths { label =>
+      // backward: trade 2 (a,25) matches quote 104 (t=20), distance 5.
+      val t5 = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"), tolerance = Some(5L)))
+      val t4 = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"), tolerance = Some(4L)))
+      // forward: trade 3 (a,5) matches quote 101 (t=8), distance 3.
+      val f3 = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
+        direction = AsOfForward, tolerance = Some(3L)))
+      val f2 = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
+        direction = AsOfForward, tolerance = Some(2L)))
+      withClue(s"[$label] ") {
+        assert(t5(2L) == 104L && t4(2L) == -1L)
+        assert(t5(1L) == 103L) // distance 0 always within tolerance
+        assert(f3(3L) == 101L && f2(3L) == -1L)
+      }
+    }
+  }
+
+  test("allowExactMatches=false excludes equal times, both directions") {
+    onBothPaths { label =>
+      val back = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
+        allowExactMatches = false))
+      val fwd = tradeQuote(AsOf.join(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", Seq("quote_id"),
+        direction = AsOfForward, allowExactMatches = false))
+      withClue(s"[$label] ") {
+        // trade 1 (a,10): the t=10 ties are excluded -> strict-before 101 (t=8)
+        assert(back(1L) == 101L)
+        // forward: strict-after skips the t=10 ties -> 104 (t=20)
+        assert(fwd(1L) == 104L)
+        // unaffected rows keep their matches
+        assert(back(2L) == 104L && fwd(3L) == 101L)
+      }
+    }
+  }
+
   test("merge plan: AsOfJoinExec, no window, sorted co-partitioned children") {
     onBothPaths { label =>
       if (label == "merge") {
