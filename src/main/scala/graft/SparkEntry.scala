@@ -91,6 +91,10 @@ object SparkEntry {
     "q72_interval_overlap" -> (Extensions.q72IntervalOverlap _),
     "q73_heavy_hitters" -> (Extensions.q73HeavyHitters _),
     "q74_asof_tolerance" -> (Extensions.q74AsofTolerance _),
+    "q75_cube_agg" -> (Parity.q75CubeAgg _),
+    "q76_unpivot" -> (Parity.q76Unpivot _),
+    "q77_balanced_sample" -> (Extensions.q77BalancedSample _),
+    "q78_mixture_weights" -> (Extensions.q78MixtureWeights _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1338,4 +1338,66 @@ object Extensions {
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
         col("p_value"))
   }
+
+  /** q77: documents kept per (lang, source) stratum. */
+  val SampleK = 3
+
+  /** Balanced per-stratum sampling: exactly k documents from every
+    * (lang, source) stratum, selected by smallest content hash — the
+    * fixed-quota complement to q57's fixed-RATE hash sampling (a training
+    * mix wants "3 docs from every stratum", not "2 % of each"). Selection
+    * is by md5(doc_id:text), so membership is a pure function of content:
+    * stable across reruns, engines, partitionings, and corpus growth
+    * *elsewhere* in the stratum's hash range. The naive form is a
+    * rank-over-window — a full shuffle AND sort of the corpus; this runs
+    * as the O(k)-state `bounded_sorted_list` heap aggregate (q18's
+    * flood-cap machinery reused as an operator of its own): map-side
+    * partials keep k rows per stratum, the one shuffle moves ≤ k·strata
+    * digest structs, and no sort of the data ever happens. Bare-session
+    * fallback: the same capped collect, per the optional-extension
+    * contract.
+    */
+  def q77BalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = widen(s, t(s, dir, "documents"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(boundedSortedList(s, SampleK, "struct(h, doc_id)").as("kept"))
+      .select(col("lang"), col("source"), explode(col("kept")).as("k"))
+      .select(col("lang"), col("source"),
+        col("k.doc_id").as("doc_id"), col("k.h").as("h"))
+  }
+
+  /** Temperature-scaled domain mixture weights (alpha = 0.5): the standard
+    * multi-domain training recipe — sample domains proportionally to
+    * tokens^alpha, flattening the natural distribution so small domains
+    * are not drowned out — computed with every floating-point step
+    * cross-engine deterministic. Token totals are exact integer sums; the
+    * alpha weight is floor(sqrt(tokens)) — one correctly-rounded IEEE
+    * sqrt plus a floor, bit-identical on any libm — so the weight SUM is
+    * again exact integer arithmetic and the only double ops are three
+    * final divisions in a fixed tree shape. `boost` is the upsampling
+    * factor vs proportional sampling (weight/share > 1 ⇔ the domain is
+    * over-sampled by the temperature). One hash aggregation over the
+    * corpus + a broadcast of the one-row totals: no second corpus pass
+    * (the per-domain frame is checkpointed), no driver math.
+    */
+  def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumFunctions.portableRound
+    val per = widen(s, t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .withColumn("wint", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      .localCheckpoint(true) // feeds the totals row AND the final select once
+    val tot = per.agg(sum(col("tokens")).as("ttok"), sum(col("wint")).as("twint"))
+    val share = col("tokens").cast("double") / col("ttok").cast("double")
+    val weight = col("wint").cast("double") / col("twint").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        portableRound(share, 6).as("share"),
+        portableRound(weight, 6).as("weight"),
+        r4(weight / share).as("boost"))
+  }
 }

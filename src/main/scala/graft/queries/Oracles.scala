@@ -961,6 +961,53 @@ object Oracles {
          |SELECT tok, cnt FROM c, n WHERE cnt > n / $k1.0""".stripMargin
     },
 
+    "q77_balanced_sample" -> {
+      val k = Extensions.SampleK
+      s"""SELECT lang, source, doc_id, h FROM (
+         |  SELECT lang, source, doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text) ASC,
+         |               doc_id ASC) AS rn
+         |  FROM documents) q
+         |WHERE rn <= $k""".stripMargin
+    },
+
+    "q78_mixture_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |per2 AS (
+         |  SELECT source, n_docs, tokens,
+         |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wint
+         |  FROM per),
+         |tot AS (
+         |  SELECT CAST(sum(tokens) AS BIGINT) AS ttok,
+         |    CAST(sum(wint) AS BIGINT) AS twint
+         |  FROM per2)
+         |SELECT source, n_docs, tokens,
+         |  ${r("CAST(tokens AS DOUBLE) / CAST(ttok AS DOUBLE)", 6)} AS share,
+         |  ${r("CAST(wint AS DOUBLE) / CAST(twint AS DOUBLE)", 6)} AS weight,
+         |  ${r("(CAST(wint AS DOUBLE) / CAST(twint AS DOUBLE)) / (CAST(tokens AS DOUBLE) / CAST(ttok AS DOUBLE))", 4)} AS boost
+         |FROM per2, tot""".stripMargin,
+
+    "q75_cube_agg" ->
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+
+    "q76_unpivot" ->
+      """WITH w AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_custs
+        |  FROM orders GROUP BY 1)
+        |SELECT order_year, 'revenue' AS metric, revenue AS value FROM w
+        |UNION ALL SELECT order_year, 'n_orders', n_orders FROM w
+        |UNION ALL SELECT order_year, 'n_custs', n_custs FROM w""".stripMargin,
+
     "q74_asof_tolerance" ->
       """WITH p AS (
         |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS psec

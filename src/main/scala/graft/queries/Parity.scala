@@ -394,6 +394,44 @@ object Parity {
       min(col("l_extendedprice")).as("min_price"),
       max(col("l_extendedprice")).as("max_price"))
 
+  /** Multi-level aggregation via CUBE + grouping_id (q28's rollup widened
+    * to the full lattice): one pass emits per-(lang,source), per-lang,
+    * per-source, and grand-total document stats, with `gid` disambiguating
+    * a genuinely-NULL dimension value from an aggregated-away one — the
+    * standard OLAP summary shape. Spark expands the cube at the logical
+    * level into a single Expand + hash aggregate: 4 grouping sets cost one
+    * shuffle of 4× the (tiny) group cardinality, not 4 scans of the
+    * corpus. Counts and the int64 char sum are exact, so no rounding
+    * policy is needed.
+    */
+  def q75CubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** Wide→long unpivot (the inverse of q40's pivot): a per-year metrics
+    * frame melted into (order_year, metric, value) rows — the shape
+    * metric stores and plotting layers want. The unpivot itself is a
+    * map-only Expand (k output rows per input row, no shuffle, no
+    * UNION-of-scans); the only shuffle is the upstream aggregation. The
+    * double SUM goes through DECIMAL(18,6) per the determinism policy;
+    * counts cast to double exactly (they are far below 2^53).
+    */
+  def q76Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).cast("double").as("n_orders"),
+        countDistinct(col("o_custkey")).cast("double").as("n_custs"))
+      .unpivot(
+        Array(col("order_year")),
+        Array(col("revenue"), col("n_orders"), col("n_custs")),
+        "metric", "value")
+
   /** SQL-text entry shape (GL:260-288 runs its aggregates as SQL strings):
     * same engine lifecycle, parsed instead of built.
     */
