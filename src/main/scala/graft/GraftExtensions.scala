@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{BoundedSortedList, CosineSimilarity, FreqItems, TopKPairs}
+import graft.expressions.{BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, TopKPairs}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -36,5 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FreqItems(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomFilterAgg(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContains(children(0), children(1))))
   }
 }

@@ -95,6 +95,7 @@ object SparkEntry {
     "q76_unpivot" -> (Parity.q76Unpivot _),
     "q77_balanced_sample" -> (Extensions.q77BalancedSample _),
     "q78_mixture_weights" -> (Extensions.q78MixtureWeights _),
+    "q79_bloom_join" -> (Extensions.q79BloomJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1382,6 +1382,52 @@ object Extensions {
     * corpus + a broadcast of the one-row totals: no second corpus pass
     * (the per-domain frame is checkpointed), no driver math.
     */
+  /** Sized ~16× above the largest bench-scale build side (sf0.1 urgent
+    * orders ≈ 30 k keys) — over-sizing only LOWERS the false-positive
+    * rate, never correctness (the confirm join owns that). ~450 KB at the
+    * default 3 % design fpp; kept sub-MB deliberately because every map
+    * partial serializes a full-size (bit-OR-mergeable) image through the
+    * one-row final aggregation — the filter's build cost scales with
+    * `size × map-tasks`, its benefit with probe-side selectivity, the
+    * sizing tradeoff a 100 TB deployment must make explicitly.
+    */
+  val BloomExpected = 500000
+
+  /** Bloom-pruned join: revenue per ship month for lineitems of URGENT
+    * orders. The build side's filtered key set rides a
+    * [[graft.expressions.BloomFilterAgg]] Bloom image (one-row aggregate,
+    * broadcast), the probe scan drops non-matching lineitems BEFORE the
+    * join shuffle, and the exact join then removes the fpp stragglers —
+    * result ≡ the plain join (the oracle IS the plain join). At 100 TB
+    * this is the shape for a build side whose key set outgrows
+    * broadcast-hash (10⁹ keys) while its ~9.6-bit/key Bloom image does
+    * not: the fact-table shuffle shrinks by the prefilter's selectivity
+    * (~80 % here), which is the dominant cost of the sort-merge join.
+    * Same contract as the other extension-backed queries: on a bare
+    * session the prefilter vanishes and the exact join stands alone.
+    */
+  def q79BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = t(s, dir, "lineitem")
+    val pruned =
+      if (s.catalog.functionExists("bloom_agg")) {
+        val flt = o.agg(expr(s"bloom_agg($BloomExpected, o_orderkey)").as("bf"))
+        li.crossJoin(broadcast(flt))
+          .filter(expr("bloom_contains(bf, l_orderkey)"))
+          .drop("bf")
+      } else li
+    pruned.join(o, pruned("l_orderkey") === o("o_orderkey"))
+      .groupBy(
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumFunctions.portableRound
     val per = widen(s, t(s, dir, "documents"))

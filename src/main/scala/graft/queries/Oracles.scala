@@ -992,6 +992,18 @@ object Oracles {
          |  ${r("(CAST(wint AS DOUBLE) / CAST(twint AS DOUBLE)) / (CAST(tokens AS DOUBLE) / CAST(ttok AS DOUBLE))", 4)} AS boost
          |FROM per2, tot""".stripMargin,
 
+    // The oracle is the PLAIN join — the Bloom prefilter must be
+    // semantically invisible (no false negatives; fpp removed by the
+    // confirm join).
+    "q79_bloom_join" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2""".stripMargin,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -1,0 +1,69 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** bloom_agg + bloom_contains: no false negatives under any partition
+  * layout, bounded false positives, string and long keys, null handling,
+  * SQL registration, and the q79 contract (prefilter + exact confirm ≡
+  * plain join).
+  */
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives, any merge layout; fpp stays bounded") {
+    val keys = (1L to 5000L).map(_ * 7)
+    for (parts <- Seq(1, 5, 32)) {
+      val flt = keys.toDF("k").repartition(parts)
+        .agg(expr("bloom_agg(5000, k)").as("bf"))
+      val probe = (1L to 70000L).toDF("p")
+        .crossJoin(broadcast(flt))
+        .withColumn("hit", expr("bloom_contains(bf, p)"))
+      val present = probe.filter($"p" % 7 === 0 && $"p" <= 35000)
+      assert(present.filter(!$"hit").count() === 0, s"parts=$parts: false negative")
+      val absent = probe.filter(!($"p" % 7 === 0 && $"p" <= 35000))
+      val fpp = absent.filter($"hit").count().toDouble / absent.count()
+      assert(fpp < 0.05, s"parts=$parts: fpp $fpp out of the 3%-design envelope")
+    }
+  }
+
+  test("string keys; nulls ignored in build and null probes yield null") {
+    val flt = Seq(Some("alpha"), Some("beta"), None).toDF("s")
+      .agg(expr("bloom_agg(100, s)").as("bf"))
+    val out = Seq(Some("alpha"), Some("beta"), Some("nope-zzz"), None).toDF("p")
+      .crossJoin(broadcast(flt))
+      .select($"p", expr("bloom_contains(bf, p)").as("hit"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(out("alpha") == true && out("beta") == true)
+    assert(out(null) == null) // null probe → null, SQL three-valued logic
+  }
+
+  test("q79 contract: bloom prefilter + exact confirm equals the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.Extensions.q79BloomJoin(spark, dir)
+    // The prefilter is really in the plan (the extension branch fired)…
+    assert(q.queryExecution.executedPlan.toString.contains("bloom_contains"))
+    val withBloom = q.orderBy("ship_year", "ship_month").collect().toSeq
+    // …and is semantically invisible vs the inline plain join.
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT").select("o_orderkey")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(year($"l_shipdate").as("ship_year"), month($"l_shipdate").as("ship_month"))
+      .agg(
+        round(sum(($"l_extendedprice" * (lit(1d) - $"l_discount")).cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("ship_year", "ship_month").collect().toSeq
+    assert(withBloom == plain)
+    assert(withBloom.nonEmpty)
+  }
+
+  test("resolves from SQL text through the extension registration") {
+    (1L to 100L).toDF("k").createOrReplaceTempView("bloom_keys")
+    val one = spark.sql(
+      "SELECT bloom_contains(bloom_agg(100, k), 50L) AS hit FROM bloom_keys")
+      .head().getBoolean(0)
+    assert(one)
+  }
+}
