@@ -96,6 +96,9 @@ object SparkEntry {
     "q77_balanced_sample" -> (Extensions.q77BalancedSample _),
     "q78_mixture_weights" -> (Extensions.q78MixtureWeights _),
     "q79_bloom_join" -> (Extensions.q79BloomJoin _),
+    "q80_salted_join" -> (Extensions.q80SaltedJoin _),
+    "q81_bm25" -> (Extensions.q81Bm25 _),
+    "q82_grouping_sets" -> (Parity.q82GroupingSets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.Dedup
+import graft.engine.{Dedup, Skew}
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 import graft.functions.NumFunctions.r4
 import graft.io.Tables
@@ -1426,6 +1426,85 @@ object Extensions {
         round(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
           .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("line_count"))
+  }
+
+  /** Skew-salted fact-to-dim join ([[Skew.saltedJoin]]): per-segment event
+    * value totals, with the events side salted on `event_id` (a column
+    * that varies WITHIN a hot key) and the customer dim replicated once
+    * per salt, so a flash-crowd user's rows split across `buckets` tasks
+    * instead of pinning one reducer. This is the shape for the skew AQE
+    * can NOT fix: AQE's skew-join splits sort-merge partitions at runtime,
+    * but a stream-static join, a bucketed-layout join, or a join feeding a
+    * same-key aggregation (this query — the salt also spreads the partial
+    * aggregate) re-skews on the key. Salting trades ×buckets build-side
+    * replication for a hard 1/buckets bound on any task's share of a hot
+    * key — the explicit form of the tradeoff at 100 TB, where one 10⁸-row
+    * user key otherwise parks a 30-minute straggler on an 8-second stage.
+    * Result ≡ the unsalted join (the oracle is the plain join+group-by).
+    */
+  def q80SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, Seq("user_id"), Seq(col("event_id")), buckets = 8)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** q81's fixed retrieval query: one rare term (df ≈ 5 % of docs) and two
+    * common ones — the oracle SQL is GENERATED from this constant so the
+    * two engines cannot drift.
+    */
+  val Bm25Terms = Seq("dup", "vector", "join")
+
+  /** BM25-style relevance scoring (k1 = 1.2, b = 0.75) with every
+    * floating-point step cross-engine deterministic. Two standard-BM25
+    * departures, both for bit-exactness (the q78 policy):
+    * the rarity weight is the raw odds ratio (N − df + ½)/(df + ½)
+    * without the usual ln(1 + ·) (same per-term ranking, no
+    * correctly-rounded-log guarantee needed), and with k1, b rational the
+    * whole term score reduces to one integer-exact fraction
+    *   22·tf·S·(2N − 2df + 1)  /  (10·tf·S + 3S + 9·dl·N)(2df + 1)
+    * (S = Σ dl, avgdl = S/N substituted through) — long arithmetic, ONE
+    * IEEE division per term, and a fixed left-associated 3-term sum, so
+    * Spark and DuckDB agree bit-for-bit before the presentation rounding.
+    * (Long-safe to ~sf10 corpus sizes; a 100 TB corpus moves the
+    * numerators to decimal(38,0) — same plan shape.)
+    * Plan shape: one corpus pass for (N, S, df) — a one-row aggregate
+    * riding a broadcast — and one scoring pass; tf comes from the doc's
+    * own token array (map-side, no per-term shuffle). A zero tf zeroes
+    * the numerator, so absent terms contribute exactly +0.0 — no
+    * branches.
+    */
+  def q81Bm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumFunctions.portableRound
+    val d = docs(s, dir)
+      .select(col("doc_id"), Txt.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val statAggs =
+      Seq(count(lit(1)).as("n"), sum(col("dl")).as("slen")) ++
+        Bm25Terms.map(t =>
+          sum(when(array_contains(col("tk"), lit(t)), 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    val withTf = Bm25Terms.foldLeft(d.crossJoin(broadcast(stats))) { (df, t) =>
+      df.withColumn(s"tf_$t",
+        size(filter(col("tk"), x => x === lit(t))).cast("long"))
+    }
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t"); val dfT = col(s"df_$t")
+      val num = lit(22L) * tf * col("slen") *
+        (lit(2L) * col("n") - lit(2L) * dfT + lit(1L))
+      val den = (lit(10L) * tf * col("slen") + lit(3L) * col("slen") +
+        lit(9L) * col("dl") * col("n")) * (lit(2L) * dfT + lit(1L))
+      num.cast("double") / den.cast("double")
+    }
+    val score = Bm25Terms.map(termScore).reduce(_ + _)
+    withTf.select(
+      Seq(col("doc_id")) ++
+        Bm25Terms.map(t => col(s"tf_$t")) :+
+        portableRound(score, 6).as("bm25"): _*)
   }
 
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {

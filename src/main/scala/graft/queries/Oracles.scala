@@ -1004,6 +1004,57 @@ object Oracles {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2""".stripMargin,
 
+    // Plain join+group-by: salting must be semantically invisible.
+    "q80_salted_join" ->
+      """SELECT c_mktsegment, event_type,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+        |  count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Generated from Extensions.Bm25Terms; the integer-exact fraction and
+    // the left-associated term sum mirror the Spark expression tree
+    // step-for-step (see q81's scaladoc).
+    "q81_bm25" -> {
+      val dfCols = Extensions.Bm25Terms.map(t =>
+        s"""    CAST(sum(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t""")
+        .mkString(",\n")
+      val tfCols = Extensions.Bm25Terms.map(t =>
+        s"""    CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$t""")
+        .mkString(",\n")
+      def term(t: String) =
+        s"(CAST(22*tf_$t*slen*(2*n - 2*df_$t + 1) AS DOUBLE) / " +
+          s"CAST((10*tf_$t*slen + 3*slen + 9*dl*n)*(2*df_$t + 1) AS DOUBLE))"
+      val score = Extensions.Bm25Terms.map(term).reduce((a, b) => s"($a + $b)")
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |d2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM d),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS slen,
+         |$dfCols
+         |  FROM d2),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |$tfCols
+         |  FROM d2)
+         |SELECT doc_id, ${Extensions.Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+         |  ${r(score, 6)} AS bm25
+         |FROM tf, st""".stripMargin
+    },
+
+    "q82_grouping_sets" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(year(o_orderdate) AS INTEGER) AS order_year, o_totalprice
+        |  FROM orders)
+        |SELECT o_orderpriority, order_year,
+        |  CAST(GROUPING(o_orderpriority, order_year) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM o
+        |GROUP BY GROUPING SETS ((o_orderpriority, order_year), (order_year), ())""".stripMargin,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -432,6 +432,28 @@ object Parity {
         Array(col("revenue"), col("n_orders"), col("n_custs")),
         "metric", "value")
 
+  /** Explicit GROUPING SETS (beyond q75's cube / q28's rollup): the
+    * (priority × year), (year), () lattice — the exact roll-ups a report
+    * needs, WITHOUT the 2ᵏ-set blowup a cube pays at 100 TB. Same
+    * execution shape as cube: one scan, one Expand (3 output rows per
+    * input row here, vs 4 for the cube), one shuffle — the set list is a
+    * plan-time constant, so adding a grouping set never adds a pass over
+    * the data. grouping_id() disambiguates the all-null rows, matching
+    * DuckDB's GROUPING() bit order (MSB = leftmost column, verified by
+    * the hash oracle).
+    */
+  def q82GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("order_year")),
+          Seq(col("order_year")), Seq()),
+        col("o_orderpriority"), col("order_year"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+
   /** SQL-text entry shape (GL:260-288 runs its aggregates as SQL strings):
     * same engine lifecycle, parsed instead of built.
     */
