@@ -99,6 +99,7 @@ object SparkEntry {
     "q80_salted_join" -> (Extensions.q80SaltedJoin _),
     "q81_bm25" -> (Extensions.q81Bm25 _),
     "q82_grouping_sets" -> (Parity.q82GroupingSets _),
+    "q83_hll_union" -> (Extensions.q83HllUnion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

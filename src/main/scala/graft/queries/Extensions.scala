@@ -1507,6 +1507,36 @@ object Extensions {
         portableRound(score, 6).as("bm25"): _*)
   }
 
+  /** Two-level mergeable distinct count via DataSketches HLL
+    * (`hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`): one
+    * sketch per (returnflag, ship-month) partial, then a register-wise
+    * union up to flag level. This is the INCREMENTAL shape q30's direct
+    * `approx_count_distinct` cannot give: persist the per-month sketches
+    * (a few KB each) and any later rollup — new month arrives, year
+    * total, ad-hoc flag × quarter — is a union over stored sketches with
+    * ZERO rescans of the 100 TB fact history. Same-lgK HLL union is
+    * register-max, i.e. lossless: the merged estimate IS the
+    * direct-sketch estimate (HllSketchSpec pins that equality), so
+    * correctness degrades nowhere by staging. The hash-checked output is
+    * q30's envelope contract — each engine's own estimate lands within
+    * 5 % of its own exact twin.
+    */
+  def q83HllUnion(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val monthly = li.groupBy(
+        col("l_returnflag"),
+        year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = monthly.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"))
+    exact.join(broadcast(merged), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("parts"),
+        (abs(col("est").cast("double") - col("parts").cast("double")) /
+          col("parts").cast("double") <= 0.05).as("parts_within_5pct"))
+  }
+
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumFunctions.portableRound
     val per = widen(s, t(s, dir, "documents"))

@@ -1055,6 +1055,19 @@ object Oracles {
         |FROM o
         |GROUP BY GROUPING SETS ((o_orderpriority, order_year), (order_year), ())""".stripMargin,
 
+    // q30's envelope contract: each engine validates ITS OWN sketch
+    // against its own exact twin (DuckDB has no sketch-merge surface; the
+    // merge losslessness is pinned Spark-side by HllSketchSpec).
+    "q83_hll_union" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT l_partkey) AS parts,
+        |    approx_count_distinct(l_partkey) AS pa
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, parts,
+        |  abs(CAST(pa AS DOUBLE) - CAST(parts AS DOUBLE)) / CAST(parts AS DOUBLE) <= 0.05 AS parts_within_5pct
+        |FROM g""".stripMargin,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
