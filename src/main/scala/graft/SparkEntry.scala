@@ -100,6 +100,9 @@ object SparkEntry {
     "q81_bm25" -> (Extensions.q81Bm25 _),
     "q82_grouping_sets" -> (Parity.q82GroupingSets _),
     "q83_hll_union" -> (Extensions.q83HllUnion _),
+    "q84_funnel" -> (Extensions.q84Funnel _),
+    "q85_retention_cohorts" -> (Extensions.q85RetentionCohorts _),
+    "q86_subqueries" -> (Parity.q86Subqueries _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1537,6 +1537,54 @@ object Extensions {
           col("parts").cast("double") <= 0.05).as("parts_within_5pct"))
   }
 
+  /** Ordered funnel (view → click → purchase): per-user first-view, first
+    * click strictly after it, first purchase strictly after that —
+    * conversion analysis as THREE chained window-mins over ONE
+    * hash-partitioning. Each stage's `min(when(...))` window references
+    * the previous stage's column, and all three share
+    * `Window.partitionBy(user_id)`, so Catalyst plans one exchange and
+    * stacks the Window operators on it; the closing per-user dedup
+    * aggregate reuses the same partitioning (exchange-free). At 100 TB
+    * this is the funnel shape that does NOT self-join the event log per
+    * stage — k stages cost k linear passes over each user's partition,
+    * not k shuffled joins. Timestamps emit as epoch micros (the engines'
+    * shared precision; events carry none finer).
+    */
+  def q84Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    t(s, dir, "events")
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        unix_micros(min(col("t_view"))).as("t_view_us"),
+        unix_micros(min(col("t_click"))).as("t_click_us"),
+        unix_micros(min(col("t_purchase"))).as("t_purchase_us"))
+  }
+
+  /** Retention cohorts: users grouped by first-activity day, activity
+    * counted per (cohort day, day offset) — the classic retention
+    * triangle. The first-touch frame is a per-user aggregate joined back
+    * onto the events (both shuffles key on user_id, so the join reuses
+    * the aggregation's partitioning); the closing distinct-count shuffles
+    * on the (cohort, offset) pair. On a production 100 TB log the
+    * first-touch frame is a maintained dimension (one SCD1 upsert per
+    * load, [[graft.io.Scd2History]]'s cheaper sibling) rather than a
+    * recomputed min — the query then reads it broadcast-sized.
+    */
+  def q85RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstTouch = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    e.join(firstTouch, Seq("user_id"))
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumFunctions.portableRound
     val per = widen(s, t(s, dir, "documents"))

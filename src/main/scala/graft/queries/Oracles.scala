@@ -1068,6 +1068,35 @@ object Oracles {
         |  abs(CAST(pa AS DOUBLE) - CAST(parts AS DOUBLE)) / CAST(parts AS DOUBLE) <= 0.05 AS parts_within_5pct
         |FROM g""".stripMargin,
 
+    "q84_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click
+        |  FROM a),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM b)
+        |SELECT user_id, epoch_us(min(t_view)) AS t_view_us,
+        |  epoch_us(min(t_click)) AS t_click_us,
+        |  epoch_us(min(t_purchase)) AS t_purchase_us
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q85_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+        |SELECT cohort_d, CAST(e.d - f.cohort_d AS INTEGER) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // Verbatim shared text — see Parity.SubqueriesSql.
+    "q86_subqueries" -> Parity.SubqueriesSql,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -454,6 +454,32 @@ object Parity {
         count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"))
 
+  /** One SQL text, two engines: q86 runs THIS string verbatim on Spark
+    * (over temp views named like the tables) and as its DuckDB oracle —
+    * the subquery surface (correlated EXISTS, uncorrelated scalar
+    * subquery, IN-subquery) demonstrated with zero translation. The
+    * scalar threshold is `0.5 * max(...)`: max is order-independent and
+    * 0.5 a power of two, so the comparison is bit-deterministic without
+    * the decimal detour. Spark decorrelates the EXISTS into a semi-join
+    * and plans the IN as a broadcast semi-join — subqueries are plan
+    * sugar, not per-row re-execution.
+    */
+  val SubqueriesSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_totalprice > (SELECT 0.5 * max(o2.o_totalprice) FROM orders o2))
+      |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  def q86Subqueries(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(SubqueriesSql)
+  }
+
   /** SQL-text entry shape (GL:260-288 runs its aggregates as SQL strings):
     * same engine lifecycle, parsed instead of built.
     */
