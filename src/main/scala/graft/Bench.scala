@@ -41,10 +41,21 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> rounds.map(_.toMap.apply(name)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of stdout; the
+    // full-name full-precision line outgrew that window at ~55 queries
+    // (BENCH_r01..r05 all show parsed:null with the line's head cut off).
+    // Emit a line that FITS: qNN short keys + millisecond precision
+    // (~13 chars/query → ~1.2 KB at 88 queries). The full-name
+    // full-precision map goes to bench_full.json alongside.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,6 +103,8 @@ object SparkEntry {
     "q84_funnel" -> (Extensions.q84Funnel _),
     "q85_retention_cohorts" -> (Extensions.q85RetentionCohorts _),
     "q86_subqueries" -> (Parity.q86Subqueries _),
+    "q87_deciles" -> (Extensions.q87Deciles _),
+    "q88_portable_stats" -> (Extensions.q88PortableStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

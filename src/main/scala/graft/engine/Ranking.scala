@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global ranking — the scalable replacement for
+  * `row_number() OVER (ORDER BY …)` with no partition spec, which Spark
+  * plans as a SINGLE-task global sort window: the one-line query that
+  * quietly serializes a 100 TB table through one executor.
+  *
+  * Shape: range-repartition on the sort key (each task holds a disjoint
+  * key range, in range order), rank WITHIN each partition (local sort
+  * only), then add per-partition row-count offsets — a P-row frame
+  * aggregated from the data and broadcast back. Every stage is
+  * cluster-wide; nothing anywhere is O(total rows) in one task.
+  *
+  * Requirements and guarantees:
+  *   - `sortCols` must be a TOTAL order (append a unique tiebreaker);
+  *     range boundaries then cut between rows, never through ties, so
+  *     ranks are exact and deterministic, matching the window form
+  *     bit-for-bit (RankingSpec).
+  *   - The range exchange SAMPLES to pick bounds, so the partition
+  *     identity of a row is not deterministic across recomputations; the
+  *     partitioned frame is pinned with an eager localCheckpoint (the
+  *     repo's standard CTE-materialization; reliable checkpoint on a
+  *     fault-tolerant cluster) because BOTH the offset frame and the
+  *     output read it — inconsistent pids between the two would corrupt
+  *     every offset.
+  */
+object Ranking {
+
+  def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // P rows; the running total over pid order turns counts into offsets
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val localRank = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged.withColumn("__rn", row_number().over(localRank).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__offset") + col("__rn"))
+      .drop("__pid", "__rn", "__offset")
+  }
+}

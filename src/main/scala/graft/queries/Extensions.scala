@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Dedup, Skew}
+import graft.engine.{Dedup, Ranking, Skew}
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 import graft.functions.NumFunctions.r4
 import graft.io.Tables
@@ -1583,6 +1583,70 @@ object Extensions {
     e.join(firstTouch, Seq("user_id"))
       .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Exact equi-depth revenue deciles over [[Ranking.globalRank]] — the
+    * distributed exact ranking (range repartition + local rank +
+    * broadcast offsets) instead of the `ntile() OVER (ORDER BY …)`
+    * single-task global sort. Decile assignment is pure integer/exact
+    * arithmetic — floor(((rank−1)·10)/N) on longs exact in doubles — so
+    * the bucket edges match the window-form oracle row-for-row. This is
+    * the stats-collection step for range-partitioned writes and the
+    * exact twin of the approx-percentile path (q43) a 100 TB run would
+    * sample instead.
+    */
+  def q87Deciles(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Ranking.globalRank(
+      t(s, dir, "orders"), Seq(col("o_totalprice"), col("o_orderkey")), "rk")
+    val total = t(s, dir, "orders").agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile",
+        (floor(((col("rk") - 1) * 10).cast("double") / col("n_total").cast("double"))
+          .cast("int") + 1))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+  }
+
+  /** Per-group mean / sample-stddev / correlation WITHOUT the built-in
+    * stddev/corr aggregates — those sum doubles in partition order, so
+    * their last-ulp value depends on the merge tree and no exact oracle
+    * can exist. Instead: the five raw moments (Σx, Σy, Σx², Σy², Σxy)
+    * accumulate as EXACT decimals (inputs quantized to decimal(18,6),
+    * products decimal(37,12) — no rounding anywhere in the aggregation),
+    * and the statistics come out of the closed-form identities in a fixed
+    * double expression tree. Distributed determinism for free — the
+    * moments are associative integers in disguise — plus one extra win:
+    * the same five numbers serve ANY of the derived statistics, so a
+    * 100 TB profiling pass stores tiny per-partition moment rows
+    * ([[graft.io.Rollup]] shape) and derives mean/std/corr per rollup
+    * instead of re-aggregating. Presentation-rounded r4; the only
+    * cross-engine wobble is the final decimal→double casts (≤ 1 ulp),
+    * invisible at 4 digits.
+    */
+  def q88PortableStats(s: SparkSession, dir: String): DataFrame = {
+    val qd = col("l_quantity").cast("decimal(18,6)")
+    val pd = col("l_extendedprice").cast("decimal(18,6)")
+    val m = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qd).as("sq"), sum(pd).as("sp"),
+        sum(qd * qd).as("sqq"), sum(pd * pd).as("spp"), sum(qd * pd).as("sqp"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val bessel = nD * (nD - lit(1d))
+    val varQ = (nD * d("sqq") - d("sq") * d("sq")) / bessel
+    val varP = (nD * d("spp") - d("sp") * d("sp")) / bessel
+    val cov = (nD * d("sqp") - d("sq") * d("sp")) / bessel
+    m.select(
+      col("l_returnflag"), col("n"),
+      r4(d("sq") / nD).as("mean_qty"),
+      r4(sqrt(varQ)).as("std_qty"),
+      r4(cov / (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"))
   }
 
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {

@@ -1097,6 +1097,49 @@ object Oracles {
     // Verbatim shared text — see Parity.SubqueriesSql.
     "q86_subqueries" -> Parity.SubqueriesSql,
 
+    // Window form IS the oracle: the distributed ranking must match the
+    // single-task sort bit-for-bit.
+    "q87_deciles" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    count(*) OVER () AS n_total
+        |  FROM orders)
+        |SELECT CAST(floor(((rk - 1) * 10.0) / n_total) AS INTEGER) + 1 AS decile,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Exact decimal moments, then the same fixed double expression tree
+    // as the Spark side (see q88's scaladoc).
+    "q88_portable_stats" -> {
+      val varQ = "(nd*sqqd - sqd*sqd) / (nd*(nd - 1.0))"
+      val varP = "(nd*sppd - spd*spd) / (nd*(nd - 1.0))"
+      val cov = "(nd*sqpd - sqd*spd) / (nd*(nd - 1.0))"
+      s"""WITH m AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+         |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sp,
+         |    -- DECIMAL(19,6) operands force int128 arithmetic in DuckDB
+         |    -- (18-width operands multiply in int64 and overflow on
+         |    -- price^2); result DECIMAL(38,12) is still exact.
+         |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sqq,
+         |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS spp,
+         |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sqp
+         |  FROM lineitem GROUP BY 1),
+         |m2 AS (
+         |  SELECT l_returnflag, n,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS sqd, CAST(sp AS DOUBLE) AS spd,
+         |    CAST(sqq AS DOUBLE) AS sqqd, CAST(spp AS DOUBLE) AS sppd, CAST(sqp AS DOUBLE) AS sqpd
+         |  FROM m)
+         |SELECT l_returnflag, n,
+         |  ${r("sqd / nd", 4)} AS mean_qty,
+         |  ${r(s"sqrt($varQ)", 4)} AS std_qty,
+         |  ${r(s"($cov) / (sqrt($varQ) * sqrt($varP))", 4)} AS corr_qty_price
+         |FROM m2""".stripMargin
+    },
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -1,0 +1,45 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking.globalRank: exact parity with the single-task window form on
+  * every layout (including heavy duplicate keys resolved by tiebreaker),
+  * and no GLOBAL sort anywhere in the physical plan.
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data(n: Int) =
+    (1 to n).map(i => ((i * 131) % 97, i.toLong)).toDF("v", "id")
+
+  test("matches window row_number under any input layout") {
+    val expected = data(5000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .orderBy("id").collect().toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Ranking.globalRank(
+        data(5000).repartition(parts), Seq($"v", $"id"), "rank")
+        .orderBy("id").collect().toSeq
+      assert(got == expected, s"layout parts=$parts diverged")
+    }
+  }
+
+  test("no global sort in the plan; ranks are dense 1..N") {
+    val out = Ranking.globalRank(data(2000), Seq($"v", $"id"), "rank")
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val physical = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val globalSorts = physical.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"found global sorts:\n$globalSorts")
+    val ranks = out.select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 2000L).toSeq)
+  }
+}
