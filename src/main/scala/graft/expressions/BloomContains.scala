@@ -13,16 +13,29 @@ import org.apache.spark.util.sketch.BloomFilter
   * (bounded fpp), never false for present ones — so it is ONLY a
   * prefilter; q79 pairs it with an exact confirm join.
   *
-  * The filter column in the intended plan is the one-row aggregate
-  * broadcast via `crossJoin(broadcast(...))`, i.e. the SAME byte array
-  * reference for every probe row in a task. Deserializing per row would
-  * dwarf the membership test, so the expression keeps a per-instance
-  * identity-keyed cache of the last deserialized filter — one
-  * deserialization per task (per distinct filter object), the same trick
-  * Spark's internal `BloomFilterMightContain` gets from its foldable
-  * subquery argument, without requiring foldability. Codegen'd via a
-  * reference to the expression instance, so the probe side stays inside
-  * WholeStageCodegen.
+  * The INTENDED plan form passes the filter as a FOLDABLE binary literal
+  * (collect the one-row `bloom_agg` image to the driver — scalar-sized,
+  * the documented C1-acceptable shape — and inline it, q79): the
+  * expression then deserializes once per instance and the per-row cost is
+  * a hash probe, the same contract Spark's own `BloomFilterMightContain`
+  * enforces by REQUIRING a foldable/subquery build side. A column-valued
+  * filter (e.g. `crossJoin(broadcast(aggRow))`) also works but is
+  * per-row O(image): `UnsafeRow.getBinary` copies the image afresh on
+  * EVERY evaluation (measured ~45 µs/row at 450 KB) before the cache can
+  * even be consulted — fine for small filters, wrong at sub-MB and up.
+  *
+  * For the column form the cache key is a CONTENT FINGERPRINT — length
+  * plus four longs sampled across the image — NOT reference identity
+  * (fresh copies mean `eq` can never hit; full `Arrays.equals` would
+  * memcmp the image per row). Two DISTINCT filters colliding requires
+  * identical length and 192 identical sampled bit-array bits (~2⁻¹⁹²),
+  * and only matters if one expression instance sees multiple distinct
+  * images, which the one-row-aggregate shape never produces. The cache
+  * entry is an immutable case class published through a plain var: JMM
+  * final-field semantics mean a racing reader sees null/stale (and
+  * harmlessly re-deserializes) or a consistent (fingerprint, filter)
+  * pair — never a mismatch. Codegen'd via a reference to the expression
+  * instance, so the probe side stays inside WholeStageCodegen.
   */
 case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,28 +54,53 @@ case class BloomContains(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
-  // Identity-keyed single-entry cache: the broadcast hands every row the
-  // same Array[Byte] instance, so `eq` avoids both re-deserialization and
-  // content hashing of a multi-MB array.
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedFilter: BloomFilter = _
+  // Foldable fast path: a literal filter (the q79 shape — the image is a
+  // scalar-sized driver collect inlined into the plan) deserializes ONCE
+  // per instance, with no per-row fingerprint and — critically — no
+  // per-row image copy: a binary Literal's codegen is a references[]
+  // access, whereas an image flowing through a joined row is re-copied by
+  // UnsafeRow.getBinary on EVERY evaluation (~45 µs/row at 450 KB, the
+  // dominant cost of the broadcast-column form even with a perfect cache).
+  @transient private lazy val folded: BloomFilter =
+    if (left.foldable) {
+      val b = left.eval().asInstanceOf[Array[Byte]]
+      if (b == null) null else {
+        BloomContains.deserializations.incrementAndGet()
+        BloomFilter.readFrom(new ByteArrayInputStream(b))
+      }
+    } else null
+
+  @transient private lazy val keyIsString: Boolean = right.dataType == StringType
+
+  // Single-entry fingerprint-keyed cache (see class doc) for the
+  // non-foldable (column-valued) filter form. Plain var + immutable
+  // entry: racy publication costs a wasted deserialization, never an
+  // inconsistent (key, filter) pair.
+  @transient private var cached: BloomContains.Entry = _
 
   private def filterFor(bytes: Array[Byte]): BloomFilter = {
-    if (!(bytes eq cachedBytes)) {
-      cachedFilter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+    val n = bytes.length
+    val f0 = BloomContains.sample(bytes, 0)
+    val f1 = BloomContains.sample(bytes, n / 3)
+    val f2 = BloomContains.sample(bytes, (n / 3) * 2)
+    val f3 = BloomContains.sample(bytes, n - 8)
+    val c = cached
+    if (c != null && c.len == n &&
+        c.f0 == f0 && c.f1 == f1 && c.f2 == f2 && c.f3 == f3) c.filter
+    else {
+      val filter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+      BloomContains.deserializations.incrementAndGet()
+      cached = BloomContains.Entry(n, f0, f1, f2, f3, filter)
+      filter
     }
-    cachedFilter
   }
 
   // Entry point for generated code (and nullSafeEval): boxed key, typed
   // dispatch matching BloomFilterAgg.update.
   def test(bytes: Array[Byte], key: Any): Boolean = {
-    val f = filterFor(bytes)
-    right.dataType match {
-      case StringType => f.mightContainBinary(key.asInstanceOf[UTF8String].getBytes)
-      case _ => f.mightContainLong(key.asInstanceOf[Number].longValue())
-    }
+    val f = if (folded != null) folded else filterFor(bytes)
+    if (keyIsString) f.mightContainBinary(key.asInstanceOf[UTF8String].getBytes)
+    else f.mightContainLong(key.asInstanceOf[Number].longValue())
   }
 
   override protected def nullSafeEval(f: Any, k: Any): Any =
@@ -81,4 +119,30 @@ case class BloomContains(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomContains =
     copy(left = newLeft, right = newRight)
+}
+
+object BloomContains {
+  /** Immutable cache entry — final fields make racy publication safe. */
+  private final case class Entry(
+      len: Int, f0: Long, f1: Long, f2: Long, f3: Long, filter: BloomFilter)
+
+  /** Big-endian long at `off`, clamped into range (short images read what
+    * exists, zero-padded) — fingerprint input, not a parse.
+    */
+  private def sample(bytes: Array[Byte], off: Int): Long = {
+    val start = math.max(0, math.min(off, bytes.length - 8))
+    var v = 0L
+    var i = start
+    val end = math.min(start + 8, bytes.length)
+    while (i < end) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Test-visible count of actual `BloomFilter.readFrom` calls. The
+    * performance contract is ≤ 1 per (task, distinct filter) — a probe
+    * stage over N rows must add ~#tasks, never ~N
+    * (ExpressionThroughputSpec pins this; the q79 regression it guards
+    * against was 1.7 ms/row = 981 s at sf0.1).
+    */
+  val deserializations = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -1394,17 +1394,25 @@ object Extensions {
   val BloomExpected = 500000
 
   /** Bloom-pruned join: revenue per ship month for lineitems of URGENT
-    * orders. The build side's filtered key set rides a
-    * [[graft.expressions.BloomFilterAgg]] Bloom image (one-row aggregate,
-    * broadcast), the probe scan drops non-matching lineitems BEFORE the
-    * join shuffle, and the exact join then removes the fpp stragglers —
-    * result ≡ the plain join (the oracle IS the plain join). At 100 TB
-    * this is the shape for a build side whose key set outgrows
-    * broadcast-hash (10⁹ keys) while its ~9.6-bit/key Bloom image does
-    * not: the fact-table shuffle shrinks by the prefilter's selectivity
-    * (~80 % here), which is the dominant cost of the sort-merge join.
-    * Same contract as the other extension-backed queries: on a bare
-    * session the prefilter vanishes and the exact join stands alone.
+    * orders. The build side's filtered key set is aggregated into a
+    * [[graft.expressions.BloomFilterAgg]] Bloom image, collected to the
+    * driver (ONE sub-MB row — the documented C1-acceptable scalar
+    * collect) and inlined as a FOLDABLE literal into the probe filter, so
+    * [[graft.expressions.BloomContains]] deserializes once per task and
+    * the per-row cost is a hash probe. The probe scan drops non-matching
+    * lineitems BEFORE the join shuffle, and the exact join then removes
+    * the fpp stragglers — result ≡ the plain join (the oracle IS the
+    * plain join). At 100 TB this is the shape for a build side whose key
+    * set outgrows broadcast-hash (10⁹ keys) while its ~9.6-bit/key Bloom
+    * image does not: the fact-table shuffle shrinks by the prefilter's
+    * selectivity (~80 % here), which is the dominant cost of the
+    * sort-merge join. The image must reach the expression as a plan
+    * constant, NOT as a `crossJoin(broadcast(aggRow))` column — a
+    * column-valued image is re-copied by UnsafeRow.getBinary on every
+    * probe row (~45 µs/row at 450 KB; and a 981 s round-6 bench failure
+    * when the deserialization cache missed too). Same contract as the
+    * other extension-backed queries: on a bare session the prefilter
+    * vanishes and the exact join stands alone.
     */
   def q79BloomJoin(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -1413,10 +1421,13 @@ object Extensions {
     val li = t(s, dir, "lineitem")
     val pruned =
       if (s.catalog.functionExists("bloom_agg")) {
-        val flt = o.agg(expr(s"bloom_agg($BloomExpected, o_orderkey)").as("bf"))
-        li.crossJoin(broadcast(flt))
-          .filter(expr("bloom_contains(bf, l_orderkey)"))
-          .drop("bf")
+        val image = o.agg(expr(s"bloom_agg($BloomExpected, o_orderkey)").as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        li.filter(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.expressions.BloomContains(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              image, org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("l_orderkey"))))
       } else li
     pruned.join(o, pruned("l_orderkey") === o("o_orderkey"))
       .groupBy(

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Catalyst Expression → Column (`classic.ExpressionUtils.column` is
+    * private[sql] in Spark 4). Needed where a custom expression takes an
+    * argument no SQL literal syntax can carry efficiently — e.g. a
+    * Bloom-filter image as a foldable binary literal.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

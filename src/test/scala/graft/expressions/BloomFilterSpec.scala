@@ -59,6 +59,41 @@ class BloomFilterSpec extends SparkSpec {
     assert(withBloom.nonEmpty)
   }
 
+  test("deserializations scale with tasks, not rows (both filter forms)") {
+    import graft.expressions.BloomContains
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val parts = 4
+    val rows = 200000L
+    val image = (1L to 5000L).toDF("k")
+      .agg(expr("bloom_agg(5000, k)").as("bf")).head.getAs[Array[Byte]]("bf")
+    // Foldable-literal form (the q79 plan shape): one readFrom per task.
+    val before = BloomContains.deserializations.get()
+    val lit = spark.range(rows).repartition(parts)
+      .filter(org.apache.spark.sql.GraftSqlBridge.column(
+        BloomContains(Literal(image, BinaryType), UnresolvedAttribute("id"))))
+      .count()
+    val afterLit = BloomContains.deserializations.get()
+    assert(lit > 0)
+    assert(afterLit - before <= parts * 2 + 2,
+      s"literal form: ${afterLit - before} deserializations for $parts tasks — " +
+        "the per-task contract is broken (round-6 q79 regressed to per-ROW: 981s at sf0.1)")
+    // Column form (crossJoin broadcast): the fingerprint cache must hold —
+    // UnsafeRow.getBinary copies the bytes per row, so an identity-keyed
+    // cache would deserialize all `rows` times here.
+    val flt = (1L to 5000L).toDF("k").agg(expr("bloom_agg(5000, k)").as("bf"))
+    val col = spark.range(rows).repartition(parts)
+      .crossJoin(broadcast(flt))
+      .filter(expr("bloom_contains(bf, id)"))
+      .count()
+    val afterCol = BloomContains.deserializations.get()
+    assert(col === lit)
+    assert(afterCol - afterLit <= parts * 2 + 2,
+      s"column form: ${afterCol - afterLit} deserializations for $parts tasks — " +
+        "the fingerprint cache is not hitting")
+  }
+
   test("resolves from SQL text through the extension registration") {
     (1L to 100L).toDF("k").createOrReplaceTempView("bloom_keys")
     val one = spark.sql(
