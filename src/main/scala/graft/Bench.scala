@@ -1,9 +1,46 @@
 package graft
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every `SparkEntry.queries` entry at
+  * `SPARK_GRAFT_SF_DIR`, one compact JSON line on stdout (the driver
+  * captures only the LAST 2000 chars), full precision + errors in
+  * `bench_full.json`.
+  *
+  * Failure containment — a benchmark must never lose the round's signal
+  * to one bad query (round 6 did: one 981 s query × 3 rounds timed out
+  * the driver, and the session death made nine later queries "measure"
+  * 5 ms of exception-throwing):
+  *   - WATCHDOG: each query runs under a per-query timeout
+  *     (`SPARK_GRAFT_BENCH_TIMEOUT` s, default 60) on a worker thread
+  *     with its own Spark job group; on expiry the group is cancelled
+  *     (tasks interrupted) and the query is recorded as an error, not a
+  *     timing.
+  *   - ERRORS ARE DATA: a failed/timed-out query carries an `"err"`
+  *     string in bench_full.json and a count in the stdout line; it is
+  *     EXCLUDED from the total and never reported as a timing.
+  *   - NO RETRY OF FAILURES: a query that failed or timed out is skipped
+  *     in later rounds (round 6 burned 3 × 981 s re-measuring the same
+  *     pathology).
+  *   - PARTIAL FLUSH: bench_full.json is rewritten after every round, so
+  *     an external kill still leaves parseable data for the completed
+  *     prefix.
+  */
 object Bench {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' | '\r' => " "
+      case c if c < ' ' => ""
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "60").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,12 +55,56 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed session warmup (codegen framework, Hadoop FS, parquet reader,
     // broadcast machinery) so the first measured query isn't charged for
     // JVM initialization.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pool = Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "bench-query"); t.setDaemon(true); t
+    }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val group = s"bench-$name"
+      val t0 = System.nanoTime()
+      val fut = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try {
+        fut.get(timeoutSec, TimeUnit.SECONDS)
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = sec :: samples.getOrElse(name, Nil)
+      } catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          fut.cancel(true)
+          errors(name) = s"timeout>${timeoutSec}s"
+        case e: java.util.concurrent.ExecutionException =>
+          val cause = Option(e.getCause).getOrElse(e)
+          errors(name) = s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(160)}"
+      }
+    }
+
+    def flush(): Unit = {
+      val mins = ordered.flatMap { case (k, _) => samples.get(k).map(k -> _.min) }
+      val total = mins.map(_._2).sum
+      val full = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => s"\"$k\":${jsonStr(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"errors":$errs,"failed":${errors.size},"sf":"$sfDir"}""")
+    }
+
     // Three timed runs per query in INTERLEAVED rounds (q1..qN, q1..qN,
     // q1..qN), report the per-query MIN: single samples on a shared
     // machine are dominated by ambient load (observed ±25 % total swing
@@ -31,31 +112,23 @@ object Bench {
     // under the same load spike — interleaving decorrelates the samples
     // so at least one round of each query usually lands on quiet cores.
     // The min measures the code, not the neighbors.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+    for (_ <- 1 to 3) {
+      ordered.foreach { case (name, fn) =>
+        if (!errors.contains(name)) runOne(name, fn)
+      }
+      flush()
     }
-    val rounds = (1 to 3).map(_ => ordered.map { case (name, fn) => name -> timed(fn) })
-    val results = ordered.map { case (name, _) =>
-      name -> rounds.map(_.toMap.apply(name)).min
-    }
-    // The driver captures only the LAST 2000 chars of stdout; the
-    // full-name full-precision line outgrew that window at ~55 queries
-    // (BENCH_r01..r05 all show parsed:null with the line's head cut off).
-    // Emit a line that FITS: qNN short keys + millisecond precision
-    // (~13 chars/query → ~1.2 KB at 88 queries). The full-name
-    // full-precision map goes to bench_full.json alongside.
+
+    // Compact stdout line: qNN short keys + millisecond precision
+    // (~13 chars/query → ~1.2 KB at 88 queries) fits the driver's
+    // 2000-char tail window where the full-name full-precision line did
+    // not (BENCH_r01..r05 all parsed:null).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    val mins = ordered.flatMap { case (k, _) => samples.get(k).map(k -> _.min) }
+    val qs = mins.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val full = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = mins.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
