@@ -31,18 +31,24 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String = "rank"): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sp = df.sparkSession
+    val parts = sp.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    // P rows; the running total over pid order turns counts into offsets
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset", coalesce(
-        sum(col("__cnt")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pid"), col("__offset"))
+    // Per-partition counts → offsets by running total, computed ON THE
+    // DRIVER: P scalar rows (P = shuffle partitions), the documented
+    // C1-acceptable collect. The previous form — an unpartitioned
+    // running-total window over the P-row frame — was equally scale-free
+    // (single task over P rows by construction) but planned through
+    // WindowExec's "No Partition Defined" warning path, flooding bench
+    // output; a P-row cumulative sum is driver arithmetic, not a stage.
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsetRows = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+    import sp.implicits._
+    val offsets = offsetRows.toSeq.toDF("__pid", "__offset")
     val localRank = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     ranged.withColumn("__rn", row_number().over(localRank).cast("long"))
       .join(broadcast(offsets), "__pid")
