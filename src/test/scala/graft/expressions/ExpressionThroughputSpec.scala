@@ -1,0 +1,111 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-row cost floors for every custom Catalyst expression.
+  *
+  * Plan-shape auditing (exchange/join counting) provably cannot catch a
+  * per-ROW cost bug: round 6's q79 had a perfect plan and a 1.7 ms/row
+  * expression (per-row Bloom deserialization) that turned a 0.3 s query
+  * into 981 s. This spec pins a rows/sec floor for each custom
+  * expression, set ~20× below healthy local throughput — loose enough to
+  * ignore machine noise, tight enough that any per-row pathology
+  * (re-deserialization, per-row allocation storms, accidental O(state)
+  * scans) fails the suite rather than the driver bench.
+  *
+  * Method: materialize the input first (cache + count), warm one run,
+  * then time the second — so the measurement is the expression, not the
+  * generator or JIT.
+  */
+class ExpressionThroughputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def timeRun(df: => DataFrame): Double = {
+    df.count() // warm: codegen, JIT
+    val t0 = System.nanoTime()
+    df.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def assertFloor(name: String, rows: Long, sec: Double, floorRowsPerSec: Double): Unit = {
+    val rate = rows / math.max(sec, 1e-9)
+    assert(rate >= floorRowsPerSec,
+      f"$name: $rate%.0f rows/s is below the $floorRowsPerSec%.0f floor " +
+        f"($rows rows in $sec%.2f s) — per-row cost regressed")
+  }
+
+  test("bloom_contains: foldable-literal probe ≥ 200k rows/s") {
+    val rows = 1000000L
+    val image = (1L to 50000L).toDF("k")
+      .agg(expr("bloom_agg(50000, k)").as("bf")).head.getAs[Array[Byte]]("bf")
+    val input = spark.range(rows).repartition(4).toDF().cache()
+    input.count()
+    val sec = timeRun(input.filter(org.apache.spark.sql.GraftSqlBridge.column(
+      BloomContains(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          image, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("id")))))
+    input.unpersist()
+    // The round-6 bug ran at ~600 rows/s; healthy is >4M rows/s.
+    assertFloor("bloom_contains", rows, sec, 200000)
+  }
+
+  test("cosine_sim: 16-dim pairs ≥ 100k rows/s") {
+    val rows = 500000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("a", expr("transform(sequence(1,16), j -> cast((id % 97) * j as double))"))
+      .withColumn("b", expr("transform(sequence(1,16), j -> cast((id % 89) + j as double))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("cosine_sim(a, b)").as("s")).filter($"s" > 2.0))
+    input.unpersist()
+    assertFloor("cosine_sim", rows, sec, 100000)
+  }
+
+  test("topk_pairs: grouped aggregate update ≥ 100k rows/s") {
+    val rows = 500000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("g", $"id" % 64)
+      .withColumn("sim", ($"id" % 1000).cast("double") / 1000d)
+      .cache()
+    input.count()
+    val sec = timeRun(input.groupBy("g").agg(expr("topk_pairs(3, sim, id)").as("top")))
+    input.unpersist()
+    assertFloor("topk_pairs", rows, sec, 100000)
+  }
+
+  test("bounded_sorted_list: grouped aggregate update ≥ 100k rows/s") {
+    val rows = 500000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("g", $"id" % 64)
+      .withColumn("v", concat(lit("item_"), $"id" % 10000))
+      .cache()
+    input.count()
+    val sec = timeRun(input.groupBy("g").agg(expr("bounded_sorted_list(8, v)").as("l")))
+    input.unpersist()
+    assertFloor("bounded_sorted_list", rows, sec, 100000)
+  }
+
+  test("freq_items: grouped aggregate update ≥ 100k rows/s") {
+    val rows = 500000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("g", $"id" % 64)
+      .withColumn("v", $"id" % 1000)
+      .cache()
+    input.count()
+    val sec = timeRun(input.groupBy("g").agg(expr("freq_items(8, v)").as("f")))
+    input.unpersist()
+    assertFloor("freq_items", rows, sec, 100000)
+  }
+
+  test("bloom_agg: build-side update ≥ 100k rows/s") {
+    val rows = 1000000L
+    val input = spark.range(rows).repartition(4).toDF().cache()
+    input.count()
+    val sec = timeRun(input.agg(expr(s"bloom_agg($rows, id)").as("bf")))
+    input.unpersist()
+    assertFloor("bloom_agg", rows, sec, 100000)
+  }
+}
