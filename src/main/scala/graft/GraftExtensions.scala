@@ -40,7 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        BloomFilterAgg(children(0), children(1))))
+        BloomFilterAgg(children(0), children(1), children.lift(2))))
     ext.injectFunction((
       new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-/** `bloom_agg(expectedItems, e)` → binary: a Bloom filter over every
-  * non-null value of `e`, built as a mergeable aggregate (partials OR
-  * their bit arrays, so the result is identical under any partitioning).
+/** `bloom_agg(expectedItems, e[, fpp])` → binary: a Bloom filter over
+  * every non-null value of `e`, built as a mergeable aggregate (partials
+  * OR their bit arrays, so the result is identical under any
+  * partitioning).
   *
   * This is the join-pruning summary for the 100 TB shape where the
   * filtered build side's KEY SET is too large for a broadcast-hash join
@@ -27,22 +28,32 @@ import org.apache.spark.util.sketch.BloomFilter
   * explicitly — across separate jobs (persist the filter), against
   * non-equi confirm logic, or under a planner that didn't fire.
   *
+  * The optional `fpp` literal (default: the sketch library's 3 %) sets
+  * the design false-positive rate — the knob a deployment turns
+  * explicitly, because it IS the cost model: image bits/key ≈
+  * −1.44·log₂(fpp) (3 % → ~7.3, 1 % → ~9.6), while probe-side wasted
+  * shuffle scales linearly with the achieved fpp. Pruning a 100 TB scan
+  * usually earns a point or two of extra image size.
+  *
   * Uses Spark's public `org.apache.spark.util.sketch.BloomFilter`
-  * (fixed-seed Murmur3, default 3 % fpp), so the bit image is
-  * deterministic for a given value SET. Supported key types: integral
-  * (hashed as long) and string (hashed as UTF-8 bytes) — the two
-  * real-world join-key shapes.
+  * (fixed-seed Murmur3), so the bit image is deterministic for a given
+  * (value set, expected, fpp). Supported key types: integral (hashed as
+  * long) and string (hashed as UTF-8 bytes) — the two real-world
+  * join-key shapes.
   */
 case class BloomFilterAgg(
     expectedExpr: Expression,
     child: Expression,
+    fppExpr: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[BloomFilter] {
 
   private lazy val expected: Long = expectedExpr.eval().asInstanceOf[Number].longValue()
+  private lazy val fpp: Option[Double] =
+    fppExpr.map(_.eval().asInstanceOf[Number].doubleValue())
 
-  override def children: Seq[Expression] = Seq(expectedExpr, child)
+  override def children: Seq[Expression] = Seq(expectedExpr, child) ++ fppExpr
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!expectedExpr.foldable)
@@ -53,6 +64,14 @@ case class BloomFilterAgg(
     else if (expectedExpr.eval() == null ||
       expectedExpr.eval().asInstanceOf[Number].longValue() < 1)
       TypeCheckResult.TypeCheckFailure(s"expectedItems must be >= 1, got ${expectedExpr.eval()}")
+    else if (fppExpr.exists(f => !f.foldable || !Seq(FloatType, DoubleType).contains(f.dataType)))
+      TypeCheckResult.TypeCheckFailure("fpp must be a floating-point literal")
+    else if (fppExpr.exists { f =>
+      val v = f.eval(); v == null || {
+        val d = v.asInstanceOf[Number].doubleValue(); d <= 0d || d >= 1d
+      }
+    })
+      TypeCheckResult.TypeCheckFailure(s"fpp must be in (0, 1), got ${fppExpr.get.eval()}")
     else child.dataType match {
       case ByteType | ShortType | IntegerType | LongType | StringType =>
         TypeCheckResult.TypeCheckSuccess
@@ -63,7 +82,10 @@ case class BloomFilterAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): BloomFilter = BloomFilter.create(expected)
+  override def createAggregationBuffer(): BloomFilter = fpp match {
+    case Some(p) => BloomFilter.create(expected, p)
+    case None => BloomFilter.create(expected)
+  }
 
   override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
     val v = child.eval(input)
@@ -95,7 +117,8 @@ case class BloomFilterAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BloomFilterAgg =
-    copy(expectedExpr = newChildren(0), child = newChildren(1))
+    copy(expectedExpr = newChildren(0), child = newChildren(1),
+      fppExpr = if (newChildren.length > 2) Some(newChildren(2)) else None)
 
   override def prettyName: String = "bloom_agg"
 }

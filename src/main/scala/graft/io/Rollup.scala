@@ -19,12 +19,24 @@ import org.apache.spark.sql.functions._
   *
   * Storage contract (single-writer per batch label, like the other
   * sinks): a batch publishes by stage → `_SUCCESS` check → atomic rename,
-  * so readers never list a partial batch; re-appending an existing label
+  * so readers never list a PARTIAL batch; re-appending an existing label
   * REPLACES it (idempotent reloads — reruns and restated days), with the
   * old dir parked dot-prefixed until the swap lands, mirroring
   * [[Tables]]' restore-on-abort guarantee. Batch labels surface as a
-  * `batch` partition column, so a label-range query prunes to exactly the
-  * requested dirs at plan time.
+  * `batch` partition column (pinned to STRING on read — inference would
+  * coerce numeric-looking labels), so a label-range query prunes to
+  * exactly the requested dirs at plan time.
+  *
+  * Replace atomicity, precisely: the INITIAL publication of a label is a
+  * single rename — fully read-atomic. RE-appending an existing label is
+  * two renames (park old, publish new); a reader that lists the store in
+  * the microseconds between them sees that one batch ABSENT (never
+  * partial, never mixed). Crash between the renames leaves the parked
+  * dir, and the next append of that label (the natural retry) restores or
+  * replaces it. If readers must be concurrent with same-label restatement,
+  * coordinate externally or version the label (`label_v2`) — the
+  * fact-table sinks ([[Tables]]) own the snapshot-isolation story; a
+  * rollup cache of restated history accepts this window by design.
   */
 object Rollup {
 
@@ -92,7 +104,20 @@ object Rollup {
     */
   def query(spark: SparkSession, stateDir: String, spec: Spec,
       labels: Seq[String] = Nil): DataFrame = {
-    val all = spark.read.parquet(stateDir)
+    // Partition-column type inference would coerce numeric-looking labels
+    // ('007' → 7, '1e3' → 1000.0), silently desyncing `batches()` output
+    // from the `batch` column — a label filter could then match nothing.
+    // Pin `batch` to STRING with an explicit read schema: data schema
+    // sampled from one committed batch dir (cheap: parquet footer reads),
+    // plus the partition column. Partition pruning on `batch` is
+    // unaffected — the filter still prunes dirs at plan time.
+    val stored = batches(spark, stateDir)
+    require(stored.nonEmpty, s"Rollup: no batches under $stateDir")
+    val dataSchema = spark.read
+      .parquet(new Path(stateDir, s"batch=${stored.head}").toString).schema
+    val all = spark.read
+      .schema(dataSchema.add("batch", org.apache.spark.sql.types.StringType))
+      .parquet(stateDir)
     val scoped = if (labels.isEmpty) all else all.filter(col("batch").isin(labels: _*))
     val aggs =
       Seq(sum(col("rollup_count")).as("count")) ++

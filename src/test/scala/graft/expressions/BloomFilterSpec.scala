@@ -101,4 +101,24 @@ class BloomFilterSpec extends SparkSpec {
       .head().getBoolean(0)
     assert(one)
   }
+
+  test("explicit fpp: tighter design rate costs a bigger image, never recall") {
+    val df = (1L to 20000L).map(_ * 3).toDF("k")
+    def image(call: String): Array[Byte] =
+      df.agg(expr(call).as("bf")).head.getAs[Array[Byte]]("bf")
+    val default = image("bloom_agg(20000, k)")       // library default 3 %
+    val tight = image("bloom_agg(20000, k, 0.001d)") // ~14.4 bits/key
+    // bits/key ≈ −1.44·log2(fpp): 0.1 % must be ~2× the 3 % image
+    assert(tight.length > default.length * 3 / 2,
+      s"fpp not applied: ${tight.length} vs ${default.length} bytes")
+    // no false negatives at any fpp
+    val flt = df.agg(expr("bloom_agg(20000, k, 0.001d)").as("bf"))
+    val missing = (1L to 20000L).map(_ * 3).toDF("p")
+      .crossJoin(broadcast(flt))
+      .filter(!expr("bloom_contains(bf, p)")).count()
+    assert(missing === 0)
+    // invalid fpp rejected at analysis
+    val bad = intercept[Exception](image("bloom_agg(100, k, 1.5d)"))
+    assert(bad.getMessage.contains("fpp"))
+  }
 }

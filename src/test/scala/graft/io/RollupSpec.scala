@@ -75,6 +75,20 @@ class RollupSpec extends SparkSpec {
     assert(selected.nonEmpty && selected.forall(f => !f.contains("batch=d2")))
   }
 
+  test("numeric-looking labels survive: batch column is pinned to string") {
+    val dir = Files.createTempDirectory("rollup").toString
+    // '007' and '1e3' are the inference traps: unpinned, Spark coerces
+    // them to 7 and 1000.0, so batches() and col("batch") disagree and a
+    // label filter matches nothing.
+    Rollup.append(spark, dir, "007", batch(1, 100), spec)
+    Rollup.append(spark, dir, "1e3", batch(2, 150), spec)
+    assert(Rollup.batches(spark, dir) == Seq("007", "1e3"))
+    val scoped = Rollup.query(spark, dir, spec, labels = Seq("007"))
+    assert(scoped.agg(sum($"count")).head().getLong(0) == 100)
+    val labels = Rollup.query(spark, dir, spec, labels = Seq("007", "1e3"))
+    assert(labels.agg(sum($"count")).head().getLong(0) == 250)
+  }
+
   test("a crashed staging dir is invisible to readers and a rerun heals it") {
     val dir = Files.createTempDirectory("rollup").toString
     Rollup.append(spark, dir, "d1", batch(1, 100), spec)
