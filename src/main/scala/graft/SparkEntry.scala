@@ -105,6 +105,9 @@ object SparkEntry {
     "q86_subqueries" -> (Parity.q86Subqueries _),
     "q87_deciles" -> (Extensions.q87Deciles _),
     "q88_portable_stats" -> (Extensions.q88PortableStats _),
+    "q89_train_split" -> (Extensions.q89TrainSplit _),
+    "q90_semdedup" -> (Extensions.q90Semdedup _),
+    "q91_token_budget" -> (Extensions.q91TokenBudget _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.BinaryType
+import graft.expressions.BloomContains
+
+/** Persisted Bloom-filter images — the CROSS-JOB half of the join-pruning
+  * story (`bloom_agg`/`bloom_contains`, q79). Spark's own runtime filter
+  * lives and dies inside one query; a curation pipeline wants the
+  * opposite: build the key filter ONCE per load of the authoritative side
+  * (all customer ids, yesterday's seen document digests), persist the
+  * sub-MB image, and let every later job — other queries, other sessions,
+  * other days — prune its scans with it for the cost of a read.
+  *
+  * Layout: a one-row parquet under `path` holding the image plus the
+  * provenance a reader needs to trust it (key expression description, key
+  * count, expected/fpp design point). Writes go through the same
+  * stage → `_SUCCESS` → atomic-rename publish as [[Rollup]], so a reader
+  * never sees a torn image; re-saving replaces.
+  *
+  * Reference behavior note: the reference pipeline re-derives every
+  * filter inline per run (`Notebooks/Silver Layer.py` re-reads the full
+  * dimension each load); persisting the summary is the 100 TB upgrade.
+  */
+object FilterStore {
+
+  final case class Meta(nKeys: Long, expected: Long, fpp: Option[Double], builtFrom: String)
+
+  /** Build an image over `keys`' single column and persist it. Returns
+    * the image (also written) so the building job can keep using it.
+    */
+  def save(spark: SparkSession, path: String, keys: DataFrame,
+      expected: Long, fpp: Option[Double] = None, builtFrom: String = ""): Array[Byte] = {
+    val keyCol = keys.columns.head
+    val call = fpp match {
+      case Some(p) => s"bloom_agg(${expected}L, $keyCol, ${p}d)"
+      case None => s"bloom_agg(${expected}L, $keyCol)"
+    }
+    val row = keys.agg(expr(call).as("image"), count(col(keyCol)).as("n_keys")).head
+    val image = row.getAs[Array[Byte]]("image")
+    val nKeys = row.getAs[Long]("n_keys")
+    import spark.implicits._
+    val frame = Seq(
+      (image, nKeys, expected, fpp.map(Double.box).orNull.asInstanceOf[java.lang.Double], builtFrom))
+      .toDF("image", "n_keys", "expected", "fpp", "built_from")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.staging")
+    fs.delete(staging, true)
+    frame.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+      throw new java.io.IOException(s"FilterStore: $staging has no _SUCCESS marker")
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"FilterStore: failed to publish $staging to $target")
+    image
+  }
+
+  /** Load a persisted image + provenance. One sub-MB row to the driver —
+    * the C1-acceptable scalar collect, same as q79's inline build.
+    */
+  def load(spark: SparkSession, path: String): (Array[Byte], Meta) = {
+    val row = spark.read.parquet(path).head
+    val fpp = Option(row.getAs[java.lang.Double]("fpp")).map(_.doubleValue())
+    (row.getAs[Array[Byte]]("image"),
+      Meta(row.getAs[Long]("n_keys"), row.getAs[Long]("expected"), fpp,
+        row.getAs[String]("built_from")))
+  }
+
+  /** Membership probe over a loaded (or freshly built) image, as a plan
+    * CONSTANT: the image rides a foldable binary literal, so
+    * [[BloomContains]] deserializes once per task and the per-row cost is
+    * a hash probe — never the per-row image copy of a column-valued
+    * filter (see BloomContains doc).
+    */
+  def probe(image: Array[Byte], key: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      BloomContains(Literal(image, BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.expression(key)))
+}

@@ -1423,11 +1423,7 @@ object Extensions {
       if (s.catalog.functionExists("bloom_agg")) {
         val image = o.agg(expr(s"bloom_agg($BloomExpected, o_orderkey)").as("bf"))
           .head.getAs[Array[Byte]]("bf")
-        li.filter(org.apache.spark.sql.GraftSqlBridge.column(
-          graft.expressions.BloomContains(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              image, org.apache.spark.sql.types.BinaryType),
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("l_orderkey"))))
+        li.filter(graft.io.FilterStore.probe(image, col("l_orderkey")))
       } else li
     pruned.join(o, pruned("l_orderkey") === o("o_orderkey"))
       .groupBy(
@@ -1658,6 +1654,152 @@ object Extensions {
       r4(d("sq") / nD).as("mean_qty"),
       r4(sqrt(varQ)).as("std_qty"),
       r4(cov / (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"))
+  }
+
+  /** Deterministic train/val/test split — the leakage-safe fold
+    * assignment a training pipeline needs: membership is a pure function
+    * of `md5("split:" || doc_id)`, so the same document lands in the same
+    * fold across reruns, engines, cluster layouts, and corpus growth
+    * (appending documents never moves an existing one between folds —
+    * the property rand()-with-seed does NOT have under repartitioning).
+    * The "split:" prefix is domain separation: the same id hashed for
+    * sampling (q57 hashes content) or sharding can never correlate with
+    * fold membership. Fold fractions are hex-threshold widths
+    * (val 0x0800/0x10000 ≈ 3.1 %, test the next 3.1 %). Map-only scan +
+    * a 3-row aggregate: nothing here is harder at 100 TB.
+    */
+  def q89TrainSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4))
+      .withColumn("split",
+        when(col("h") < "0800", "val")
+          .when(col("h") < "1000", "test")
+          .otherwise("train"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+
+  /** Per-cell working-set cap for q90: within-cell pairing is O(cap²)
+    * per cell BY DESIGN (SemDeDup's acknowledged cost); the cap bounds
+    * any hot cell's pair count, the same flood contract as
+    * [[HotBucketCap]]. A production run tunes CELL COUNT (k-means k) so
+    * cells sit near the cap rather than truncating.
+    */
+  val SemDedupCellCap = 128
+
+  /** q90's duplicate threshold — tuned to the synthetic embeddings' cosine
+    * distribution (near-N(0, 0.12), tail to ~0.5): 0.4 marks the top
+    * ~0.1 % most-similar cell-mates as duplicates. Real deployments
+    * calibrate against labeled near-dups (SemDeDup uses ~0.95+ on
+    * contrastive embeddings, whose similarity mass sits far higher).
+    */
+  val SemDedupTau = 0.4
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * embeddings are blocked by their IVF coarse cell (q34's argmax-dot
+    * quantizer — the paper's k-means cluster), pairs are formed ONLY
+    * within a cell, and a document is marked a duplicate if an
+    * earlier-id cell-mate sits above the cosine threshold. Output per
+    * dropped doc: its keeper (`dup_of` = min earlier neighbor), how many
+    * near-dups it has, and the tightest similarity. The plan is a single
+    * self-equi-join on the int cell id over a capped per-cell working
+    * set — candidate volume is Σ cap·|cell|, never corpus², and pairs
+    * carry vectors only WITHIN the join (no global vector broadcast).
+    * This is the cluster-then-pair shape that makes embedding dedup
+    * feasible at 10⁹ docs, vs q32's hyperplane-bucket blocking (finer
+    * blocks, recall from multiprobe) — the two ends of the blocking
+    * spectrum.
+    */
+  def q90Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
+    val cells = widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .withColumn("dots", dots)
+      .select(col("vec_id"), col("vec"),
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"))
+    val capped = cells
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= SemDedupCellCap)
+      .select(col("vec_id"), col("vec"), col("cell"))
+      .localCheckpoint(true) // both sides of the self-join read it once
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("a_id"),
+        Sim.cosineByName(s, "a.vec", "b.vec").as("sim"))
+      .filter(col("sim") >= SemDedupTau)
+      .groupBy(col("vec_id"))
+      .agg(
+        min(col("a_id")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        r4(max(col("sim"))).as("max_sim"))
+  }
+
+  /** Token-budget curation cut: per source, keep documents in
+    * deterministic-hash order until ⌊3/5⌋ of the source's tokens are
+    * spent — the "N tokens of domain X" step that turns mixture weights
+    * (q78) into an actual kept set. The naive form is a per-SOURCE
+    * global cumulative sum — a parallelism ceiling of #sources, i.e. a
+    * handful of multi-TB single tasks. This is the scalable two-pass
+    * form: (1) one small aggregation of token sums per (source,
+    * 256-way hash-prefix bucket); its ≤ 256·#sources rows come to the
+    * driver (C1 scalar-sized) where a prefix sum marks each bucket
+    * KEEP-ALL / BOUNDARY / DROP-ALL; (2) only the ONE boundary bucket
+    * per source — 1/256 of the data — pays an exact within-bucket
+    * cumulative-sum window. Because the bucket is a PREFIX of the
+    * ordering hash, bucket-then-hash order equals global hash order, so
+    * the kept set is row-identical to the naive form (the oracle IS the
+    * naive window form). Budget arithmetic is integer-exact
+    * (total·3/5) — no float boundary wobble between engines.
+    */
+  def q91TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        md5(col("text")).as("h"))
+      .withColumn("b", substring(col("h"), 1, 2))
+      .localCheckpoint(true) // feeds bucket stats + both kept branches
+    val stats = d.groupBy(col("source"), col("b")).agg(sum(col("tok")).as("bt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = stats.groupBy(_._1)
+    val fullKeep = Seq.newBuilder[(String, String)]
+    val boundary = Seq.newBuilder[(String, String, Long)]
+    val totals = Seq.newBuilder[(String, Long, Long)]
+    bySource.foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val total = ordered.map(_._3).sum
+      val budget = total * 3 / 5
+      totals += ((src, budget, total))
+      var cum = 0L
+      var cut = false
+      ordered.foreach { case (_, b, bt) =>
+        if (!cut) {
+          if (cum + bt <= budget) { fullKeep += ((src, b)); cum += bt }
+          else { boundary += ((src, b, budget - cum)); cut = true }
+        } // buckets after the boundary: cum > budget for every row — drop
+      }
+    }
+    import s.implicits._
+    val keepDf = fullKeep.result().toDF("source", "b")
+    val boundaryDf = boundary.result().toDF("source", "b", "remaining")
+    val totalsDf = totals.result().toDF("source", "budget", "total_tokens")
+    // positional union: pin both branches to the same 2-column shape
+    val keptFull = d.join(broadcast(keepDf), Seq("source", "b"), "left_semi")
+      .select(col("source"), col("tok"))
+    val wB = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = d.join(broadcast(boundaryDf), Seq("source", "b"))
+      .withColumn("cum", sum(col("tok")).over(wB))
+      .filter(col("cum") <= col("remaining"))
+      .select(col("source"), col("tok"))
+    keptFull.union(keptBoundary)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tokens_kept"))
+      .join(broadcast(totalsDf), Seq("source"))
   }
 
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {

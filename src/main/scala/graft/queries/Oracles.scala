@@ -1140,6 +1140,58 @@ object Oracles {
          |FROM m2""".stripMargin
     },
 
+    "q89_train_split" ->
+      """WITH d AS (
+        |  SELECT substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+        |    len(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT CASE WHEN h < '0800' THEN 'val'
+        |            WHEN h < '1000' THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q90_semdedup" -> {
+      val dots = (0 until Extensions.LshPlanes)
+        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
+        .mkString("[", ",\n    ", "]")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |c AS (SELECT vec_id, vec,
+         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell
+         |  FROM (SELECT vec_id, vec, $dots AS dots FROM d)),
+         |cap AS (SELECT vec_id, vec, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM c)
+         |  WHERE rn <= ${Extensions.SemDedupCellCap}),
+         |p AS (
+         |  SELECT b.vec_id AS vec_id, a.vec_id AS a_id, ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vec_id, min(a_id) AS dup_of, count(*) AS n_dups,
+         |  ${r("max(sim)", 4)} AS max_sim
+         |FROM p WHERE sim >= ${Extensions.SemDedupTau} GROUP BY vec_id""".stripMargin
+    },
+
+    // The oracle is the NAIVE per-source cumulative-sum window — the
+    // bucketed two-pass must be row-identical (bucket = ordering-hash
+    // prefix, so bucket-then-hash order IS global hash order).
+    "q91_token_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, CAST(sum(tok) AS BIGINT) * 3 // 5 AS budget,
+        |    CAST(sum(tok) AS BIGINT) AS total_tokens
+        |  FROM d GROUP BY source),
+        |c AS (
+        |  SELECT source, tok, sum(tok) OVER (
+        |    PARTITION BY source ORDER BY h, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, count(*) AS n_kept, CAST(sum(tok) AS BIGINT) AS tokens_kept,
+        |  budget, total_tokens
+        |FROM c JOIN t USING (source) WHERE cum <= budget
+        |GROUP BY source, budget, total_tokens""".stripMargin,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -19,4 +19,10 @@ object GraftSqlBridge {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** The reverse direction: Column → Catalyst Expression (for wrapping an
+    * arbitrary user Column as the argument of a custom expression).
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

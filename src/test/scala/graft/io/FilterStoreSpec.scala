@@ -1,0 +1,53 @@
+package graft.io
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-job Bloom persistence: the image survives a round-trip with its
+  * provenance, probes with zero false negatives, equals the inline-built
+  * image bit-for-bit (deterministic sketch), and re-saving replaces.
+  */
+class FilterStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("save → load round-trips image + provenance; probe has no false negatives") {
+    val dir = Files.createTempDirectory("fstore").toString + "/orders_keys.bloom"
+    val keys = (1L to 20000L).map(_ * 3).toDF("k")
+    val built = FilterStore.save(spark, dir, keys, expected = 20000L,
+      fpp = Some(0.01), builtFrom = "test: k = 3·i, i ≤ 20000")
+    val (loaded, meta) = FilterStore.load(spark, dir)
+    assert(java.util.Arrays.equals(built, loaded))
+    assert(meta.nKeys == 20000L && meta.expected == 20000L)
+    assert(meta.fpp.contains(0.01) && meta.builtFrom.contains("3·i"))
+    // "another job": probe built from the LOADED image only
+    val probe = spark.range(1, 60001).toDF("p")
+      .filter(FilterStore.probe(loaded, col("p")))
+    assert(probe.filter($"p" % 3 === 0).count() === 20000L) // no false negatives
+    val fpr = (probe.count() - 20000L).toDouble / 40000L
+    assert(fpr < 0.03, s"fpr $fpr way outside the 1% design point")
+  }
+
+  test("deterministic image: persisted equals inline bloom_agg build") {
+    val dir = Files.createTempDirectory("fstore").toString + "/f.bloom"
+    val keys = (1L to 5000L).toDF("k")
+    FilterStore.save(spark, dir, keys, expected = 5000L)
+    val (loaded, _) = FilterStore.load(spark, dir)
+    val inline = keys.repartition(7) // different layout, same image (OR-merge)
+      .agg(expr("bloom_agg(5000L, k)").as("bf")).head.getAs[Array[Byte]]("bf")
+    assert(java.util.Arrays.equals(loaded, inline))
+  }
+
+  test("re-save replaces the stored filter") {
+    val dir = Files.createTempDirectory("fstore").toString + "/f.bloom"
+    FilterStore.save(spark, dir, (1L to 100L).toDF("k"), expected = 100L)
+    FilterStore.save(spark, dir, (1000L to 1100L).toDF("k"), expected = 200L,
+      builtFrom = "v2")
+    val (img, meta) = FilterStore.load(spark, dir)
+    assert(meta.nKeys == 101L && meta.expected == 200L && meta.builtFrom == "v2")
+    // old keys are not all present in the new image (it is a new filter)
+    val oldHits = spark.range(1, 101).toDF("p")
+      .filter(FilterStore.probe(img, col("p"))).count()
+    assert(oldHits < 50, s"$oldHits of 100 stale keys 'present' — replace did not happen")
+  }
+}
