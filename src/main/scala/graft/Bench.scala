@@ -63,9 +63,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pool = Executors.newSingleThreadExecutor { r =>
+    def newPool() = Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "bench-query"); t.setDaemon(true); t
     }
+    var pool = newPool()
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
@@ -89,6 +90,15 @@ object Bench {
           spark.sparkContext.cancelJobGroup(group)
           fut.cancel(true)
           errors(name) = s"timeout>${timeoutSec}s"
+          // If the cancel doesn't actually free the worker (task pinned in
+          // non-interruptible code), the single-thread pool would wedge and
+          // every LATER query would time out in line — replace the pool so
+          // one stuck query costs one (daemon) thread, not the round.
+          try fut.get(10, TimeUnit.SECONDS)
+          catch {
+            case _: TimeoutException => pool.shutdownNow(); pool = newPool()
+            case _: Throwable => () // cancelled/failed — worker is free
+          }
         case e: java.util.concurrent.ExecutionException =>
           val cause = Option(e.getCause).getOrElse(e)
           errors(name) = s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(160)}"
