@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * corpus is exactly the all-gates survivors with deterministic keepers
   * and folds, and the whole thing is rerun-stable.
   */
-class CurationSpec extends SparkSpec {
+class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   // 20-to-1000-token band + stopwords => passes the quality gate
