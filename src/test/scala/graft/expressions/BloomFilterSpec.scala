@@ -102,6 +102,44 @@ class BloomFilterSpec extends SparkSpec {
     assert(one)
   }
 
+  test("alternating images through one instance never cross-contaminate, even racing") {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    def image(lo: Long, hi: Long): Array[Byte] = {
+      val f = BloomFilter.create(hi - lo + 1)
+      (lo to hi).foreach(f.putLong)
+      val out = new java.io.ByteArrayOutputStream(); f.writeTo(out); out.toByteArray
+    }
+    val imgA = image(1, 5000)
+    val imgB = image(100000, 105000)
+    // non-foldable-shaped instance (left literal is NULL so the folded
+    // fast path is off and every call goes through the fingerprint cache)
+    val bc = graft.expressions.BloomContains(
+      Literal(null, BinaryType), Literal(0L, LongType))
+    // single-thread alternation: a stale (key, filter) pairing would
+    // return a false NEGATIVE for a present key
+    (1 to 200).foreach { i =>
+      assert(bc.test(imgA, (i % 5000 + 1).toLong), s"A miss at $i")
+      assert(bc.test(imgB, (100000 + i % 5000).toLong), s"B miss at $i")
+    }
+    // racing threads through the SAME instance: the immutable cache entry
+    // may be overwritten (wasted work) but never mismatched
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        (1 to 500).foreach { i =>
+          val (img, key) =
+            if ((t + i) % 2 == 0) (imgA, (i % 5000 + 1).toLong)
+            else (imgB, (100000 + i % 5000).toLong)
+          if (!bc.test(img, key)) errs.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.get() === 0, s"${errs.get()} false negatives under racing alternation")
+  }
+
   test("explicit fpp: tighter design rate costs a bigger image, never recall") {
     val df = (1L to 20000L).map(_ * 3).toDF("k")
     def image(call: String): Array[Byte] =
