@@ -41,6 +41,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "60").toLong
+    // Global wall budget: even the worst case (every query timing out,
+    // ~70s apiece) must not outrun the driver's window. A healthy run is
+    // ~2 min; queries past the deadline are recorded as skipped, never
+    // silently absent.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toLong
+    val deadline = System.nanoTime() + budgetSec * 1000000000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -124,7 +130,11 @@ object Bench {
     // The min measures the code, not the neighbors.
     for (_ <- 1 to 3) {
       ordered.foreach { case (name, fn) =>
-        if (!errors.contains(name)) runOne(name, fn)
+        if (!errors.contains(name)) {
+          if (System.nanoTime() < deadline) runOne(name, fn)
+          else if (!samples.contains(name))
+            errors(name) = s"skipped: bench budget ${budgetSec}s exhausted"
+        }
       }
       flush()
     }
