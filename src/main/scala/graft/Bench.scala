@@ -76,17 +76,36 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // A query that failed AFTER producing a valid sample keeps its timing
+    // and is skipped in later rounds, but is NOT an error row — a query
+    // must never appear as both a timing and an error (the totals would
+    // double-speak). `noRetry` carries the skip decision for both cases.
+    val noRetry = scala.collection.mutable.Set.empty[String]
+
     def runOne(name: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val group = s"bench-$name"
       val t0 = System.nanoTime()
+      // Completion latch, NOT Future.get, detects a wedged worker:
+      // fut.cancel(true) flips the future to CANCELLED immediately, so a
+      // post-cancel fut.get would throw CancellationException even while
+      // the worker thread is still stuck in the callable. The latch only
+      // opens when the callable's finally actually runs.
+      val done = new java.util.concurrent.CountDownLatch(1)
       val fut = pool.submit(new java.util.concurrent.Callable[Long] {
         def call(): Long = {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           try fn(spark, sfDir).count()
-          finally spark.sparkContext.clearJobGroup()
+          finally {
+            spark.sparkContext.clearJobGroup()
+            done.countDown()
+          }
         }
       })
+      def fail(msg: String): Unit = {
+        noRetry += name
+        if (!samples.contains(name)) errors(name) = msg
+      }
       try {
         fut.get(timeoutSec, TimeUnit.SECONDS)
         val sec = (System.nanoTime() - t0) / 1e9
@@ -95,19 +114,18 @@ object Bench {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
           fut.cancel(true)
-          errors(name) = s"timeout>${timeoutSec}s"
+          fail(s"timeout>${timeoutSec}s")
           // If the cancel doesn't actually free the worker (task pinned in
           // non-interruptible code), the single-thread pool would wedge and
           // every LATER query would time out in line — replace the pool so
           // one stuck query costs one (daemon) thread, not the round.
-          try fut.get(10, TimeUnit.SECONDS)
-          catch {
-            case _: TimeoutException => pool.shutdownNow(); pool = newPool()
-            case _: Throwable => () // cancelled/failed — worker is free
+          if (!done.await(10, TimeUnit.SECONDS)) {
+            pool.shutdownNow()
+            pool = newPool()
           }
         case e: java.util.concurrent.ExecutionException =>
           val cause = Option(e.getCause).getOrElse(e)
-          errors(name) = s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(160)}"
+          fail(s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(160)}")
       }
     }
 
@@ -130,9 +148,9 @@ object Bench {
     // The min measures the code, not the neighbors.
     for (_ <- 1 to 3) {
       ordered.foreach { case (name, fn) =>
-        if (!errors.contains(name)) {
+        if (!noRetry.contains(name)) {
           if (System.nanoTime() < deadline) runOne(name, fn)
-          else if (!samples.contains(name))
+          else if (!samples.contains(name) && !errors.contains(name))
             errors(name) = s"skipped: bench budget ${budgetSec}s exhausted"
         }
       }

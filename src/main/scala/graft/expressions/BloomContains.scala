@@ -24,18 +24,21 @@ import org.apache.spark.util.sketch.BloomFilter
   * EVERY evaluation (measured ~45 µs/row at 450 KB) before the cache can
   * even be consulted — fine for small filters, wrong at sub-MB and up.
   *
-  * For the column form the cache key is a CONTENT FINGERPRINT — length
-  * plus four longs sampled across the image — NOT reference identity
-  * (fresh copies mean `eq` can never hit; full `Arrays.equals` would
-  * memcmp the image per row). Two DISTINCT filters colliding requires
-  * identical length and 192 identical sampled bit-array bits (~2⁻¹⁹²),
-  * and only matters if one expression instance sees multiple distinct
-  * images, which the one-row-aggregate shape never produces. The cache
-  * entry is an immutable case class published through a plain var: JMM
-  * final-field semantics mean a racing reader sees null/stale (and
-  * harmlessly re-deserializes) or a consistent (fingerprint, filter)
-  * pair — never a mismatch. Codegen'd via a reference to the expression
-  * instance, so the probe side stays inside WholeStageCodegen.
+  * For the column form the cache key is the EXACT image content —
+  * length fast-reject, then `Arrays.equals` against the cached copy —
+  * NOT reference identity (fresh copies mean `eq` can never hit) and
+  * NOT a sampled fingerprint (a sparse image — few keys, large
+  * `expected` — is almost all zero bytes, so sampled words collide
+  * between DISTINCT filters and a stale hit would be a false NEGATIVE).
+  * The memcmp is O(image) per row, but the column form already pays an
+  * O(image) copy per row in `getBinary` before this code runs — the
+  * compare changes the constant, not the asymptotics, and buys exact
+  * correctness. The cache entry is an immutable case class published
+  * through a plain var: JMM final-field semantics mean a racing reader
+  * sees null/stale (and harmlessly re-deserializes) or a consistent
+  * (bytes, filter) pair — never a mismatch. Codegen'd via a reference
+  * to the expression instance, so the probe side stays inside
+  * WholeStageCodegen.
   */
 case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -72,25 +75,20 @@ case class BloomContains(left: Expression, right: Expression)
 
   @transient private lazy val keyIsString: Boolean = right.dataType == StringType
 
-  // Single-entry fingerprint-keyed cache (see class doc) for the
+  // Single-entry exact-content cache (see class doc) for the
   // non-foldable (column-valued) filter form. Plain var + immutable
   // entry: racy publication costs a wasted deserialization, never an
   // inconsistent (key, filter) pair.
   @transient private var cached: BloomContains.Entry = _
 
   private def filterFor(bytes: Array[Byte]): BloomFilter = {
-    val n = bytes.length
-    val f0 = BloomContains.sample(bytes, 0)
-    val f1 = BloomContains.sample(bytes, n / 3)
-    val f2 = BloomContains.sample(bytes, (n / 3) * 2)
-    val f3 = BloomContains.sample(bytes, n - 8)
     val c = cached
-    if (c != null && c.len == n &&
-        c.f0 == f0 && c.f1 == f1 && c.f2 == f2 && c.f3 == f3) c.filter
+    if (c != null && c.bytes.length == bytes.length &&
+        java.util.Arrays.equals(c.bytes, bytes)) c.filter
     else {
       val filter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
       BloomContains.deserializations.incrementAndGet()
-      cached = BloomContains.Entry(n, f0, f1, f2, f3, filter)
+      cached = BloomContains.Entry(bytes.clone(), filter)
       filter
     }
   }
@@ -122,21 +120,11 @@ case class BloomContains(left: Expression, right: Expression)
 }
 
 object BloomContains {
-  /** Immutable cache entry — final fields make racy publication safe. */
-  private final case class Entry(
-      len: Int, f0: Long, f1: Long, f2: Long, f3: Long, filter: BloomFilter)
-
-  /** Big-endian long at `off`, clamped into range (short images read what
-    * exists, zero-padded) — fingerprint input, not a parse.
+  /** Immutable cache entry (bytes are a private clone — the caller's
+    * array is reused by the row pipeline) — final fields make racy
+    * publication safe.
     */
-  private def sample(bytes: Array[Byte], off: Int): Long = {
-    val start = math.max(0, math.min(off, bytes.length - 8))
-    var v = 0L
-    var i = start
-    val end = math.min(start + 8, bytes.length)
-    while (i < end) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
-    v
-  }
+  private final case class Entry(bytes: Array[Byte], filter: BloomFilter)
 
   /** Test-visible count of actual `BloomFilter.readFrom` calls. The
     * performance contract is ≤ 1 per (task, distinct filter) — a probe

@@ -50,8 +50,7 @@ case class BloomFilterAgg(
   extends TypedImperativeAggregate[BloomFilter] {
 
   private lazy val expected: Long = expectedExpr.eval().asInstanceOf[Number].longValue()
-  private lazy val fpp: Option[Double] =
-    fppExpr.map(_.eval().asInstanceOf[Number].doubleValue())
+  private lazy val fpp: Option[Double] = fppExpr.map(f => BloomFilterAgg.toDouble(f.eval()))
 
   override def children: Seq[Expression] = Seq(expectedExpr, child) ++ fppExpr
 
@@ -64,11 +63,15 @@ case class BloomFilterAgg(
     else if (expectedExpr.eval() == null ||
       expectedExpr.eval().asInstanceOf[Number].longValue() < 1)
       TypeCheckResult.TypeCheckFailure(s"expectedItems must be >= 1, got ${expectedExpr.eval()}")
-    else if (fppExpr.exists(f => !f.foldable || !Seq(FloatType, DoubleType).contains(f.dataType)))
-      TypeCheckResult.TypeCheckFailure("fpp must be a floating-point literal")
+    // A bare SQL literal like 0.01 parses as DECIMAL(2,2), not DOUBLE —
+    // accept it, or the natural spelling bloom_agg(n, k, 0.01) errors.
+    else if (fppExpr.exists(f => !f.foldable ||
+      !(f.dataType == FloatType || f.dataType == DoubleType ||
+        f.dataType.isInstanceOf[DecimalType])))
+      TypeCheckResult.TypeCheckFailure("fpp must be a numeric literal")
     else if (fppExpr.exists { f =>
       val v = f.eval(); v == null || {
-        val d = v.asInstanceOf[Number].doubleValue(); d <= 0d || d >= 1d
+        val d = BloomFilterAgg.toDouble(v); d <= 0d || d >= 1d
       }
     })
       TypeCheckResult.TypeCheckFailure(s"fpp must be in (0, 1), got ${fppExpr.get.eval()}")
@@ -121,4 +124,11 @@ case class BloomFilterAgg(
       fppExpr = if (newChildren.length > 2) Some(newChildren(2)) else None)
 
   override def prettyName: String = "bloom_agg"
+}
+
+object BloomFilterAgg {
+  private def toDouble(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
 }

@@ -83,6 +83,35 @@ object TextFunctions {
          |  g -> array_contains($lits, g)))""".stripMargin)
   }
 
+  /** Document quality score — length band (0.4) + punctuation
+    * cleanliness (0.3) + stopword density (0.3). THE shared definition:
+    * the oracle-checked q24 query and the [[graft.pipeline.Curation]]
+    * gate both call this, so a tuning change cannot silently desync the
+    * pipeline from the oracle. Zero-token docs score 0 (guard; the
+    * unguarded formula would divide by zero).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+    val stopOcc = stopwordOccurrences(toks, StopwordsByLang.head._2).cast("double")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      when(size(toks).between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
+        lit(0.3) * (lit(1.0) - punct / length(text)) +
+        lit(0.3) * (stopOcc / nTok))
+  }
+
+  /** Deterministic train/val/test fold of a document id — md5 over the
+    * domain-separated "split:" prefix, hex-threshold widths (val ≈
+    * 3.1 %, test the next 3.1 %). Shared by the oracle-checked q89 and
+    * [[graft.pipeline.Curation]] (same no-drift contract as
+    * [[qualityScore]]).
+    */
+  def foldOf(docId: Column): Column = {
+    val h = substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 4)
+    when(h < "0800", "val").when(h < "1000", "test").otherwise("train")
+  }
+
   /** Normalized text: lowercase, punctuation→space, collapsed whitespace. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))

@@ -50,13 +50,25 @@ object FilterStore {
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.staging")
+    val parked = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.replaced")
     fs.delete(staging, true)
+    fs.delete(parked, true)
     frame.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
       throw new java.io.IOException(s"FilterStore: $staging has no _SUCCESS marker")
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
+    // Rollup-style replace: park the live filter, publish, then discard
+    // the parked copy — a crash between the renames leaves the parked
+    // dir, and the next save of this path (the natural retry) clears it;
+    // the live image is never deleted before its replacement is in place.
+    val hadPrevious = fs.exists(target)
+    if (hadPrevious && !fs.rename(target, parked))
+      throw new java.io.IOException(s"FilterStore: failed to park $target")
+    if (!fs.rename(staging, target)) {
+      if (hadPrevious) fs.rename(parked, target) // restore-on-abort
       throw new java.io.IOException(s"FilterStore: failed to publish $staging to $target")
+    }
+    fs.delete(parked, true)
     image
   }
 

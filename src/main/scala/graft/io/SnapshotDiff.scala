@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * reconstructs it from any two retained snapshots).
   *
   * Contract: rows are identified by `keyCols`; change detection compares
-  * an md5 digest over the remaining columns (column order fixed by the
-  * NEW version's schema, values null-safe-concatenated with a field
-  * separator). Output is one row per changed key with `change` ∈
-  * {added, removed, changed} — unchanged keys never leave the join, so
-  * the output scales with the CHANGE volume, not table size.
+  * an md5 digest over each frame's remaining columns in ALPHABETICAL
+  * order (values null-safe-concatenated with a field separator). With
+  * identical schemas the two digests are comparable; under schema
+  * evolution (a version adds/drops a column) every surviving key
+  * digests differently and reports `changed` — the conservative answer
+  * for a reconciliation scan. Output is one row per changed key with
+  * `change` ∈ {added, removed, changed} — unchanged keys never leave
+  * the join, so the output scales with the CHANGE volume, not table
+  * size.
   *
   * Plan shape: one full-outer hash join on the key columns, digests
   * computed map-side from each snapshot's scan — at 100 TB this is the

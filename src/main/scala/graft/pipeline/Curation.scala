@@ -31,27 +31,6 @@ object Curation {
 
   final case class Result(corpus: DataFrame, funnel: DataFrame)
 
-  /** q24's quality score over a text column (same formula, same
-    * components — length band + punctuation cleanliness + stopword
-    * density).
-    */
-  def qualityScore(text: Column): Column = {
-    val toks = Txt.tokens(text)
-    val nTok = size(toks).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
-    val stopOcc = Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).cast("double")
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      when(size(toks).between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
-        lit(0.3) * (lit(1.0) - punct / length(text)) +
-        lit(0.3) * (stopOcc / nTok))
-  }
-
-  /** q89's fold assignment (domain-separated id hash, hex thresholds). */
-  def foldOf(docId: Column): Column = {
-    val h = substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 4)
-    when(h < "0800", "val").when(h < "1000", "test").otherwise("train")
-  }
-
   /** `docs` needs (doc_id, text); extra columns ride along. `heldOut` is
     * the eval/benchmark corpus to decontaminate against (exact-digest
     * containment here; q67's n-gram overlap slots into the same flag).
@@ -61,7 +40,7 @@ object Curation {
     val digested = docs
       .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("digest", md5(col("text")))
-      .withColumn("q_ok", qualityScore(col("text")) >= minQuality)
+      .withColumn("q_ok", Txt.qualityScore(col("text")) >= minQuality)
       // dedup keeps the smallest doc_id per digest — deterministic keeper
       .withColumn("dedup_ok", row_number().over(
         Window.partitionBy(col("digest")).orderBy(col("doc_id"))) === 1)
@@ -73,7 +52,7 @@ object Curation {
           .withColumn("decon_ok", col("__held").isNull).drop("__held")
       case None => digested.withColumn("decon_ok", lit(true))
     }
-    val withSplit = flagged.withColumn("split", foldOf(col("doc_id")))
+    val withSplit = flagged.withColumn("split", Txt.foldOf(col("doc_id")))
     // ONE aggregation: survivor count after each prefix of the stage list
     val funnel = withSplit.agg(
       count(lit(1)).as("raw"),

@@ -506,16 +506,17 @@ object Extensions {
       expr("aggregate(filter(split(text, ' '), t -> t <> ''), 0, (acc, t) -> acc + length(t))").as("sum_len"),
       size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("punct_cnt"),
       Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).as("stop_occ"),
-      length(col("text")).as("len"))
+      length(col("text")).as("len"),
+      // THE shared quality definition (Txt.qualityScore) — also the
+      // Curation gate; identical arithmetic to the component columns
+      // above, recomputed from text so one definition owns the formula.
+      Txt.qualityScore(col("text")).as("quality_raw"))
     base.select(
       col("doc_id"), col("n_tokens"),
       r4(col("sum_len") / col("n_tokens")).as("avg_token_len"),
       r4(col("punct_cnt") / col("len")).as("punct_ratio"),
       r4(col("stop_occ") / col("n_tokens")).as("stop_ratio"),
-      r4(
-        when(col("n_tokens").between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
-          lit(0.3) * (lit(1.0) - col("punct_cnt") / col("len")) +
-          lit(0.3) * (col("stop_occ") / col("n_tokens"))).as("quality"))
+      r4(col("quality_raw")).as("quality"))
   }
 
   /** Token counting: whitespace + BPE-ish regex segmentation. */
@@ -1670,12 +1671,7 @@ object Extensions {
     */
   def q89TrainSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("h",
-        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4))
-      .withColumn("split",
-        when(col("h") < "0800", "val")
-          .when(col("h") < "1000", "test")
-          .otherwise("train"))
+      .withColumn("split", Txt.foldOf(col("doc_id"))) // THE shared fold fn
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -30,12 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamDedup {
 
-  /** Digest column both paths key on (md5 of the text content — same
-    * digest the batch dedup q16 groups by, so stream and batch agree on
-    * what "exact duplicate" means).
+  /** Digest column both paths key on: md5 of the text with null
+    * coalesced to "" — the SAME digest the batch side (q16,
+    * [[graft.pipeline.Curation]]) computes, so stream and batch agree on
+    * what "exact duplicate" means. Without the coalesce, md5(null) is
+    * null: the within-watermark path would collapse ALL null-text docs
+    * into one (null keys group together) while the anti-join would pass
+    * them all (null never matches) — both diverging from batch.
     */
   def withDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("digest", md5(col(textCol)))
+    docs.withColumn("digest", md5(coalesce(col(textCol), lit(""))))
 
   def dedupWithinWatermark(docs: DataFrame, eventTimeCol: String,
       lateness: String, textCol: String = "text"): DataFrame =

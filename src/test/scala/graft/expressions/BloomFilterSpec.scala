@@ -79,7 +79,7 @@ class BloomFilterSpec extends SparkSpec {
     assert(afterLit - before <= parts * 2 + 2,
       s"literal form: ${afterLit - before} deserializations for $parts tasks — " +
         "the per-task contract is broken (round-6 q79 regressed to per-ROW: 981s at sf0.1)")
-    // Column form (crossJoin broadcast): the fingerprint cache must hold —
+    // Column form (crossJoin broadcast): the exact-content cache must hold —
     // UnsafeRow.getBinary copies the bytes per row, so an identity-keyed
     // cache would deserialize all `rows` times here.
     val flt = (1L to 5000L).toDF("k").agg(expr("bloom_agg(5000, k)").as("bf"))
@@ -91,7 +91,7 @@ class BloomFilterSpec extends SparkSpec {
     assert(col === lit)
     assert(afterCol - afterLit <= parts * 2 + 2,
       s"column form: ${afterCol - afterLit} deserializations for $parts tasks — " +
-        "the fingerprint cache is not hitting")
+        "the content cache is not hitting")
   }
 
   test("resolves from SQL text through the extension registration") {
@@ -114,7 +114,7 @@ class BloomFilterSpec extends SparkSpec {
     val imgA = image(1, 5000)
     val imgB = image(100000, 105000)
     // non-foldable-shaped instance (left literal is NULL so the folded
-    // fast path is off and every call goes through the fingerprint cache)
+    // fast path is off and every call goes through the content cache)
     val bc = graft.expressions.BloomContains(
       Literal(null, BinaryType), Literal(0L, LongType))
     // single-thread alternation: a stale (key, filter) pairing would
@@ -146,6 +146,11 @@ class BloomFilterSpec extends SparkSpec {
       df.agg(expr(call).as("bf")).head.getAs[Array[Byte]]("bf")
     val default = image("bloom_agg(20000, k)")       // library default 3 %
     val tight = image("bloom_agg(20000, k, 0.001d)") // ~14.4 bits/key
+    // the natural spelling (bare decimal literal parses as DECIMAL, not
+    // DOUBLE) must work too, and produce the identical image
+    val tightPlain = image("bloom_agg(20000, k, 0.001)")
+    assert(java.util.Arrays.equals(tight, tightPlain),
+      "plain-decimal fpp literal rejected or drifted from the 0.001d form")
     // bits/key ≈ −1.44·log2(fpp): 0.1 % must be ~2× the 3 % image
     assert(tight.length > default.length * 3 / 2,
       s"fpp not applied: ${tight.length} vs ${default.length} bytes")
