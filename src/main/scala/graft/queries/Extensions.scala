@@ -1749,53 +1749,22 @@ object Extensions {
     * ordering hash, bucket-then-hash order equals global hash order, so
     * the kept set is row-identical to the naive form (the oracle IS the
     * naive window form). Budget arithmetic is integer-exact
-    * (total·3/5) — no float boundary wobble between engines.
+    * (total·3/5) — no float boundary wobble between engines. The
+    * two-pass machinery is [[graft.engine.BudgetCut]] (spec'd against
+    * the naive window on adversarial boundary data).
     */
   def q91TokenBudget(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tok"),
         md5(col("text")).as("h"))
-      .withColumn("b", substring(col("h"), 1, 2))
-      .localCheckpoint(true) // feeds bucket stats + both kept branches
-    val stats = d.groupBy(col("source"), col("b")).agg(sum(col("tok")).as("bt"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val bySource = stats.groupBy(_._1)
-    val fullKeep = Seq.newBuilder[(String, String)]
-    val boundary = Seq.newBuilder[(String, String, Long)]
-    val totals = Seq.newBuilder[(String, Long, Long)]
-    bySource.foreach { case (src, rows) =>
-      val ordered = rows.sortBy(_._2)
-      val total = ordered.map(_._3).sum
-      val budget = total * 3 / 5
-      totals += ((src, budget, total))
-      var cum = 0L
-      var cut = false
-      ordered.foreach { case (_, b, bt) =>
-        if (!cut) {
-          if (cum + bt <= budget) { fullKeep += ((src, b)); cum += bt }
-          else { boundary += ((src, b, budget - cum)); cut = true }
-        } // buckets after the boundary: cum > budget for every row — drop
-      }
-    }
-    import s.implicits._
-    val keepDf = fullKeep.result().toDF("source", "b")
-    val boundaryDf = boundary.result().toDF("source", "b", "remaining")
-    val totalsDf = totals.result().toDF("source", "budget", "total_tokens")
-    // positional union: pin both branches to the same 2-column shape
-    val keptFull = d.join(broadcast(keepDf), Seq("source", "b"), "left_semi")
-      .select(col("source"), col("tok"))
-    val wB = Window.partitionBy(col("source"), col("b"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val keptBoundary = d.join(broadcast(boundaryDf), Seq("source", "b"))
-      .withColumn("cum", sum(col("tok")).over(wB))
-      .filter(col("cum") <= col("remaining"))
-      .select(col("source"), col("tok"))
-    keptFull.union(keptBoundary)
+    val c = graft.engine.BudgetCut.cut(
+      d, groupCol = "source", weightCol = "tok",
+      orderHashCol = "h", tieCol = "doc_id", budgetOf = _ * 3 / 5)
+    c.kept
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tokens_kept"))
-      .join(broadcast(totalsDf), Seq("source"))
+      .join(broadcast(c.totals.withColumnRenamed("total", "total_tokens")), Seq("source"))
   }
 
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
