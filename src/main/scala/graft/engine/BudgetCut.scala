@@ -41,6 +41,20 @@ object BudgetCut {
 
   def cut(df: DataFrame, groupCol: String, weightCol: String,
       orderHashCol: String, tieCol: String, budgetOf: Long => Long): Cut = {
+    // Contract (validated here, not discovered as a ClassCastException
+    // three stages in): STRING group + ordering hash, integral
+    // NON-NEGATIVE weights (negative weights break the monotone
+    // running-sum classification), and non-null group/hash values (a
+    // null key would silently vanish through the equi-joins instead of
+    // being cut; pre-filter or coalesce nulls upstream).
+    val schema = df.schema
+    def tpe(c: String) = schema(c).dataType
+    require(tpe(groupCol) == org.apache.spark.sql.types.StringType,
+      s"BudgetCut: $groupCol must be STRING, got ${tpe(groupCol).sql}")
+    require(tpe(orderHashCol) == org.apache.spark.sql.types.StringType,
+      s"BudgetCut: $orderHashCol must be a STRING hash, got ${tpe(orderHashCol).sql}")
+    require(Seq("TINYINT", "SMALLINT", "INT", "BIGINT").contains(tpe(weightCol).sql),
+      s"BudgetCut: $weightCol must be integral, got ${tpe(weightCol).sql}")
     val s = df.sparkSession
     val inputCols = df.columns.toSeq
     val d = df

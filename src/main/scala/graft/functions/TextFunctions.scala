@@ -86,20 +86,35 @@ object TextFunctions {
   /** Document quality score — length band (0.4) + punctuation
     * cleanliness (0.3) + stopword density (0.3). THE shared definition:
     * the oracle-checked q24 query and the [[graft.pipeline.Curation]]
-    * gate both call this, so a tuning change cannot silently desync the
-    * pipeline from the oracle. Zero-token docs score 0 (guard; the
-    * unguarded formula would divide by zero).
+    * gate both route through [[qualityScoreFrom]], so a tuning change
+    * cannot silently desync the pipeline from the oracle. This text-
+    * level entry adds a TOTALIZING guard: a zero-token doc scores 0.0
+    * instead of evaluating 0/0 — under Spark's default ANSI mode that
+    * division THROWS, and a curation gate must score garbage, not crash
+    * on it. The guard lives only here; q24 uses the raw formula, so its
+    * oracle arithmetic is untouched.
     */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
-    val stopOcc = stopwordOccurrences(toks, StopwordsByLang.head._2).cast("double")
     when(size(toks) === 0, lit(0.0)).otherwise(
-      when(size(toks).between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
-        lit(0.3) * (lit(1.0) - punct / length(text)) +
-        lit(0.3) * (stopOcc / nTok))
+      qualityScoreFrom(size(toks),
+        size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))),
+        stopwordOccurrences(toks, StopwordsByLang.head._2),
+        length(text)))
   }
+
+  /** The raw formula over pre-computed components — for callers (q24)
+    * that already materialize token/punctuation/stopword counts as
+    * columns, so the shared definition costs no recomputation and stays
+    * arithmetic-identical to the DuckDB oracle. Partial by design:
+    * zero `nTokens` or `len` divides by zero (ANSI: throws) — guard at
+    * the call site if the input can contain empty docs.
+    */
+  def qualityScoreFrom(nTokens: Column, punctCnt: Column,
+      stopOcc: Column, len: Column): Column =
+    when(nTokens.between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
+      lit(0.3) * (lit(1.0) - punctCnt / len) +
+      lit(0.3) * (stopOcc / nTokens)
 
   /** Deterministic train/val/test fold of a document id — md5 over the
     * domain-separated "split:" prefix, hex-threshold widths (val ≈

@@ -52,23 +52,15 @@ object FilterStore {
       target.getParent, s".${target.getName}.staging")
     val parked = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.replaced")
+    // shared [[AtomicPublish]] swap: restore any crash survivor first,
+    // stage, verify, then park → publish → restore-on-abort — the last
+    // good image is never deleted before its replacement is durable
+    AtomicPublish.recover(fs, target, parked)
     fs.delete(staging, true)
-    fs.delete(parked, true)
     frame.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
       throw new java.io.IOException(s"FilterStore: $staging has no _SUCCESS marker")
-    // Rollup-style replace: park the live filter, publish, then discard
-    // the parked copy — a crash between the renames leaves the parked
-    // dir, and the next save of this path (the natural retry) clears it;
-    // the live image is never deleted before its replacement is in place.
-    val hadPrevious = fs.exists(target)
-    if (hadPrevious && !fs.rename(target, parked))
-      throw new java.io.IOException(s"FilterStore: failed to park $target")
-    if (!fs.rename(staging, target)) {
-      if (hadPrevious) fs.rename(parked, target) // restore-on-abort
-      throw new java.io.IOException(s"FilterStore: failed to publish $staging to $target")
-    }
-    fs.delete(parked, true)
+    AtomicPublish.replace(fs, staging, target, parked, "FilterStore")
     image
   }
 

@@ -69,20 +69,15 @@ object Rollup {
     val target = new Path(stateDir, s"batch=$label")
     val staging = new Path(stateDir, s".batch=$label.staging")
     val parked = new Path(stateDir, s".batch=$label.replaced")
+    // a crash between a previous append's renames left the survivor
+    // parked — restore it BEFORE staging (never destroy the last good
+    // batch until the replacement is durable)
+    AtomicPublish.recover(fs, target, parked)
     fs.delete(staging, true)
-    fs.delete(parked, true)
     partial(df, spec).write.mode("overwrite").parquet(staging.toString)
     if (!fs.exists(new Path(staging, "_SUCCESS")))
       throw new java.io.IOException(s"Rollup: $staging has no _SUCCESS marker after commit")
-    val hadPrevious = fs.exists(target)
-    if (hadPrevious && !fs.rename(target, parked))
-      throw new java.io.IOException(s"Rollup: failed to park $target")
-    if (!fs.rename(staging, target)) {
-      // restore-on-abort: the old batch returns before we give up
-      if (hadPrevious) fs.rename(parked, target)
-      throw new java.io.IOException(s"Rollup: failed to publish $staging to $target")
-    }
-    fs.delete(parked, true)
+    AtomicPublish.replace(fs, staging, target, parked, "Rollup")
   }
 
   /** Stored batch labels (sorted), from the directory listing only. */

@@ -40,6 +40,8 @@ object Curation {
     val digested = docs
       .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("digest", md5(col("text")))
+      // zero-token docs score 0.0 (qualityScore's totalizing guard) and
+      // fail any positive threshold
       .withColumn("q_ok", Txt.qualityScore(col("text")) >= minQuality)
       // dedup keeps the smallest doc_id per digest — deterministic keeper
       .withColumn("dedup_ok", row_number().over(

@@ -506,17 +506,17 @@ object Extensions {
       expr("aggregate(filter(split(text, ' '), t -> t <> ''), 0, (acc, t) -> acc + length(t))").as("sum_len"),
       size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("punct_cnt"),
       Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).as("stop_occ"),
-      length(col("text")).as("len"),
-      // THE shared quality definition (Txt.qualityScore) — also the
-      // Curation gate; identical arithmetic to the component columns
-      // above, recomputed from text so one definition owns the formula.
-      Txt.qualityScore(col("text")).as("quality_raw"))
+      length(col("text")).as("len"))
     base.select(
       col("doc_id"), col("n_tokens"),
       r4(col("sum_len") / col("n_tokens")).as("avg_token_len"),
       r4(col("punct_cnt") / col("len")).as("punct_ratio"),
       r4(col("stop_occ") / col("n_tokens")).as("stop_ratio"),
-      r4(col("quality_raw")).as("quality"))
+      // THE shared quality formula (Txt.qualityScoreFrom — also the
+      // Curation gate) over the component columns computed once above.
+      r4(Txt.qualityScoreFrom(
+        col("n_tokens"), col("punct_cnt"), col("stop_occ"), col("len")))
+        .as("quality"))
   }
 
   /** Token counting: whitespace + BPE-ish regex segmentation. */

@@ -31,12 +31,15 @@ import org.apache.spark.sql.functions._
 object StreamDedup {
 
   /** Digest column both paths key on: md5 of the text with null
-    * coalesced to "" — the SAME digest the batch side (q16,
-    * [[graft.pipeline.Curation]]) computes, so stream and batch agree on
-    * what "exact duplicate" means. Without the coalesce, md5(null) is
-    * null: the within-watermark path would collapse ALL null-text docs
-    * into one (null keys group together) while the anti-join would pass
-    * them all (null never matches) — both diverging from batch.
+    * coalesced to "" — the definition [[graft.pipeline.Curation]] uses,
+    * under which null text ≡ empty text ("no content" is one identity).
+    * Without the coalesce, md5(null) is null and the two streaming paths
+    * CONTRADICT EACH OTHER: the within-watermark path collapses all
+    * null-text docs into one (null keys group together) while the
+    * anti-join passes every one (null never matches). Note the q16 batch
+    * query digests raw text (null → a separate null-digest group it
+    * keeps whole) — feed a stream through this module and batch history
+    * through Curation's digest, not q16's, when null-text docs matter.
     */
   def withDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("digest", md5(coalesce(col(textCol), lit(""))))

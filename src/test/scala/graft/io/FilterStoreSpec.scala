@@ -38,6 +38,27 @@ class FilterStoreSpec extends SparkSpec {
     assert(java.util.Arrays.equals(loaded, inline))
   }
 
+  test("crash between park and publish: next save restores the survivor first") {
+    val dir = Files.createTempDirectory("fstore").toString + "/f.bloom"
+    FilterStore.save(spark, dir, (1L to 100L).toDF("k"), expected = 100L,
+      builtFrom = "v1")
+    // simulate the crash window: target parked, replacement never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val parked = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.replaced")
+    assert(fs.rename(target, parked))
+    assert(!fs.exists(target) && fs.exists(parked))
+    // the next save must recover the survivor before staging (so a
+    // staging failure cannot lose the last good image) and then publish
+    FilterStore.save(spark, dir, (1L to 200L).toDF("k"), expected = 200L,
+      builtFrom = "v2")
+    val (_, meta) = FilterStore.load(spark, dir)
+    assert(meta.builtFrom == "v2" && meta.nKeys == 200L)
+    assert(!fs.exists(parked))
+  }
+
   test("re-save replaces the stored filter") {
     val dir = Files.createTempDirectory("fstore").toString + "/f.bloom"
     FilterStore.save(spark, dir, (1L to 100L).toDF("k"), expected = 100L)

@@ -23,7 +23,9 @@ class CurationPipelineSpec extends SparkSpec {
       (3L, junky),           // fails quality
       (4L, good + " extra"), // unique, good
       (5L, "held out text is exactly this sentence and it is long enough " +
-        "to pass the quality gate with the usual stopwords in it today")
+        "to pass the quality gate with the usual stopwords in it today"),
+      (6L, "   ") // zero tokens → quality 0.0 via the totalizing guard;
+                  // the raw formula would throw DIVIDE_BY_ZERO under ANSI
     ).toDF("doc_id", "text")
     val held = Seq(
       ("held out text is exactly this sentence and it is long enough " +
@@ -31,8 +33,8 @@ class CurationPipelineSpec extends SparkSpec {
       .toDF("text")
     val r = Curation.curate(docs, Some(held))
     val f = r.funnel.head()
-    assert(f.getAs[Long]("raw") === 5L)
-    assert(f.getAs[Long]("quality") === 4L)        // junky out
+    assert(f.getAs[Long]("raw") === 6L)
+    assert(f.getAs[Long]("quality") === 4L)        // junky + NaN-scored out
     assert(f.getAs[Long]("dedup") === 3L)          // dup of 1 out
     assert(f.getAs[Long]("decontaminated") === 2L) // held-out doc out
     val kept = r.corpus.select("doc_id").as[Long].collect().toSet
