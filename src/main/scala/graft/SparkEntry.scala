@@ -108,6 +108,7 @@ object SparkEntry {
     "q89_train_split" -> (Extensions.q89TrainSplit _),
     "q90_semdedup" -> (Extensions.q90Semdedup _),
     "q91_token_budget" -> (Extensions.q91TokenBudget _),
+    "q92_sample_quantiles" -> (Extensions.q92SampleQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1767,6 +1767,45 @@ object Extensions {
       .join(broadcast(c.totals.withColumnRenamed("total", "total_tokens")), Seq("source"))
   }
 
+  /** q92's per-group sample size: quantile error ~ 1/√k → ~6 % at 256;
+    * state is O(k) structs per group regardless of group size.
+    */
+  val SketchSampleK = 256
+
+  /** Deterministic mergeable quantile sketch: per-group BOTTOM-K-BY-HASH
+    * sample (the k smallest md5(primary key) rows — a uniform sample
+    * that is a pure function of content), then quantiles OF THE SAMPLE.
+    * This is the percentile analogue of the staged-HLL pattern (q83):
+    * the sample rides [[graft.expressions.BoundedSortedList]]'s O(k)
+    * heap state, map-side partials merge EXACTLY (bottom-k of a union =
+    * bottom-k of bottom-ks), so per-partition/per-batch samples can be
+    * persisted ([[graft.io.Rollup]] shape) and any later rollup
+    * re-derives quantiles with zero history rescans — what
+    * `approx_percentile` cannot do across jobs (its sketch state is not
+    * exposed). Unlike t-digest/KLL the estimate is DETERMINISTIC and
+    * engine-reproducible: the oracle selects the identical sample
+    * (row_number over the same md5 order) and applies the same linear
+    * interpolation (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    * q41 precedent) — so this approximate operator carries an EXACT
+    * oracle, not an envelope.
+    */
+  def q92SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"),
+        col("l_extendedprice").as("v"))
+    val sampled = li.groupBy(col("l_returnflag"))
+      .agg(boundedSortedList(s, SketchSampleK, "struct(h, v)").as("smp"))
+      .select(col("l_returnflag"), explode(col("smp")).as("e"))
+      .select(col("l_returnflag"), col("e.v").as("v"))
+    sampled.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_sample"),
+        r4(expr("percentile(v, 0.5)")).as("p50"),
+        r4(expr("percentile(v, 0.9)")).as("p90"),
+        r4(expr("percentile(v, 0.99)")).as("p99"))
+  }
+
   def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumFunctions.portableRound
     val per = widen(s, t(s, dir, "documents"))

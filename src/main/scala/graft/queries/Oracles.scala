@@ -1192,6 +1192,25 @@ object Oracles {
         |FROM c JOIN t USING (source) WHERE cum <= budget
         |GROUP BY source, budget, total_tokens""".stripMargin,
 
+    // The IDENTICAL sample (same md5 order, same k) then the same
+    // interpolation — an approximate operator with an exact oracle.
+    "q92_sample_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT l_returnflag,
+         |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h,
+         |    l_extendedprice AS v
+         |  FROM lineitem),
+         |smp AS (
+         |  SELECT l_returnflag, v FROM (
+         |    SELECT l_returnflag, v,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rn
+         |    FROM d) WHERE rn <= ${Extensions.SketchSampleK})
+         |SELECT l_returnflag, count(*) AS n_sample,
+         |  ${r("quantile_cont(v, 0.5)", 4)} AS p50,
+         |  ${r("quantile_cont(v, 0.9)", 4)} AS p90,
+         |  ${r("quantile_cont(v, 0.99)", 4)} AS p99
+         |FROM smp GROUP BY l_returnflag""".stripMargin,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
