@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, TopKPairs}
+import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, TopKPairs}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomFilterAgg(children(0), children(1), children.lift(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("argmax_dot"),
+      new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgmaxDot(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Dedup, Ranking, Skew}
+import graft.engine.{Dedup, KmeansCodebook, Ranking, Skew}
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 import graft.functions.NumFunctions.r4
 import graft.io.Tables
@@ -101,6 +101,30 @@ object Extensions {
 
   /** Shared deterministic hyperplanes for embedding LSH (md5-parity ±1). */
   lazy val Planes: Array[Array[Double]] = Sim.hyperplanes(LshPlanes, EmbeddingDim)
+
+  /** Trained coarse-quantizer parameters for the IVF/SemDeDup family
+    * (q34/q53/q64/q90): KmeansK cells via KmeansIters Lloyd iterations
+    * ([[graft.engine.KmeansCodebook]]). K is the scale knob — production
+    * rule K ∝ √N (SemDeDup paper shape); 64 cells over the 500–2000-row
+    * testdata puts cells near the √N regime the paper runs at. The ±1
+    * [[Planes]] stay behind the sign-hash LSH paths (q19/q22/q33/q35/q50),
+    * where fixed hyperplanes are the operator's actual definition.
+    */
+  val KmeansK = 64
+  val KmeansIters = 2
+
+  /** (vec_id, vec double[]) embeddings, widened and materialized ONCE —
+    * the shared input of codebook training and the final query plan (3+
+    * passes at training, so the scan must not re-run per pass).
+    */
+  private def embVec(s: SparkSession, dir: String): DataFrame =
+    widen(s, t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
+      .localCheckpoint(true)
+
+  /** The shared trained codebook (one row) over this sf's embeddings. */
+  private def trainedCb(emb: DataFrame): DataFrame =
+    KmeansCodebook.train(emb, KmeansK, KmeansIters)
 
   /** Exact content dedup by md5 — only digests shuffle, not documents. */
   def q16DedupHash(s: SparkSession, dir: String): DataFrame =
@@ -421,22 +445,21 @@ object Extensions {
   }
 
   /** IVF-style cell assignment — the coarse-quantizer half of an IVF ANN
-    * index: each vector joins the cell of its most-aligned centroid
-    * (argmax dot). Centroids here are the deterministic ±1 hyperplanes
-    * (a trained k-means codebook would drop in as different literals —
-    * the plan shape is identical). Search then probes only the query's
-    * cell(s), exactly like q33 does for sign buckets.
+    * index: each vector joins the cell of its most-aligned TRAINED
+    * centroid (argmax dot against the [[trainedCb]] k-means codebook,
+    * KmeansK cells). Search then probes only the query's cell(s), exactly
+    * like q33 does for sign buckets. Assignment is map-only — the
+    * codebook rides a one-row broadcast and the argmax is an
+    * in-expression fold, so the corpus pass adds no exchange.
     */
   def q34IvfAssign(s: SparkSession, dir: String): DataFrame = {
-    val vec = col("vec")
-    val dots = array(Planes.map(p => Sim.dot(vec, typedlit(p.toSeq))): _*)
-    widen(s, t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
-      .withColumn("dots", dots)
+    val emb = embVec(s, dir)
+    emb.crossJoin(broadcast(trainedCb(emb)))
+      .withColumn("b", KmeansCodebook.bestByName(s, "vec", "cbs"))
       .select(
         col("vec_id"),
-        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"),
-        r4(array_max(col("dots"))).as("cell_score"))
+        col("b.id").as("cell"),
+        r4(col("b.d")).as("cell_score"))
   }
 
   /** IVF probe search — the query half q34's coarse quantizer exists for:
@@ -451,23 +474,25 @@ object Extensions {
   val IvfNprobe = 3
 
   def q53IvfSearch(s: SparkSession, dir: String): DataFrame = {
-    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
-    // materialized once: feeds both the candidate side and the query side
-    val base = widen(s, t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
-      .withColumn("dots", dots)
-      .localCheckpoint(true)
-    val cand = base.select(col("vec_id"), col("vec"),
-      (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"))
-    // per-query probe cells: the IvfNprobe highest-dot cells, via an
-    // ascending sort on (-dot, cell) structs
-    val ranked = array_sort(array(Planes.indices.map(j =>
-      struct((-element_at(col("dots"), j + 1)).as("m"), lit(j).as("j"))): _*))
-    val q = base.filter(col("vec_id") < 10)
-      .withColumn("sd", ranked)
+    // materialized once: feeds codebook training, candidates, and queries
+    val base = embVec(s, dir)
+    val cb = broadcast(trainedCb(base))
+    val cand = base.crossJoin(cb)
+      .select(col("vec_id"), col("vec"),
+        KmeansCodebook.bestByName(s, "vec", "cbs").getField("id").as("cell"))
+    // per-query probe cells: the IvfNprobe highest-dot TRAINED cells.
+    // Relational top-k (explode the broadcast codebook, rank per query) is
+    // fine here because it runs over the handful of query rows only — the
+    // corpus side never explodes against the codebook.
+    val q = base.filter(col("vec_id") < 10).crossJoin(cb)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-        explode(slice(col("sd"), 1, IvfNprobe)).as("p"))
-      .select(col("q_id"), col("q_vec"), col("p.j").as("pcell"))
+        explode(col("cbs")).as("c"))
+      .select(col("q_id"), col("q_vec"), col("c.cb_id").as("pcell"),
+        Sim.dot(col("q_vec"), col("c.cb_vec")).as("dd"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dd").desc, col("pcell").asc)))
+      .filter(col("prn") <= IvfNprobe)
+      .select(col("q_id"), col("q_vec"), col("pcell"))
     val sims = cand.as("c")
       .join(broadcast(q), col("c.cell") === col("pcell") && col("q_id") =!= col("c.vec_id"))
       .select(col("q_id"), col("c.vec_id").as("n_id"),
@@ -966,26 +991,27 @@ object Extensions {
     * partitioning/merge order (float sums are not associative).
     */
   def q64IvfpqSearch(s: SparkSession, dir: String): DataFrame = {
-    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
-    // materialized once: feeds the codebook row, the candidate side, and
-    // the query side
-    val base = widen(s, t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
-      .withColumn("dots", dots)
-      .localCheckpoint(true)
+    // materialized once: feeds coarse training, the PQ codebook row, the
+    // candidate side, and the query side
+    val base = embVec(s, dir)
+    // renamed: pqCodebookRow also emits a `cbs` column and both ride the
+    // same candidate row
+    val coarse = broadcast(trainedCb(base).withColumnRenamed("cbs", "coarse_cbs"))
     val cb = base.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("cb_id"), col("vec").as("cb_vec"))
-    val cand = base.crossJoin(broadcast(pqCodebookRow(base)))
+    val cand = base.crossJoin(coarse).crossJoin(broadcast(pqCodebookRow(base)))
       .select(col("vec_id"),
-        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"),
+        KmeansCodebook.bestByName(s, "vec", "coarse_cbs").getField("id").as("cell"),
         pqCodesExpr.as("codes"))
-    val ranked = array_sort(array(Planes.indices.map(j =>
-      struct((-element_at(col("dots"), j + 1)).as("m"), lit(j).as("j"))): _*))
-    val q = base.filter(col("vec_id") < 10)
-      .withColumn("sd", ranked)
+    val q = base.filter(col("vec_id") < 10).crossJoin(coarse)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-        explode(slice(col("sd"), 1, IvfNprobe)).as("p"))
-      .select(col("q_id"), col("q_vec"), col("p.j").as("pcell"))
+        explode(col("coarse_cbs")).as("c"))
+      .select(col("q_id"), col("q_vec"), col("c.cb_id").as("pcell"),
+        Sim.dot(col("q_vec"), col("c.cb_vec")).as("dd"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dd").desc, col("pcell").asc)))
+      .filter(col("prn") <= IvfNprobe)
+      .select(col("q_id"), col("q_vec"), col("pcell"))
     val partials = cand
       .join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("q_vec"), col("vec_id").as("n_id"),
@@ -1677,13 +1703,18 @@ object Extensions {
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
 
-  /** Per-cell working-set cap for q90: within-cell pairing is O(cap²)
-    * per cell BY DESIGN (SemDeDup's acknowledged cost); the cap bounds
-    * any hot cell's pair count, the same flood contract as
-    * [[HotBucketCap]]. A production run tunes CELL COUNT (k-means k) so
-    * cells sit near the cap rather than truncating.
+  /** Per-DOCUMENT candidate cap for q90: each document is compared against
+    * at most this many earlier (lower-rank-within-cell) cell-mates, so
+    * total pair volume is ≤ cap·N no matter how hot a cell gets — the
+    * flood contract of [[HotBucketCap]], moved from "truncate the corpus
+    * at 128 rows/cell" (round 7's scale bug: everything past the cap was
+    * silently never dedup-checked) to "bound the work per covered doc".
+    * Whenever a cell holds ≤ cap+1 members the within-cell pairing is
+    * COMPLETE (exact SemDeDup) — true of every testdata cell at KmeansK=64
+    * — and a production run tunes KmeansK ∝ √N so cells sit near that
+    * regime rather than relying on the cap.
     */
-  val SemDedupCellCap = 128
+  val SemDedupNeighborCap = 128
 
   /** q90's duplicate threshold — tuned to the synthetic embeddings' cosine
     * distribution (near-N(0, 0.12), tail to ~0.5): 0.4 marks the top
@@ -1694,39 +1725,61 @@ object Extensions {
   val SemDedupTau = 0.4
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
-    * embeddings are blocked by their IVF coarse cell (q34's argmax-dot
-    * quantizer — the paper's k-means cluster), pairs are formed ONLY
-    * within a cell, and a document is marked a duplicate if an
-    * earlier-id cell-mate sits above the cosine threshold. Output per
-    * dropped doc: its keeper (`dup_of` = min earlier neighbor), how many
-    * near-dups it has, and the tightest similarity. The plan is a single
-    * self-equi-join on the int cell id over a capped per-cell working
-    * set — candidate volume is Σ cap·|cell|, never corpus², and pairs
-    * carry vectors only WITHIN the join (no global vector broadcast).
-    * This is the cluster-then-pair shape that makes embedding dedup
-    * feasible at 10⁹ docs, vs q32's hyperplane-bucket blocking (finer
-    * blocks, recall from multiprobe) — the two ends of the blocking
-    * spectrum.
+    * embeddings are blocked by their TRAINED k-means cell ([[trainedCb]],
+    * KmeansK cells — the paper's clustering step), pairs are formed ONLY
+    * within a cell, and a document is marked a duplicate if an earlier-id
+    * cell-mate sits above the cosine threshold. Output per dropped doc:
+    * its keeper (`dup_of` = min earlier neighbor), how many near-dups it
+    * has, and the tightest similarity.
+    *
+    * Scale contract (round-8 rework): EVERY document is assigned and
+    * enters pairing — no corpus truncation — and the per-doc candidate
+    * set is bounded at [[SemDedupNeighborCap]] earlier cell-mates, so
+    * pair volume is ≤ cap·N. The bound is enforced BEFORE the join
+    * explodes anything: cell-mates are banded by ⌈rank/cap⌉ and each
+    * right-side row joins only its own and its predecessor band
+    * ((cell, band) equi-join keys), then the exact `1 ≤ Δrank ≤ cap`
+    * window filters the ≤ 2·cap survivors. Assignment itself is map-only
+    * (broadcast codebook + in-expression fold — no exchange); the only
+    * window is the per-cell rank, whose parallelism is KmeansK — the
+    * tunable ∝√N knob, not a constant (SemDedupScaleSpec pins all
+    * three properties).
     */
   def q90Semdedup(s: SparkSession, dir: String): DataFrame = {
-    val dots = array(Planes.indices.map(j => Sim.dot(col("vec"), typedlit(Planes(j).toSeq))): _*)
-    val cells = widen(s, t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
-      .withColumn("dots", dots)
+    val base = embVec(s, dir)
+    val cells = base.crossJoin(broadcast(trainedCb(base)))
       .select(col("vec_id"), col("vec"),
-        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int").as("cell"))
-    val capped = cells
+        KmeansCodebook.bestByName(s, "vec", "cbs").getField("id").as("cell"))
+    semdedupFromCells(s, cells, SemDedupNeighborCap, SemDedupTau)
+  }
+
+  /** The banded within-cell pairing half of q90, parameterized for
+    * SemDedupScaleSpec: `cells` is (vec_id, vec, cell). A doc pairs with
+    * its ≤ `cap` immediately-preceding (by within-cell vec_id rank)
+    * cell-mates — pair-identical to the predicate
+    * `a.cell = b.cell AND 1 ≤ b.rn − a.rn ≤ cap` (the oracle's form),
+    * but generated through a (cell, band) EQUI-join: band = ⌊(rn−1)/cap⌋,
+    * and any pair within cap spans at most adjacent bands
+    * (b.rn ≤ a.rn+cap ⇒ b.band ∈ {a.band, a.band+1}), so the left side
+    * explodes to exactly two band keys and join output is ≤ 2·cap rows
+    * per doc BEFORE the exact range filter — never |cell|².
+    */
+  private[graft] def semdedupFromCells(
+      s: SparkSession, cells: DataFrame, cap: Int, tau: Double): DataFrame = {
+    val ranked = cells
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= SemDedupCellCap)
-      .select(col("vec_id"), col("vec"), col("cell"))
+      .withColumn("band", floor((col("rn") - 1) / cap).cast("int"))
       .localCheckpoint(true) // both sides of the self-join read it once
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("a_id"),
-        Sim.cosineByName(s, "a.vec", "b.vec").as("sim"))
-      .filter(col("sim") >= SemDedupTau)
+    val a = ranked.select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
+      col("vec").as("a_vec"), col("rn").as("a_rn"),
+      explode(array(col("band"), col("band") + 1)).as("bk"))
+    ranked.as("b")
+      .join(a, col("a_cell") === col("b.cell") && col("bk") === col("b.band"))
+      .filter(col("b.rn") - col("a_rn") >= 1 && col("b.rn") - col("a_rn") <= cap)
+      .select(col("b.vec_id").as("vec_id"), col("a_id"),
+        Sim.cosineByName(s, "a_vec", "b.vec").as("sim"))
+      .filter(col("sim") >= tau)
       .groupBy(col("vec_id"))
       .agg(
         min(col("a_id")).as("dup_of"),

@@ -73,6 +73,48 @@ object Oracles {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** DuckDB twin of [[graft.engine.KmeansCodebook.train]]: from a prior
+    * CTE `e(vec_id, vec DOUBLE[])`, build `cb(cb_id, cb_vec)` — the
+    * codebook after KmeansIters Lloyd iterations seeded by the KmeansK
+    * lowest-id vectors. Same DECIMAL(28,14) centroid sums, same r4
+    * floor-form rounding, same strict-argmax tie-break (ORDER BY dd DESC,
+    * cb_id ≡ the Spark fold's "strict > keeps first"), so the two
+    * engines' codebooks are bit-identical at every iteration.
+    */
+  private val kmeansCtes: String = {
+    def one(i: Int, prev: String): String =
+      s"""x$i AS (SELECT e.vec_id, e.vec, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
+         |        FROM e CROSS JOIN $prev c),
+         |a$i AS (SELECT vec_id, vec, cb_id AS cell FROM (
+         |        SELECT vec_id, vec, cb_id,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, cb_id) AS rn
+         |        FROM x$i) WHERE rn = 1),
+         |g$i AS (SELECT cell, CAST(i AS INTEGER) AS dim, vec[CAST(i AS INTEGER)] AS v
+         |        FROM a$i CROSS JOIN unnest(generate_series(1, ${Extensions.EmbeddingDim})) AS t(i)),
+         |u$i AS (SELECT cell, dim,
+         |          ${r("CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / count(*)", 4)} AS c
+         |        FROM g$i GROUP BY cell, dim),
+         |cb$i AS (SELECT cell AS cb_id, list(c ORDER BY dim) AS cb_vec FROM u$i GROUP BY cell)"""
+        .stripMargin
+    val iters = (1 to Extensions.KmeansIters)
+      .map(i => one(i, s"cb${i - 1}")).mkString(",\n")
+    s"""cb0 AS (SELECT CAST(vec_id AS INTEGER) AS cb_id, vec AS cb_vec FROM e
+       |        WHERE vec_id < ${Extensions.KmeansK}),
+       |$iters,
+       |cb AS (SELECT * FROM cb${Extensions.KmeansIters})""".stripMargin
+  }
+
+  /** Trained-cell assignment of every `e` row against `cb`:
+    * `cells(vec_id, vec, cell, dd)` — argmax dot, lowest cb_id on ties.
+    */
+  private val kmeansAssignCte: String =
+    s"""tx AS (SELECT e.vec_id, e.vec, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
+       |       FROM e CROSS JOIN cb c),
+       |cells AS (SELECT vec_id, vec, cb_id AS cell, dd FROM (
+       |       SELECT vec_id, vec, cb_id, dd,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, cb_id) AS rn
+       |       FROM tx) WHERE rn = 1)""".stripMargin
+
   /** q18's banded-LSH pair CTEs + final select, shared with the q61
     * connected-components oracle (which wraps them in WITH RECURSIVE).
     */
@@ -506,39 +548,30 @@ object Oracles {
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
 
-    "q34_ivf_assign" -> {
-      val dots = (0 until Extensions.LshPlanes)
-        .map(j => s"list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(j)})")
-        .mkString("[", ",\n    ", "]")
-      s"""WITH d AS (SELECT vec_id, $dots AS dots FROM embeddings)
-         |SELECT vec_id,
-         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell,
-         |  ${r("list_max(dots)", 4)} AS cell_score
-         |FROM d""".stripMargin
-    },
+    "q34_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |$kmeansCtes,
+         |$kmeansAssignCte
+         |SELECT vec_id, cell, ${r("dd", 4)} AS cell_score FROM cells""".stripMargin,
 
-    "q53_ivf_search" -> {
-      val dots = (0 until Extensions.LshPlanes)
-        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
-        .mkString("[", ",\n    ", "]")
-      val sd = (0 until Extensions.LshPlanes)
-        .map(j => s"{'m': -dots[${j + 1}], 'j': $j}")
-        .mkString("list_sort([", ", ", "])")
-      val probes = (1 to Extensions.IvfNprobe).map(i => s"sd[$i].j").mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |e AS (SELECT vec_id, vec, $dots AS dots FROM d),
-         |cand AS (SELECT vec_id, vec,
-         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell FROM e),
-         |qm AS (SELECT vec_id, vec, $sd AS sd FROM e WHERE vec_id < 10),
-         |q AS (SELECT vec_id AS q_id, vec AS q_vec, unnest($probes) AS pcell FROM qm),
+    "q53_ivf_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |$kmeansCtes,
+         |$kmeansAssignCte,
+         |qd AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, c.cb_id AS pcell,
+         |         list_dot_product(e.vec, c.cb_vec) AS dd
+         |       FROM e CROSS JOIN cb c WHERE e.vec_id < 10),
+         |q AS (SELECT q_id, q_vec, pcell FROM (
+         |       SELECT q_id, q_vec, pcell,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, pcell) AS prn
+         |       FROM qd) WHERE prn <= ${Extensions.IvfNprobe}),
          |s AS (
          |  SELECT q.q_id, c.vec_id AS n_id, ${cosSql("q.q_vec", "c.vec")} AS sim
-         |  FROM cand c JOIN q ON c.cell = q.pcell AND q.q_id <> c.vec_id),
+         |  FROM cells c JOIN q ON c.cell = q.pcell AND q.q_id <> c.vec_id),
          |rr AS (SELECT q_id, n_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, ${r("sim", 4)} AS sim
-         |FROM rr WHERE rank <= 3""".stripMargin
-    },
+         |FROM rr WHERE rank <= 3""".stripMargin,
 
     "q33_ann_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
@@ -693,38 +726,35 @@ object Oracles {
 
     "q64_ivfpq_search" -> {
       val sub = Extensions.PqSubDim
-      val dots = (0 until Extensions.LshPlanes)
-        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
-        .mkString("[", ",\n    ", "]")
-      val sd = (0 until Extensions.LshPlanes)
-        .map(j => s"{'m': -dots[${j + 1}], 'j': $j}")
-        .mkString("list_sort([", ", ", "])")
-      val probes = (1 to Extensions.IvfNprobe).map(i => s"sd[$i].j").mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |e AS (SELECT vec_id, vec, $dots AS dots FROM d),
-         |cb AS (SELECT vec_id AS cb_id, vec AS cb_vec FROM d WHERE vec_id < ${Extensions.PqK}),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |$kmeansCtes,
+         |$kmeansAssignCte,
+         |pqcb AS (SELECT vec_id AS cb_id, vec AS cb_vec FROM e WHERE vec_id < ${Extensions.PqK}),
          |sub AS (SELECT CAST(i AS INTEGER) AS s
          |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
-         |x AS (SELECT d.vec_id, sub.s, cb.cb_id,
-         |        list_dot_product(list_slice(d.vec, sub.s*$sub+1, sub.s*$sub+$sub),
-         |                         list_slice(cb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS dd
-         |      FROM d CROSS JOIN cb CROSS JOIN sub),
+         |x AS (SELECT e.vec_id, sub.s, pqcb.cb_id,
+         |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
+         |                         list_slice(pqcb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS dd
+         |      FROM e CROSS JOIN pqcb CROSS JOIN sub),
          |codes AS (SELECT vec_id, s, cb_id AS code FROM (
          |        SELECT vec_id, s, cb_id,
          |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dd DESC, cb_id) AS rn
          |        FROM x) WHERE rn = 1),
-         |cand AS (SELECT vec_id,
-         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell FROM e),
-         |qm AS (SELECT vec_id, vec, $sd AS sd FROM e WHERE vec_id < 10),
-         |q AS (SELECT vec_id AS q_id, vec AS q_vec, unnest($probes) AS pcell FROM qm),
+         |qd AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, c.cb_id AS pcell,
+         |         list_dot_product(e.vec, c.cb_vec) AS dd
+         |       FROM e CROSS JOIN cb c WHERE e.vec_id < 10),
+         |q AS (SELECT q_id, q_vec, pcell FROM (
+         |       SELECT q_id, q_vec, pcell,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, pcell) AS prn
+         |       FROM qd) WHERE prn <= ${Extensions.IvfNprobe}),
          |pr AS (SELECT q.q_id, q.q_vec, c.vec_id AS n_id
-         |       FROM cand c JOIN q ON c.cell = q.pcell AND q.q_id <> c.vec_id),
+         |       FROM cells c JOIN q ON c.cell = q.pcell AND q.q_id <> c.vec_id),
          |pa AS (SELECT pr.q_id, pr.n_id,
          |         CAST(list_dot_product(
          |           list_slice(pr.q_vec, co.s*$sub+1, co.s*$sub+$sub),
-         |           list_slice(cb.cb_vec, co.s*$sub+1, co.s*$sub+$sub)) AS DECIMAL(28,14)) AS pd
+         |           list_slice(pqcb.cb_vec, co.s*$sub+1, co.s*$sub+$sub)) AS DECIMAL(28,14)) AS pd
          |       FROM pr JOIN codes co ON co.vec_id = pr.n_id
-         |               JOIN cb ON cb.cb_id = co.code),
+         |               JOIN pqcb ON pqcb.cb_id = co.code),
          |ad AS (SELECT q_id, n_id, CAST(sum(pd) AS DOUBLE) AS adc FROM pa GROUP BY q_id, n_id),
          |rr AS (SELECT q_id, n_id, adc,
          |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank FROM ad)
@@ -1151,24 +1181,23 @@ object Oracles {
         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
         |FROM d GROUP BY 1""".stripMargin,
 
-    "q90_semdedup" -> {
-      val dots = (0 until Extensions.LshPlanes)
-        .map(j => s"list_dot_product(vec, ${planeSql(j)})")
-        .mkString("[", ",\n    ", "]")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |c AS (SELECT vec_id, vec,
-         |  CAST(list_indexof(dots, list_max(dots)) - 1 AS INTEGER) AS cell
-         |  FROM (SELECT vec_id, vec, $dots AS dots FROM d)),
-         |cap AS (SELECT vec_id, vec, cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM c)
-         |  WHERE rn <= ${Extensions.SemDedupCellCap}),
+    // The oracle states the per-doc neighbor cap DIRECTLY as a rank-delta
+    // range predicate; the Spark plan's band-key equi-join + exact range
+    // filter must be pair-identical to it (the band algebra proof lives in
+    // the q90 scaladoc; SemDedupScaleSpec pins equivalence).
+    "q90_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |$kmeansCtes,
+         |$kmeansAssignCte,
+         |rk AS (SELECT vec_id, vec, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM cells),
          |p AS (
          |  SELECT b.vec_id AS vec_id, a.vec_id AS a_id, ${cosSql("a.vec", "b.vec")} AS sim
-         |  FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  FROM rk a JOIN rk b ON a.cell = b.cell
+         |    AND b.rn - a.rn BETWEEN 1 AND ${Extensions.SemDedupNeighborCap})
          |SELECT vec_id, min(a_id) AS dup_of, count(*) AS n_dups,
          |  ${r("max(sim)", 4)} AS max_sim
-         |FROM p WHERE sim >= ${Extensions.SemDedupTau} GROUP BY vec_id""".stripMargin
-    },
+         |FROM p WHERE sim >= ${Extensions.SemDedupTau} GROUP BY vec_id""".stripMargin,
 
     // The oracle is the NAIVE per-source cumulative-sum window — the
     // bucketed two-pass must be row-identical (bucket = ordering-hash

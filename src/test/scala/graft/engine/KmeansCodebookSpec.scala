@@ -1,0 +1,62 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained-codebook contracts: native/fallback parity (the argmax_dot
+  * expression must be bit-identical to the HOF fold so the session's
+  * extension registration can never flip an oracle), tie-break direction,
+  * empty-cell drop, and training determinism across partitionings (the
+  * DECIMAL-sum argument).
+  */
+class KmeansCodebookSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(n: Int, parts: Int): DataFrame =
+    spark.range(n).repartition(parts).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(hash(col("id") * 13 + d), lit(101)).cast("double") - 50.0) / 9.0): _*).as("vec"))
+
+  test("native argmax_dot == HOF fold, bit-for-bit") {
+    val e = emb(200, 4)
+    val cb = broadcast(KmeansCodebook.train(e, k = 8, iters = 2))
+    val both = e.crossJoin(cb).select(
+      col("vec_id"),
+      expr("argmax_dot(vec, cbs)").as("native"),
+      KmeansCodebook.best(col("vec"), col("cbs")).as("fold"))
+    val diff = both.filter(
+      col("native.id") =!= col("fold.id") || col("native.d") =!= col("fold.d")).count()
+    assert(diff == 0)
+  }
+
+  test("tie-break keeps the lowest cb_id") {
+    // two identical codebook entries -> every vector must land on id 0
+    val e = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "vec")
+    val cbs = typedlit(Seq((0, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0))))
+      .cast("array<struct<cb_id:int,cb_vec:array<double>>>")
+    val picked = e.select(expr("argmax_dot(vec, " +
+      "array(named_struct('cb_id', 0, 'cb_vec', array(1.0d, 0.0d)), " +
+      "named_struct('cb_id', 1, 'cb_vec', array(1.0d, 0.0d)))).id").as("id"))
+      .as[Int].head()
+    assert(picked == 0)
+    val fold = e.select(KmeansCodebook.best(col("vec"), cbs).getField("id")).as[Int].head()
+    assert(fold == 0)
+  }
+
+  test("training is partitioning-invariant (DECIMAL sums, sorted refold)") {
+    val a = KmeansCodebook.train(emb(300, 2), k = 8, iters = 2).collect()
+    val b = KmeansCodebook.train(emb(300, 7), k = 8, iters = 2).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("cells with no members drop out of the codebook") {
+    // all vectors identical -> every vector joins one argmax cell; after
+    // one iteration only that single cell survives
+    val e = spark.range(20).select(col("id").as("vec_id"),
+      typedlit(Seq(1.0, 1.0, 1.0, 1.0)).as("vec"))
+    val cb = KmeansCodebook.train(e, k = 4, iters = 1)
+    val k = cb.select(size(col("cbs"))).as[Int].head()
+    assert(k == 1)
+  }
+}
