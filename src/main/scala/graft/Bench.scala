@@ -75,6 +75,11 @@ object Bench {
     var pool = newPool()
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // True once a stuck worker survived its cancel and the pool was
+    // replaced: that daemon thread may still be burning cores under every
+    // LATER timing, so the whole run's numbers are suspect — recorded as
+    // data so a consumer can discount the run instead of misreading it.
+    var wedged = false
 
     // A query that failed AFTER producing a valid sample keeps its timing
     // and is skipped in later rounds, but is NOT an error row — a query
@@ -122,6 +127,7 @@ object Bench {
           if (!done.await(10, TimeUnit.SECONDS)) {
             pool.shutdownNow()
             pool = newPool()
+            wedged = true
           }
         case e: java.util.concurrent.ExecutionException =>
           val cause = Option(e.getCause).getOrElse(e)
@@ -136,7 +142,7 @@ object Bench {
       val errs = errors.map { case (k, v) => s"\"$k\":${jsonStr(v)}" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"errors":$errs,"failed":${errors.size},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"errors":$errs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}""")
     }
 
     // Three timed runs per query in INTERLEAVED rounds (q1..qN, q1..qN,
@@ -166,7 +172,20 @@ object Bench {
     val qs = mins.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"sf":"$sfDir"}""")
+    // `ok` rides along so a consumer comparing totals across rounds can
+    // detect coverage drift (a NEW failure shrinks the total — without
+    // the ok count that reads as a speedup).
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"ok":${mins.size},"failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // The driver parses the process's stdout tail; sbt's in-process run
+    // wraps System.out with its `[info]`-prefixing logger, which broke
+    // that parse every round. Writing to raw FileDescriptor.out bypasses
+    // any JVM-level System.out redirection, so the LAST metric line on
+    // the real stream is clean JSON.
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    raw.println(line)
     spark.stop()
   }
 }

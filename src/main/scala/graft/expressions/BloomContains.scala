@@ -133,4 +133,87 @@ object BloomContains {
     * against was 1.7 ms/row = 981 s at sf0.1).
     */
   val deserializations = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** JVM-wide (= per-executor) filter cache for the broadcast form,
+    * keyed by the broadcast ID (the handle OBJECT is deserialized fresh
+    * per task, so identity keys would cache per task, not per executor;
+    * the id is stable across every task's copy and broadcast content is
+    * immutable per id). Bounded: far more live filters than
+    * `MaxCachedFilters` means something is leaking broadcasts — drop the
+    * lot and re-deserialize on demand rather than pin dead GB-scale
+    * images for the executor's lifetime.
+    */
+  private val MaxCachedFilters = 32
+  private val byBroadcastId =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, BloomFilter]()
+
+  private[expressions] def forBroadcast(
+      b: org.apache.spark.broadcast.Broadcast[Array[Byte]]): BloomFilter = {
+    val hit = byBroadcastId.get(b.id)
+    if (hit != null) hit
+    else byBroadcastId.synchronized {
+      val again = byBroadcastId.get(b.id)
+      if (again != null) again
+      else {
+        if (byBroadcastId.size() >= MaxCachedFilters) byBroadcastId.clear()
+        deserializations.incrementAndGet()
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(b.value))
+        byBroadcastId.put(b.id, f)
+        f
+      }
+    }
+  }
+}
+
+/** Broadcast-variable form of [[BloomContains]] for LARGE images: the
+  * serialized plan carries only the broadcast HANDLE (bytes travel via
+  * Spark's torrent broadcast, once per executor), so driver plan memory
+  * and per-stage task-binary size are independent of image size — a
+  * 1.2 GB 10⁹-key image stops being a plan literal re-shipped with every
+  * stage that references it. Probe cost contract is unchanged: one
+  * `BloomFilter.readFrom` per EXECUTOR (shared weak cache keyed by the
+  * broadcast handle), then a hash probe per row inside codegen.
+  *
+  * Not SQL-registered — a broadcast handle has no SQL literal form; build
+  * it through [[graft.io.FilterStore.probe]], which picks literal vs
+  * broadcast by image size.
+  */
+case class BloomContainsBroadcast(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_bcast supports integral and string keys, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_bcast"
+
+  @transient private lazy val filter: BloomFilter = BloomContains.forBroadcast(bcast)
+  @transient private lazy val keyIsString: Boolean = child.dataType == StringType
+
+  /** Entry point for generated code (and nullSafeEval). */
+  def test(key: Any): Boolean =
+    if (keyIsString) filter.mightContainBinary(key.asInstanceOf[UTF8String].getBytes)
+    else filter.mightContainLong(key.asInstanceOf[Number].longValue())
+
+  override protected def nullSafeEval(k: Any): Any = test(k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, k => {
+      val self = ctx.addReferenceObj(
+        "bloomContainsBcast", this, classOf[BloomContainsBroadcast].getName)
+      val keyBoxed = child.dataType match {
+        case StringType => k
+        case _ => s"((Object)(Long)(long)$k)"
+      }
+      s"$self.test($keyBoxed)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBroadcast =
+    copy(child = newChild)
 }

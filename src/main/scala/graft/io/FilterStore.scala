@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.BinaryType
-import graft.expressions.BloomContains
+import graft.expressions.{BloomContains, BloomContainsBroadcast, BloomFilterAgg}
 
 /** Persisted Bloom-filter images — the CROSS-JOB half of the join-pruning
   * story (`bloom_agg`/`bloom_contains`, q79). Spark's own runtime filter
@@ -34,11 +34,15 @@ object FilterStore {
   def save(spark: SparkSession, path: String, keys: DataFrame,
       expected: Long, fpp: Option[Double] = None, builtFrom: String = ""): Array[Byte] = {
     val keyCol = keys.columns.head
-    val call = fpp match {
-      case Some(p) => s"bloom_agg(${expected}L, $keyCol, ${p}d)"
-      case None => s"bloom_agg(${expected}L, $keyCol)"
-    }
-    val row = keys.agg(expr(call).as("image"), count(col(keyCol)).as("n_keys")).head
+    // expression-API construction (not SQL-text interpolation): immune to
+    // key column names that would need backtick quoting, and fpp rides a
+    // typed Literal rather than Double.toString round-tripping
+    val agg = org.apache.spark.sql.GraftSqlBridge.column(
+      BloomFilterAgg(
+        Literal(expected),
+        org.apache.spark.sql.GraftSqlBridge.expression(col(keyCol)),
+        fpp.map(Literal(_))).toAggregateExpression())
+    val row = keys.agg(agg.as("image"), count(col(keyCol)).as("n_keys")).head()
     val image = row.getAs[Array[Byte]]("image")
     val nKeys = row.getAs[Long]("n_keys")
     import spark.implicits._
@@ -84,5 +88,36 @@ object FilterStore {
   def probe(image: Array[Byte], key: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       BloomContains(Literal(image, BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.expression(key)))
+
+  /** Image-size threshold above which [[probe]] switches from plan
+    * literal to broadcast variable. A literal is simplest and fine at
+    * MBs (the task binary broadcasts once per stage anyway); past this
+    * size the image starts to dominate driver plan memory and every
+    * stage's task-binary re-broadcast, so it belongs in a torrent
+    * broadcast referenced by handle ([[BloomContainsBroadcast]]).
+    * 16 MB ≈ a 10⁷-key image at 1 % fpp — well before the pain point,
+    * well above every testdata filter.
+    */
+  val BroadcastThresholdBytes: Int = 16 << 20
+
+  /** [[probe]] that picks the plan form by image size: literal below
+    * [[BroadcastThresholdBytes]], broadcast variable at and above it —
+    * both one-deserialization-per-executor, hash-probe-per-row
+    * (BloomFilterSpec pins the dispatch and the broadcast contract).
+    */
+  def probe(spark: SparkSession, image: Array[Byte], key: Column): Column =
+    if (image.length < BroadcastThresholdBytes) probe(image, key)
+    else probeBroadcast(spark, image, key)
+
+  /** Broadcast-variable probe form, regardless of size (the ≥ threshold
+    * arm of [[probe]]; exposed for tests and for callers that reuse one
+    * image across MANY queries — one broadcast amortizes across all of
+    * them, where each literal plan would re-ship it).
+    */
+  def probeBroadcast(spark: SparkSession, image: Array[Byte], key: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      BloomContainsBroadcast(
+        spark.sparkContext.broadcast(image),
         org.apache.spark.sql.GraftSqlBridge.expression(key)))
 }

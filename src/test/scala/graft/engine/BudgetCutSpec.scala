@@ -75,4 +75,52 @@ class BudgetCutSpec extends SparkSpec {
     assert(cutSet(d.repartition(13), t => t * 3 / 5) === expected)
     assert(expected.nonEmpty && expected.size < 300)
   }
+
+  test("recursion levels all agree with the naive window") {
+    val d = docs(400)
+    val want = naive(d, t => t * 3 / 5)
+    for (lv <- Seq(1, 2, 3)) {
+      val got = BudgetCut.cut(d, "g", "wt", "h", "id", t => t * 3 / 5, levels = lv)
+        .kept.select($"g", $"id").as[(String, Long)].collect().toSet
+      assert(got === want, s"levels=$lv")
+    }
+  }
+
+  test("deliberately hot boundary bucket: recursion still row-identical") {
+    // all rows share the SAME first two hash chars (one giant level-1
+    // bucket — the worst case the recursion exists for), while chars 3+
+    // still vary; the budget lands strictly inside it so the whole group
+    // is one boundary bucket at level 1
+    val d = (1 to 600).map { i => ("g1", i.toLong, (i % 5 + 1).toLong, s"doc $i") }
+      .toDF("g", "id", "wt", "text")
+      .withColumn("h", concat(lit("ab"), md5($"text"))).drop("text")
+    val want = naive(d, t => t / 3)
+    for (lv <- Seq(1, 2, 3)) {
+      val got = BudgetCut.cut(d, "g", "wt", "h", "id", t => t / 3, levels = lv)
+        .kept.select($"g", $"id").as[(String, Long)].collect().toSet
+      assert(got === want, s"levels=$lv")
+      assert(got.nonEmpty && got.size < 600)
+    }
+  }
+
+  test("value preconditions fail fast with named errors") {
+    val neg = Seq(("g", 1L, -2L, "aa00"), ("g", 2L, 3L, "bb00"))
+      .toDF("g", "id", "wt", "h")
+    val e1 = intercept[IllegalArgumentException] {
+      BudgetCut.cut(neg, "g", "wt", "h", "id", t => t).kept.count()
+    }
+    assert(e1.getMessage.contains("negative"))
+    val nul = Seq(("g", 1L, Some(2L), "aa00"), ("g", 2L, None, "bb00"))
+      .toDF("g", "id", "wt", "h")
+    val e2 = intercept[IllegalArgumentException] {
+      BudgetCut.cut(nul, "g", "wt", "h", "id", t => t).kept.count()
+    }
+    assert(e2.getMessage.contains("NULL wt"))
+    val nullKey = Seq((Some("g"), 1L, 2L, "aa00"), (None, 2L, 3L, "bb00"))
+      .toDF("g", "id", "wt", "h")
+    val e3 = intercept[IllegalArgumentException] {
+      BudgetCut.cut(nullKey, "g", "wt", "h", "id", t => t).kept.count()
+    }
+    assert(e3.getMessage.contains("NULL g"))
+  }
 }

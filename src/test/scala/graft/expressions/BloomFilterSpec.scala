@@ -94,6 +94,50 @@ class BloomFilterSpec extends SparkSpec {
         "the content cache is not hitting")
   }
 
+  test("broadcast form: one deserialization per executor, plan size independent of image") {
+    import graft.io.FilterStore
+    val parts = 6
+    val image = (1L to 5000L).toDF("k")
+      .agg(expr("bloom_agg(5000, k)").as("bf")).head.getAs[Array[Byte]]("bf")
+    val before = BloomContains.deserializations.get()
+    val kept = spark.range(200000L).repartition(parts)
+      .filter(FilterStore.probeBroadcast(spark, image, col("id")))
+      .count()
+    val after = BloomContains.deserializations.get()
+    assert(kept > 0)
+    // per-EXECUTOR (= per JVM in local mode), not per task: exactly one
+    // readFrom no matter how many of the `parts` tasks probe
+    assert(after - before == 1,
+      s"broadcast form: ${after - before} deserializations for $parts tasks — want 1/executor")
+    // exact no-false-negative agreement with the literal form
+    val litKept = spark.range(200000L).repartition(parts)
+      .filter(FilterStore.probe(image, col("id"))).count()
+    assert(kept == litKept)
+    // plan-size independence: the executed plan's serialized footprint
+    // must not embed the image (the literal form's plan DOES)
+    def planChars(c: org.apache.spark.sql.Column): Int =
+      spark.range(10).filter(c).queryExecution.executedPlan.toString.length
+    val small = planChars(FilterStore.probeBroadcast(spark, Array.fill(64)(1: Byte), col("id")))
+    val big = planChars(FilterStore.probeBroadcast(spark, Array.fill(1 << 20)(1: Byte), col("id")))
+    assert(math.abs(big - small) < 200,
+      s"broadcast plan grew with image size: $small -> $big chars")
+  }
+
+  test("probe dispatch: literal below threshold, broadcast at and above") {
+    import graft.io.FilterStore
+    val img = (1L to 100L).toDF("k")
+      .agg(expr("bloom_agg(100, k)").as("bf")).head.getAs[Array[Byte]]("bf")
+    val litForm = FilterStore.probe(spark, img, col("id"))
+    assert(org.apache.spark.sql.GraftSqlBridge.expression(litForm)
+      .isInstanceOf[BloomContains])
+    // pad an image to the threshold: dispatch must flip to broadcast
+    // (contents do not matter for the dispatch decision)
+    val bigImg = java.util.Arrays.copyOf(img, FilterStore.BroadcastThresholdBytes)
+    val bcForm = FilterStore.probe(spark, bigImg, col("id"))
+    assert(org.apache.spark.sql.GraftSqlBridge.expression(bcForm)
+      .isInstanceOf[BloomContainsBroadcast])
+  }
+
   test("resolves from SQL text through the extension registration") {
     (1L to 100L).toDF("k").createOrReplaceTempView("bloom_keys")
     val one = spark.sql(
