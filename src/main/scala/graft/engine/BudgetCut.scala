@@ -71,7 +71,7 @@ object BudgetCut {
     val s = df.sparkSession
     import s.implicits._
     val inputCols = df.columns.toSeq
-    val d = df.localCheckpoint(true) // feeds every stats pass + kept branches
+    val d = Materialize.pin(df) // feeds every stats pass + kept branches
 
     def prefix(level: Int): Column = substring(col(orderHashCol), 1, HexPerLevel * level)
 

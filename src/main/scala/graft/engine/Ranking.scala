@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Materialize.PinOps
 
 /** Distributed EXACT global ranking — the scalable replacement for
   * `row_number() OVER (ORDER BY …)` with no partition spec, which Spark
@@ -22,11 +23,11 @@ import org.apache.spark.sql.functions._
   *     bit-for-bit (RankingSpec).
   *   - The range exchange SAMPLES to pick bounds, so the partition
   *     identity of a row is not deterministic across recomputations; the
-  *     partitioned frame is pinned with an eager localCheckpoint (the
-  *     repo's standard CTE-materialization; reliable checkpoint on a
-  *     fault-tolerant cluster) because BOTH the offset frame and the
-  *     output read it — inconsistent pids between the two would corrupt
-  *     every offset.
+  *     partitioned frame is pinned with [[Materialize.pin]] (eager
+  *     localCheckpoint locally; reliable checkpoint when
+  *     `spark.graft.checkpoint.reliable` names a durable dir) because
+  *     BOTH the offset frame and the output read it — inconsistent pids
+  *     between the two would corrupt every offset.
   */
 object Ranking {
 
@@ -35,7 +36,7 @@ object Ranking {
     val parts = sp.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .pinned
     // Per-partition counts → offsets by running total, computed ON THE
     // DRIVER: P scalar rows (P = shuffle partitions), the documented
     // C1-acceptable collect. The previous form — an unpartitioned

@@ -4,6 +4,7 @@ import java.time.LocalDate
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.Materialize.PinOps
 import graft.engine.Scd2
 
 /** Incremental SCD2 history storage — kills the O(history) full-snapshot
@@ -378,7 +379,7 @@ object Scd2History {
     // re-execute a plan whose input pointers are about to move. The merge
     // output is current-sized — the cheap thing to pin.
     val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
-      .localCheckpoint(true)
+      .pinned
     Tables.writeSchemaSidecar(spark, path, merged.schema) // schema-ahead is harmless; stale-behind is not
     publishDelta(spark, path, merged, asOf, epoch)
     publishGen(spark, path, CurrentDirName, merged.filter(col(Scd2.IsCurrent)), epoch)
@@ -396,7 +397,7 @@ object Scd2History {
     val expired = merged.filter(!col(Scd2.IsCurrent)).select(cols: _*)
     val existing = readDay(spark, path, asOf).select(cols: _*)
     if (!expired.exceptAll(existing).isEmpty) {
-      val delta = expired.unionByName(existing).distinct().localCheckpoint(true)
+      val delta = expired.unionByName(existing).distinct().pinned
       publishGen(spark, path, deltaDirName(asOf), delta, epoch)
     }
   }
@@ -493,7 +494,7 @@ object Scd2History {
     // current-table write must not re-execute a plan whose inputs are
     // being swapped underneath it.
     val merged = Scd2.merge(current, alignedBatch, keys, compareCols, asOf)
-      .localCheckpoint(true)
+      .pinned
     Tables.writeSchemaSidecar(spark, path, merged.schema)
     publishDelta(spark, path, merged, asOf, epoch)
     Tables.overwriteBucketed(

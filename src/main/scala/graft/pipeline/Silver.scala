@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.engine.{Cleaning, Dedup, Flatten, Scd2}
+import graft.engine.Materialize.PinOps
 import graft.io.{Scd2History, Tables}
 
 /** Bronze→Silver pipelines: reference parity for Notebooks/Silver Layer.py.
@@ -168,7 +169,7 @@ object Silver {
     // Materialize the cleaned frame once: the ok/dead split feeds TWO
     // separate write actions (merge + quarantine), and without this the
     // raw scan + full cleaning chain executes per action.
-    val cleaned = e.clean(readRaw(spark, rawDir, e)).localCheckpoint(true)
+    val cleaned = e.clean(readRaw(spark, rawDir, e)).pinned
     val (ok, dead) = Cleaning.quarantine(cleaned, e.required)
     (Dedup.keyUnique(ok, e.keys), dead)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Dedup, KmeansCodebook, Ranking, Skew}
+import graft.engine.Materialize.PinOps
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 import graft.functions.NumFunctions.r4
 import graft.io.Tables
@@ -120,7 +121,7 @@ object Extensions {
   private def embVec(s: SparkSession, dir: String): DataFrame =
     widen(s, t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
-      .localCheckpoint(true)
+      .pinned
 
   /** The shared trained codebook (one row) over this sf's embeddings. */
   private def trainedCb(emb: DataFrame): DataFrame =
@@ -267,7 +268,7 @@ object Extensions {
     val inv = grams.select(
       col("source"), col("doc_id"), col("gsz"),
       explode(transform(col("grams"), x => xxhash64(x))).as("gh"))
-      .localCheckpoint(true)
+      .pinned
     val inter = col("inter")
     inv.as("a")
       .join(inv.as("b"),
@@ -310,7 +311,7 @@ object Extensions {
     widen(s, t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
       .withColumn("bucket", Sim.lshBucket(col("vec"), Planes))
-      .localCheckpoint(true)
+      .pinned
 
   /** Embedding-cosine near-duplicate dedup, blocked by LSH bucket: pairs
     * sharing a hyperplane bucket with cosine ≥ 0.3 (the testdata embeddings
@@ -845,21 +846,22 @@ object Extensions {
   /** Min-label connected components over an (a_id, b_id) pair frame —
     * see [[q61DedupClusters]] for the algorithm and scale notes.
     *
-    * Each round ends in an EAGER `localCheckpoint`: the round's labels
-    * reference the previous round's twice (self union + propagation), so
-    * without lineage truncation the analyzed plan tree DOUBLES per round —
-    * exponential analysis cost long before any data is big (caching alone
-    * doesn't help; it truncates execution, not analysis). This is the
-    * standard iterative-algorithm discipline on Spark (GraphFrames does
-    * the same); on a fault-tolerant cluster run, swap localCheckpoint for
-    * reliable `checkpoint()` with a checkpoint dir.
+    * Each round ends in an EAGER pin ([[graft.engine.Materialize]]): the
+    * round's labels reference the previous round's twice (self union +
+    * propagation), so without lineage truncation the analyzed plan tree
+    * DOUBLES per round — exponential analysis cost long before any data
+    * is big (caching alone doesn't help; it truncates execution, not
+    * analysis). This is the standard iterative-algorithm discipline on
+    * Spark (GraphFrames does the same); setting
+    * `spark.graft.checkpoint.reliable` routes the same pins to reliable
+    * `checkpoint()` for fault-tolerant cluster runs.
     */
   private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
+      .pinned
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+      .withColumn("rep", col("id")).pinned
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -867,7 +869,7 @@ object Extensions {
         .select(col("dst").as("id"), col("rep"))
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+        .pinned
       val nx = next.select(col("id").as("nid"), col("rep").as("nrep"))
       changed = nx.join(labels, col("nid") === col("id"))
         .filter(col("nrep") =!= col("rep")).count()
@@ -1063,7 +1065,7 @@ object Extensions {
           s"i -> concat_ws(' ', slice(toks, i * $ChunkTokens + 1, $ChunkTokens)))"))
         .as(Seq("pos", "chunk")))
       .withColumn("h", md5(col("chunk")))
-      .localCheckpoint(true) // feeds the count AND the removal join once
+      .pinned // feeds the count AND the removal join once
     val flagged = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerplateMinDocs)
@@ -1210,7 +1212,7 @@ object Extensions {
           "i -> concat(toks[i - 1], ' ', toks[i])) " +
           "else array() end")).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
-      .localCheckpoint(true) // feeds the corpus count AND the score join once
+      .pinned // feeds the corpus count AND the score join once
     val df = grams.select("doc_id", "h").distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("bdf"))
     grams.join(df, Seq("h"))
@@ -1273,7 +1275,7 @@ object Extensions {
   def q73HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = widen(s, t(s, dir, "documents").select("doc_id", "text"))
       .select(explode(split(col("text"), " ")).as("tok"))
-      .localCheckpoint(true) // feeds sketch, prune join, and total count
+      .pinned // feeds sketch, prune join, and total count
     val counts =
       if (s.catalog.functionExists("freq_items")) {
         val cand = toks.agg(expr(s"freq_items($HeavyK, tok)").as("c"))
@@ -1770,7 +1772,7 @@ object Extensions {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
       .withColumn("band", floor((col("rn") - 1) / cap).cast("int"))
-      .localCheckpoint(true) // both sides of the self-join read it once
+      .pinned // both sides of the self-join read it once
     val a = ranked.select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
       col("vec").as("a_vec"), col("rn").as("a_rn"),
       explode(array(col("band"), col("band") + 1)).as("bk"))
@@ -1842,16 +1844,27 @@ object Extensions {
     * q41 precedent) — so this approximate operator carries an EXACT
     * oracle, not an envelope.
     */
-  def q92SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"),
-        col("l_extendedprice").as("v"))
-    val sampled = li.groupBy(col("l_returnflag"))
-      .agg(boundedSortedList(s, SketchSampleK, "struct(h, v)").as("smp"))
-      .select(col("l_returnflag"), explode(col("smp")).as("e"))
-      .select(col("l_returnflag"), col("e.v").as("v"))
-    sampled.groupBy(col("l_returnflag"))
+  def q92SampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    sampleQuantiles(s,
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"),
+          col("l_extendedprice").as("v")),
+      k = SketchSampleK)
+      .withColumnRenamed("g", "l_returnflag")
+
+  /** Parameterized core of q92 over a (g, h, v) frame: bottom-`k`-by-hash
+    * sample per group, then p50/p90/p99 of the sample. `k` is the
+    * accuracy/state knob (error ~ 1/√k, SampleQuantileErrorSpec pins the
+    * envelope across k); exposed for the spec, q92 runs it at
+    * [[SketchSampleK]].
+    */
+  private[graft] def sampleQuantiles(s: SparkSession, ghv: DataFrame, k: Int): DataFrame = {
+    val sampled = ghv.groupBy(col("g"))
+      .agg(boundedSortedList(s, k, "struct(h, v)").as("smp"))
+      .select(col("g"), explode(col("smp")).as("e"))
+      .select(col("g"), col("e.v").as("v"))
+    sampled.groupBy(col("g"))
       .agg(
         count(lit(1)).as("n_sample"),
         r4(expr("percentile(v, 0.5)")).as("p50"),
@@ -1867,7 +1880,7 @@ object Extensions {
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
       .withColumn("wint", floor(sqrt(col("tokens").cast("double"))).cast("long"))
-      .localCheckpoint(true) // feeds the totals row AND the final select once
+      .pinned // feeds the totals row AND the final select once
     val tot = per.agg(sum(col("tokens")).as("ttok"), sum(col("wint")).as("twint"))
     val share = col("tokens").cast("double") / col("ttok").cast("double")
     val weight = col("wint").cast("double") / col("twint").cast("double")

@@ -27,6 +27,24 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode: same ranks, checkpoint files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val expected = Ranking.globalRank(data(1000), Seq($"v", $"id"), "rank")
+      .orderBy("id").collect().toSeq
+    spark.conf.set(Materialize.ReliableDirConf, dir)
+    try {
+      val got = Ranking.globalRank(data(1000).repartition(5), Seq($"v", $"id"), "rank")
+        .orderBy("id").collect().toSeq
+      assert(got == expected)
+      // the pin really went through reliable checkpoint, not local blocks
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "no checkpoint files written under the reliable dir")
+    } finally {
+      spark.conf.unset(Materialize.ReliableDirConf)
+    }
+  }
+
   test("no global sort in the plan; ranks are dense 1..N") {
     val out = Ranking.globalRank(data(2000), Seq($"v", $"id"), "rank")
     out.collect()

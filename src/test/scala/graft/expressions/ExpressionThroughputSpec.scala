@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
 class ExpressionThroughputSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Warm once, then MIN of two timed runs — the bench methodology in
+    * miniature: a single sample on a loaded shared box can blow through
+    * even a 20× margin (GC pause + neighbor spike), while the min of two
+    * measures the code. Keeps the suite honest instead of training
+    * developers to ignore intermittent reds.
+    */
   private def timeRun(df: => DataFrame): Double = {
     df.count() // warm: codegen, JIT
-    val t0 = System.nanoTime()
-    df.count()
-    (System.nanoTime() - t0) / 1e9
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      df.count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   private def assertFloor(name: String, rows: Long, sec: Double, floorRowsPerSec: Double): Unit = {
@@ -98,6 +106,22 @@ class ExpressionThroughputSpec extends SparkSpec {
     val sec = timeRun(input.groupBy("g").agg(expr("freq_items(8, v)").as("f")))
     input.unpersist()
     assertFloor("freq_items", rows, sec, 100000)
+  }
+
+  test("argmax_dot: 8-cell 16-dim assignment ≥ 100k rows/s") {
+    val rows = 500000L
+    val cb = spark.range(8)
+      .select(col("id").cast("int").as("cb_id"),
+        expr("transform(sequence(1,16), j -> cast((id * 7 + j) % 13 as double))").as("cb_vec"))
+      .agg(sort_array(collect_list(struct($"cb_id", $"cb_vec"))).as("cbs"))
+    val input = spark.range(rows).repartition(4)
+      .withColumn("vec", expr("transform(sequence(1,16), j -> cast((id % 97) * j as double))"))
+      .crossJoin(broadcast(cb))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("argmax_dot(vec, cbs)").as("b")).filter($"b.id" < 0))
+    input.unpersist()
+    assertFloor("argmax_dot", rows, sec, 100000)
   }
 
   test("bloom_agg: build-side update ≥ 100k rows/s") {
