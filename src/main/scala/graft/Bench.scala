@@ -176,7 +176,7 @@ object Bench {
     // detect coverage drift (a NEW failure shrinks the total — without
     // the ok count that reads as a speedup).
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"ok":${mins.size},"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}"""
     println(line)
     // The driver parses the process's stdout tail; sbt's in-process run
     // wraps System.out with its `[info]`-prefixing logger, which broke

@@ -39,12 +39,16 @@ object KmeansCodebook {
     * zero exchanges to the plan (SemDedupScaleSpec pins this).
     */
   def best(vec: Column, cbs: Column): Column =
-    aggregate(
-      transform(cbs, cb => struct(
-        Sim.dot(vec, cb.getField("cb_vec")).as("d"),
-        cb.getField("cb_id").as("id"))),
-      struct(lit(Double.NegativeInfinity).as("d"), lit(-1).as("id")),
-      (acc, x) => when(x.getField("d") > acc.getField("d"), x).otherwise(acc))
+    // null-in → null-out, matching the native argmax_dot (a BinaryExpression
+    // is null-propagating); without the guard the fold would fabricate the
+    // (-Inf, -1) seed for a null vector
+    when(vec.isNull || cbs.isNull, lit(null).cast("struct<d:double,id:int>"))
+      .otherwise(aggregate(
+        transform(cbs, cb => struct(
+          Sim.dot(vec, cb.getField("cb_vec")).as("d"),
+          cb.getField("cb_id").as("id"))),
+        struct(lit(Double.NegativeInfinity).as("d"), lit(-1).as("id")),
+        (acc, x) => when(x.getField("d") > acc.getField("d"), x).otherwise(acc)))
 
   /** [[best]] via the native fused-loop `argmax_dot` when the session has
     * GraftExtensions registered; the bit-identical HOF fold otherwise —
@@ -56,13 +60,22 @@ object KmeansCodebook {
     if (s.catalog.functionExists("argmax_dot")) expr(s"argmax_dot($vecName, $cbsName)")
     else best(col(vecName), col(cbsName))
 
-  /** The k lowest-id vectors as a one-row codebook — the deterministic,
-    * shuffle-free seed (same contract as q63's PQ codebook).
+  /** The k lowest-id vectors as a one-row codebook — the deterministic
+    * seed. `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    * (per-partition top-k, then a k-row merge — no global sort), and
+    * unlike a `vec_id < k` filter it does not assume dense zero-based
+    * ids: snowflake-style production ids seed exactly k cells instead of
+    * silently yielding an empty codebook. cb_id is the 0-based RANK of
+    * the seed vector (its position in id order — equal to vec_id on
+    * dense corpora), a stable int label no matter the id domain; rank
+    * order = id order, so the argmax tie-break direction is unchanged.
     */
   def seed(emb: DataFrame, k: Int): DataFrame =
-    emb.filter(col("vec_id") < k)
+    emb.orderBy(col("vec_id")).limit(k)
       .agg(sort_array(collect_list(struct(
-        col("vec_id").cast("int").as("cb_id"), col("vec").as("cb_vec")))).as("cbs"))
+        col("vec_id").as("vid"), col("vec")))).as("sa"))
+      .select(transform(col("sa"), (x, i) => struct(
+        i.cast("int").as("cb_id"), x.getField("vec").as("cb_vec"))).as("cbs"))
 
   /** One Lloyd iteration: assign every vector to its argmax-dot cell,
     * then rebuild the codebook as each cell's per-dimension mean (the

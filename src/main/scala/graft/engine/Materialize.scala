@@ -28,13 +28,26 @@ object Materialize {
     def pinned: DataFrame = Materialize.pin(df)
   }
 
+  /** Which dir THIS helper installed, per context — getCheckpointDir
+    * can't be compared against the conf value (Spark fully qualifies it
+    * and appends a UUID subdir), so without our own record every pin
+    * would re-install: a mkdirs RPC and an orphan UUID dir per call —
+    * 50+ per connected-components run. Weak keys: dead contexts drop out.
+    */
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   def pin(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(ReliableDirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = s.sparkContext
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        if (installed.get(sc) != dir) { sc.setCheckpointDir(dir); installed.put(sc, dir) }
+        // persist first: checkpoint()'s write job re-computes the full
+        // lineage otherwise — every pinned plan would execute twice
+        val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try persisted.checkpoint(eager = true)
+        finally persisted.unpersist()
       case None => df.localCheckpoint(eager = true)
     }
   }

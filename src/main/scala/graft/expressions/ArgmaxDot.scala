@@ -56,6 +56,20 @@ case class ArgmaxDot(left: Expression, right: Expression)
 
   override def prettyName: String = "argmax_dot"
 
+  /** Spark SQL's double comparison (GreaterThan codegen's nan-safe
+    * compare): NaN == NaN, NaN greater than everything else, +0.0 equal
+    * to -0.0 — so `when(d > acc.d)` in the fold and this loop agree on
+    * every input, degenerate or not.
+    */
+  private def gtNanSafe(x: Double, y: Double): Boolean = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || x == y) false
+    else if (xn) true
+    else if (yn) false
+    else x > y
+  }
+
   override protected def nullSafeEval(vecAny: Any, cbsAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
     val cbs = cbsAny.asInstanceOf[ArrayData]
@@ -66,14 +80,25 @@ case class ArgmaxDot(left: Expression, right: Expression)
     while (c < k) {
       val entry = cbs.getStruct(c, 2)
       val cbVec = entry.getArray(1)
-      val n = math.min(vec.numElements(), cbVec.numElements())
-      var d = 0.0
-      var i = 0
-      while (i < n) {
-        d += vec.getDouble(i) * cbVec.getDouble(i)
-        i += 1
+      // Fold-parity on degenerate inputs: a length-mismatched entry in
+      // the fold form gets a NULL dot (zip_with pads with null, the
+      // product poisons the aggregate) and is therefore never selected —
+      // skip it here rather than score a min-length partial dot.
+      if (vec.numElements() == cbVec.numElements()) {
+        val n = cbVec.numElements()
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          d += vec.getDouble(i) * cbVec.getDouble(i)
+          i += 1
+        }
+        // Nan-safe `>` with Spark's comparison semantics (NaN is the
+        // LARGEST double; +0.0 == -0.0), not Java `>` (NaN-never-wins)
+        // and not Double.compare (-0.0 < +0.0): either alternative could
+        // flip a selected cell between the native and fold forms on
+        // degenerate dots.
+        if (gtNanSafe(d, bestD)) { bestD = d; bestId = entry.getInt(0) }
       }
-      if (d > bestD) { bestD = d; bestId = entry.getInt(0) }
       c += 1
     }
     new GenericInternalRow(Array[Any](bestD, bestId))

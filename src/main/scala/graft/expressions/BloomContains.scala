@@ -135,30 +135,41 @@ object BloomContains {
   val deserializations = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** JVM-wide (= per-executor) filter cache for the broadcast form,
-    * keyed by the broadcast ID (the handle OBJECT is deserialized fresh
-    * per task, so identity keys would cache per task, not per executor;
-    * the id is stable across every task's copy and broadcast content is
-    * immutable per id). Bounded: far more live filters than
+    * keyed by (application id, broadcast id): the handle OBJECT is
+    * deserialized fresh per task, so identity keys would cache per task,
+    * not per executor; the broadcast id is stable across every task's
+    * copy — but ONLY within one SparkContext (ids restart at 0 per
+    * context, so a bare-id key could serve a previous session's filter
+    * to a new one in the same JVM: a silent false NEGATIVE, which the
+    * Bloom contract forbids). The app id disambiguates contexts; if no
+    * SparkEnv is live (bare unit-test eval), skip the cache rather than
+    * risk a cross-context hit. Bounded: far more live filters than
     * `MaxCachedFilters` means something is leaking broadcasts — drop the
     * lot and re-deserialize on demand rather than pin dead GB-scale
     * images for the executor's lifetime.
     */
   private val MaxCachedFilters = 32
   private val byBroadcastId =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, BloomFilter]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), BloomFilter]()
 
   private[expressions] def forBroadcast(
       b: org.apache.spark.broadcast.Broadcast[Array[Byte]]): BloomFilter = {
-    val hit = byBroadcastId.get(b.id)
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) {
+      deserializations.incrementAndGet()
+      return BloomFilter.readFrom(new ByteArrayInputStream(b.value))
+    }
+    val key = (env.conf.getAppId, b.id)
+    val hit = byBroadcastId.get(key)
     if (hit != null) hit
     else byBroadcastId.synchronized {
-      val again = byBroadcastId.get(b.id)
+      val again = byBroadcastId.get(key)
       if (again != null) again
       else {
         if (byBroadcastId.size() >= MaxCachedFilters) byBroadcastId.clear()
         deserializations.incrementAndGet()
         val f = BloomFilter.readFrom(new ByteArrayInputStream(b.value))
-        byBroadcastId.put(b.id, f)
+        byBroadcastId.put(key, f)
         f
       }
     }

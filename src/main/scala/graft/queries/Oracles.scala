@@ -98,8 +98,9 @@ object Oracles {
         .stripMargin
     val iters = (1 to Extensions.KmeansIters)
       .map(i => one(i, s"cb${i - 1}")).mkString(",\n")
-    s"""cb0 AS (SELECT CAST(vec_id AS INTEGER) AS cb_id, vec AS cb_vec FROM e
-       |        WHERE vec_id < ${Extensions.KmeansK}),
+    s"""cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
+       |               vec AS cb_vec
+       |        FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT ${Extensions.KmeansK})),
        |$iters,
        |cb AS (SELECT * FROM cb${Extensions.KmeansIters})""".stripMargin
   }

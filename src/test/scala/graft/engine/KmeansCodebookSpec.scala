@@ -50,6 +50,50 @@ class KmeansCodebookSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("degenerate inputs: native == fold on NaN dots, null vec, length mismatch") {
+    // cbs: entry 0 matches dim 2, entry 1 mismatched (dim 3 — fold gets a
+    // NULL dot and skips it; native must skip too, not partial-dot it)
+    val cbsSql = "array(named_struct('cb_id', 0, 'cb_vec', array(1.0d, 1.0d)), " +
+      "named_struct('cb_id', 1, 'cb_vec', array(9.0d, 9.0d, 9.0d)))"
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 2.0))),                 // normal
+      (2L, Some(Seq(Double.NaN, 1.0))),          // NaN dot — NaN wins as largest
+      (3L, None)                                 // null vec — null out
+    ).toDF("vec_id", "vec")
+    val both = rows.select(
+      col("vec_id"),
+      expr(s"argmax_dot(vec, $cbsSql)").as("native"),
+      KmeansCodebook.best(col("vec"), expr(cbsSql)).as("fold"))
+      .collect().sortBy(_.getLong(0))
+    both.foreach { r =>
+      assert(r.get(1) == null == (r.get(2) == null), s"null mismatch: $r")
+      if (r.get(1) != null) {
+        val n = r.getStruct(1); val f = r.getStruct(2)
+        assert(n.getInt(1) == f.getInt(1), s"id mismatch: $r")
+        val nd = n.getDouble(0); val fd = f.getDouble(0)
+        assert(nd == fd || (nd.isNaN && fd.isNaN), s"d mismatch: $r")
+      }
+    }
+    // and both picked the matching-length entry despite entry 1's bigger values
+    assert(both(0).getStruct(1).getInt(1) == 0)
+    // NaN dot on entry 0 must WIN (NaN is largest in Spark comparisons)
+    assert(both(1).getStruct(1).getInt(1) == 0 && both(1).getStruct(1).getDouble(0).isNaN)
+    assert(both(2).get(1) == null)
+  }
+
+  test("seed uses the k lowest ids as ranks — not a dense-id assumption") {
+    // snowflake-style ids: vec_id < k matches nothing, rank-seed must
+    // still produce a k-cell codebook labeled 0..k-1
+    val e = spark.range(20).select((col("id") * 1000000007L + 5000000000L).as("vec_id"),
+      array((0 until 4).map(d =>
+        (pmod(hash(col("id") * 7 + d), lit(31)).cast("double") - 15.0) / 4.0): _*).as("vec"))
+    val cbs = KmeansCodebook.seed(e, 6).select(explode(col("cbs")).as("c"))
+      .select(col("c.cb_id")).as[Int].collect().sorted.toSeq
+    assert(cbs == (0 until 6))
+    val trained = KmeansCodebook.train(e, 6, 1)
+    assert(trained.select(size(col("cbs"))).as[Int].head() > 0)
+  }
+
   test("cells with no members drop out of the codebook") {
     // all vectors identical -> every vector joins one argmax cell; after
     // one iteration only that single cell survives

@@ -46,9 +46,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin|ShuffledHashJoin") == 0,
       "driver-classified bucket frames must broadcast: " + p)
     // exactly one window, partitioned by (source, boundary bucket) —
-    // never an unpartitioned global cumulative sum
+    // never an unpartitioned global cumulative sum: the Window node's
+    // spec must name the bucket partition key on its own line
     assert(count(p, "Window") == 1, p)
-    assert(!p.contains("Window [") || !p.contains("PartitionBy: []"), p)
+    assert("(?m)^.*Window.*__bucket.*$".r.findFirstIn(p).isDefined,
+      "q91's window lost its (group, __bucket) partition spec:\n" + p)
   }
 
   test("q92 sample quantiles: two aggregation stages, no join, no window, no data sort") {
