@@ -145,10 +145,10 @@ object Extensions {
     * PlanShapeSpec pins on it — are unchanged, and the cache works
     * across SparkSessions (test suites spin up many).
     */
-  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val cbCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
-  private def trainedCb(s: SparkSession, dir: String, emb: => DataFrame): DataFrame = {
+  private[graft] def trainedCb(s: SparkSession, dir: String, emb: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(f => !f.getPath.getName.startsWith("_"))
