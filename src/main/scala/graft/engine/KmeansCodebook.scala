@@ -69,9 +69,14 @@ object KmeansCodebook {
     * the seed vector (its position in id order — equal to vec_id on
     * dense corpora), a stable int label no matter the id domain; rank
     * order = id order, so the argmax tie-break direction is unchanged.
+    * Null-id rows are EXCLUDED from seeding (an id-less vector has no
+    * deterministic rank, and Spark orders nulls FIRST where SQL engines
+    * default to LAST — the filter is the only null placement both sides
+    * of an oracle agree on); they still participate in assignment and
+    * centroid updates like any other row.
     */
   def seed(emb: DataFrame, k: Int): DataFrame =
-    emb.orderBy(col("vec_id")).limit(k)
+    emb.filter(col("vec_id").isNotNull).orderBy(col("vec_id")).limit(k)
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("vid"), col("vec")))).as("sa"))
       .select(transform(col("sa"), (x, i) => struct(

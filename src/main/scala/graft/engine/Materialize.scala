@@ -28,26 +28,41 @@ object Materialize {
     def pinned: DataFrame = Materialize.pin(df)
   }
 
-  /** Which dir THIS helper installed, per context — getCheckpointDir
-    * can't be compared against the conf value (Spark fully qualifies it
-    * and appends a UUID subdir), so without our own record every pin
-    * would re-install: a mkdirs RPC and an orphan UUID dir per call —
-    * 50+ per connected-components run. Weak keys: dead contexts drop out.
+  /** (conf dir we installed, the qualified dir Spark REPORTED after the
+    * install), per context. getCheckpointDir can't be compared against
+    * the conf value directly (Spark fully qualifies it and appends a
+    * UUID subdir), so the observed value is recorded at install time:
+    * matching it on later pins avoids a re-install (a mkdirs RPC and an
+    * orphan UUID dir per call — 50+ per connected-components run), while
+    * a MISMATCH means outside code called sc.setCheckpointDir since —
+    * re-install then, or every later "reliable" checkpoint would
+    * silently land wherever the outsider pointed (e.g. a local dir,
+    * forfeiting the executor-loss survival this mode exists for).
+    * Weak keys: dead contexts drop out.
     */
   private val installed = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, (String, Option[String])]())
 
   def pin(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(ReliableDirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = s.sparkContext
-        if (installed.get(sc) != dir) { sc.setCheckpointDir(dir); installed.put(sc, dir) }
+        val rec = installed.get(sc)
+        if (rec == null || rec._1 != dir || rec._2 != sc.getCheckpointDir) {
+          sc.setCheckpointDir(dir)
+          installed.put(sc, (dir, sc.getCheckpointDir))
+        }
         // persist first: checkpoint()'s write job re-computes the full
-        // lineage otherwise — every pinned plan would execute twice
-        val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try persisted.checkpoint(eager = true)
-        finally persisted.unpersist()
+        // lineage otherwise — every pinned plan would execute twice. If
+        // the CALLER already persisted this frame, reuse their cache and
+        // leave it alone (persist would warn-noop and unpersist would
+        // silently evict an entry the caller still relies on).
+        val callerCached =
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        if (!callerCached) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally if (!callerCached) df.unpersist()
       case None => df.localCheckpoint(eager = true)
     }
   }

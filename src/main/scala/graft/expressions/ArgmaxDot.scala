@@ -74,30 +74,49 @@ case class ArgmaxDot(left: Expression, right: Expression)
     val vec = vecAny.asInstanceOf[ArrayData]
     val cbs = cbsAny.asInstanceOf[ArrayData]
     var bestD = Double.NegativeInfinity
-    var bestId = -1
+    // Any, not Int: a selected entry with a null cb_id must yield a null
+    // id field, exactly as the fold's struct carries the null through.
+    var bestId: Any = -1
+    // A null ELEMENT in vec poisons every entry's dot in the fold form
+    // (x*null → null), so no entry can ever be selected: return the
+    // fold's seed directly. Scanned once here instead of per entry.
+    var v = 0
+    val vn = vec.numElements()
+    while (v < vn) {
+      if (vec.isNullAt(v)) return new GenericInternalRow(Array[Any](bestD, bestId))
+      v += 1
+    }
     val k = cbs.numElements()
     var c = 0
     while (c < k) {
-      val entry = cbs.getStruct(c, 2)
-      val cbVec = entry.getArray(1)
-      // Fold-parity on degenerate inputs: a length-mismatched entry in
-      // the fold form gets a NULL dot (zip_with pads with null, the
-      // product poisons the aggregate) and is therefore never selected —
-      // skip it here rather than score a min-length partial dot.
-      if (vec.numElements() == cbVec.numElements()) {
+      // Fold-parity on degenerate inputs. The fold form null-poisons the
+      // dot of any entry that is itself null, has a null cb_vec, is
+      // length-mismatched (zip_with pads with null), or contains a null
+      // ELEMENT in either array (x*null → null, acc+null → null) — and a
+      // null dot is never selected (`when(null > acc.d)` keeps acc). So
+      // this loop SKIPS all four shapes rather than NPE-ing on the null
+      // containers or reading ArrayData's 0.0 for null slots: the
+      // native/fold choice can never flip a result.
+      val entry = if (cbs.isNullAt(c)) null else cbs.getStruct(c, 2)
+      val cbVec = if (entry == null || entry.isNullAt(1)) null else entry.getArray(1)
+      if (cbVec != null && vec.numElements() == cbVec.numElements()) {
         val n = cbVec.numElements()
         var d = 0.0
         var i = 0
-        while (i < n) {
-          d += vec.getDouble(i) * cbVec.getDouble(i)
-          i += 1
+        var sawNull = false
+        while (i < n && !sawNull) {
+          if (cbVec.isNullAt(i)) sawNull = true
+          else { d += vec.getDouble(i) * cbVec.getDouble(i); i += 1 }
         }
         // Nan-safe `>` with Spark's comparison semantics (NaN is the
         // LARGEST double; +0.0 == -0.0), not Java `>` (NaN-never-wins)
         // and not Double.compare (-0.0 < +0.0): either alternative could
         // flip a selected cell between the native and fold forms on
         // degenerate dots.
-        if (gtNanSafe(d, bestD)) { bestD = d; bestId = entry.getInt(0) }
+        if (!sawNull && gtNanSafe(d, bestD)) {
+          bestD = d
+          bestId = if (entry.isNullAt(0)) null else entry.getInt(0)
+        }
       }
       c += 1
     }

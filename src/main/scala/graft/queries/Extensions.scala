@@ -151,10 +151,21 @@ object Extensions {
   private[graft] def trainedCb(s: SparkSession, dir: String, emb: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(f => !f.getPath.getName.startsWith("_"))
-      .sortBy(_.getPath.getName)
-      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .mkString(",")
+    // Recursive listing, DATA FILES only: a partitioned layout's
+    // top-level entries are directories whose (len, mtime) an object
+    // store may synthesize as constants — fingerprinting those would
+    // serve a stale codebook after an in-place partition rewrite. Full
+    // paths (not basenames) so a row moving between partition dirs
+    // changes the key too.
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith("."))
+        buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+    }
+    val files = buf.sorted.mkString(",")
     val key = s"${fs.makeQualified(p)}|$files|$KmeansK|$KmeansIters"
     val (rows, schema) = cbCache.computeIfAbsent(key, _ => {
       val cb = KmeansCodebook.train(emb, KmeansK, KmeansIters)
@@ -973,15 +984,17 @@ object Extensions {
       slice(a, sub * PqSubDim + 1, lit(PqSubDim)),
       slice(b, sub * PqSubDim + 1, lit(PqSubDim)))
 
-  /** The whole PqK-entry codebook collected onto ONE row (sorted by id —
-    * deterministic fold order), for a scale-free single-row broadcast:
-    * encoding is then a per-row higher-order-function fold, no join and
-    * no row explosion against the corpus.
+  /** The whole PqK-entry codebook collected onto ONE row (sorted by
+    * rank — deterministic fold order), for a scale-free single-row
+    * broadcast: encoding is then a per-row higher-order-function fold,
+    * no join and no row explosion against the corpus. Seeded exactly
+    * like the coarse quantizer ([[KmeansCodebook.seed]]: the PqK
+    * lowest-id vectors, cb_id = 0-based rank) — no dense-zero-based-id
+    * assumption, so snowflake-style id domains get a full codebook
+    * instead of a silently empty one.
     */
   private def pqCodebookRow(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < PqK)
-      .agg(sort_array(collect_list(struct(
-        col("vec_id").cast("int").as("cb_id"), col("vec").as("cb_vec")))).as("cbs"))
+    KmeansCodebook.seed(emb, PqK)
 
   /** Per-subspace argmax-dot code array: element s is
     * struct(code, score) for subspace s. Strict `>` keeps the FIRST
@@ -1035,8 +1048,11 @@ object Extensions {
     // renamed: pqCodebookRow also emits a `cbs` column and both ride the
     // same candidate row
     val coarse = broadcast(trainedCb(s, dir, base).withColumnRenamed("cbs", "coarse_cbs"))
-    val cb = base.filter(col("vec_id") < PqK)
-      .select(col("vec_id").cast("int").as("cb_id"), col("vec").as("cb_vec"))
+    // the PQ codebook in exploded (cb_id, cb_vec) form for the ADC join —
+    // same rank-based seed as pqCodebookRow, so codes and centroids agree
+    val cb = pqCodebookRow(base)
+      .select(explode(col("cbs")).as("c"))
+      .select(col("c.cb_id").as("cb_id"), col("c.cb_vec").as("cb_vec"))
     val cand = base.crossJoin(coarse).crossJoin(broadcast(pqCodebookRow(base)))
       .select(col("vec_id"),
         KmeansCodebook.bestByName(s, "vec", "coarse_cbs").getField("id").as("cell"),

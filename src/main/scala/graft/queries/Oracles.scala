@@ -100,7 +100,8 @@ object Oracles {
       .map(i => one(i, s"cb${i - 1}")).mkString(",\n")
     s"""cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
        |               vec AS cb_vec
-       |        FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT ${Extensions.KmeansK})),
+       |        FROM (SELECT vec_id, vec FROM e WHERE vec_id IS NOT NULL
+       |              ORDER BY vec_id LIMIT ${Extensions.KmeansK})),
        |$iters,
        |cb AS (SELECT * FROM cb${Extensions.KmeansIters})""".stripMargin
   }
@@ -711,7 +712,10 @@ object Oracles {
     "q63_pq_encode" -> {
       val sub = Extensions.PqSubDim
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |cb AS (SELECT vec_id AS cb_id, vec AS cb_vec FROM e WHERE vec_id < ${Extensions.PqK}),
+         |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
+         |               vec AS cb_vec
+         |        FROM (SELECT vec_id, vec FROM e WHERE vec_id IS NOT NULL
+         |              ORDER BY vec_id LIMIT ${Extensions.PqK})),
          |sub AS (SELECT CAST(i AS INTEGER) AS s
          |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
          |x AS (SELECT e.vec_id, sub.s, cb.cb_id,
@@ -730,7 +734,10 @@ object Oracles {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          |$kmeansCtes,
          |$kmeansAssignCte,
-         |pqcb AS (SELECT vec_id AS cb_id, vec AS cb_vec FROM e WHERE vec_id < ${Extensions.PqK}),
+         |pqcb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
+         |                vec AS cb_vec
+         |         FROM (SELECT vec_id, vec FROM e WHERE vec_id IS NOT NULL
+         |               ORDER BY vec_id LIMIT ${Extensions.PqK})),
          |sub AS (SELECT CAST(i AS INTEGER) AS s
          |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
          |x AS (SELECT e.vec_id, sub.s, pqcb.cb_id,

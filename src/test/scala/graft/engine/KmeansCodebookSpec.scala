@@ -81,6 +81,35 @@ class KmeansCodebookSpec extends SparkSpec {
     assert(both(2).get(1) == null)
   }
 
+  test("degenerate inputs: null entry / null cb_vec / null elements / null cb_id — native == fold") {
+    val cbsSql = "array(" +
+      "named_struct('cb_id', 0, 'cb_vec', array(1.0d, 1.0d)), " +
+      "cast(null as struct<cb_id:int, cb_vec:array<double>>), " +
+      "named_struct('cb_id', 2, 'cb_vec', cast(null as array<double>)), " +
+      "named_struct('cb_id', 3, 'cb_vec', array(5.0d, cast(null as double))), " +
+      "named_struct('cb_id', cast(null as int), 'cb_vec', array(2.0d, 2.0d)))"
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),   // normal vec
+      (2L, Seq[java.lang.Double](null, 2.0))   // null ELEMENT in vec
+    ).toDF("vec_id", "vec").withColumn("vec", col("vec").cast("array<double>"))
+    val both = rows.select(
+      col("vec_id"),
+      expr(s"argmax_dot(vec, $cbsSql)").as("native"),
+      KmeansCodebook.best(col("vec"), expr(cbsSql)).as("fold"))
+      .collect().sortBy(_.getLong(0))
+    both.foreach { r =>
+      val n = r.getStruct(1); val f = r.getStruct(2)
+      assert(n.get(0) == f.get(0) && n.get(1) == f.get(1), s"parity mismatch: $r")
+    }
+    // normal vec: poisoned entries (null struct, null cb_vec, null element)
+    // all skipped; the null-cb_id entry wins on dot 6.0 and carries its
+    // null id through both forms
+    assert(both(0).getStruct(1).getDouble(0) == 6.0 && both(0).getStruct(1).isNullAt(1))
+    // null element in vec poisons every dot: both forms return the seed
+    assert(both(1).getStruct(1).getDouble(0) == Double.NegativeInfinity
+      && both(1).getStruct(1).getInt(1) == -1)
+  }
+
   test("seed uses the k lowest ids as ranks — not a dense-id assumption") {
     // snowflake-style ids: vec_id < k matches nothing, rank-seed must
     // still produce a k-cell codebook labeled 0..k-1
