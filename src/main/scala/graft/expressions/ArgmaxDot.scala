@@ -56,19 +56,10 @@ case class ArgmaxDot(left: Expression, right: Expression)
 
   override def prettyName: String = "argmax_dot"
 
-  /** Spark SQL's double comparison (GreaterThan codegen's nan-safe
-    * compare): NaN == NaN, NaN greater than everything else, +0.0 equal
-    * to -0.0 — so `when(d > acc.d)` in the fold and this loop agree on
-    * every input, degenerate or not.
+  /** [[NanSafe.gt]] — Spark SQL's comparison, so `when(d > acc.d)` in
+    * the fold and this loop agree on every input, degenerate or not.
     */
-  private def gtNanSafe(x: Double, y: Double): Boolean = {
-    val xn = java.lang.Double.isNaN(x)
-    val yn = java.lang.Double.isNaN(y)
-    if ((xn && yn) || x == y) false
-    else if (xn) true
-    else if (yn) false
-    else x > y
-  }
+  private def gtNanSafe(x: Double, y: Double): Boolean = NanSafe.gt(x, y)
 
   override protected def nullSafeEval(vecAny: Any, cbsAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]

@@ -999,9 +999,12 @@ object Extensions {
   /** Per-subspace argmax-dot code array: element s is
     * struct(code, score) for subspace s. Strict `>` keeps the FIRST
     * (lowest-id) centroid on ties — matching the oracle's
-    * `ORDER BY d DESC, cb_id`.
+    * `ORDER BY d DESC, cb_id`. Prefer [[pqCodesCol]]: the native fused
+    * loop when the session has GraftExtensions registered, this
+    * bit-identical HOF fold otherwise (same contract as `argmax_dot` /
+    * `cosine_sim`).
     */
-  private def pqCodesExpr: Column =
+  private[graft] def pqCodesExpr: Column =
     transform(sequence(lit(0), lit(PqM - 1)), sub => {
       val best = aggregate(
         col("cbs"),
@@ -1014,6 +1017,18 @@ object Extensions {
       struct(best.getField("id").as("code"), best.getField("d").as("score"))
     })
 
+  /** [[pqCodesExpr]] via the native fused-loop `pq_codes` when the
+    * session has GraftExtensions registered; the bit-identical HOF fold
+    * (with the matching null-in → null-out guard a native expression
+    * gets for free) otherwise.
+    */
+  private def pqCodesCol(s: SparkSession): Column =
+    if (s.catalog.functionExists("pq_codes"))
+      expr(s"pq_codes(vec, cbs, $PqM, $PqSubDim)")
+    else when(col("vec").isNull || col("cbs").isNull,
+      lit(null).cast("array<struct<code:int,score:double>>"))
+      .otherwise(pqCodesExpr)
+
   /** PQ encode: each embedding compresses to PqM per-subspace codes
     * (argmax dot against the subspace codebook). Map-only over the corpus
     * — the codebook rides a one-row broadcast and the argmax is an
@@ -1024,7 +1039,7 @@ object Extensions {
     val emb = widen(s, t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec")))
     emb.crossJoin(broadcast(pqCodebookRow(emb)))
-      .select(col("vec_id"), posexplode(pqCodesExpr).as(Seq("subspace", "best")))
+      .select(col("vec_id"), posexplode(pqCodesCol(s)).as(Seq("subspace", "best")))
       .select(col("vec_id"), col("subspace").cast("int").as("subspace"),
         col("best.code").as("code"), r4(col("best.score")).as("score"))
   }
@@ -1056,7 +1071,7 @@ object Extensions {
     val cand = base.crossJoin(coarse).crossJoin(broadcast(pqCodebookRow(base)))
       .select(col("vec_id"),
         KmeansCodebook.bestByName(s, "vec", "coarse_cbs").getField("id").as("cell"),
-        pqCodesExpr.as("codes"))
+        pqCodesCol(s).as("codes"))
     val q = base.filter(col("vec_id") < 10).crossJoin(coarse)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
         explode(col("coarse_cbs")).as("c"))

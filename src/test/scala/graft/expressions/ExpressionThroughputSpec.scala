@@ -124,6 +124,24 @@ class ExpressionThroughputSpec extends SparkSpec {
     assertFloor("argmax_dot", rows, sec, 100000)
   }
 
+  test("pq_codes: 16-entry 4x4-subspace encode ≥ 50k rows/s") {
+    val rows = 200000L
+    val cb = spark.range(16)
+      .select(col("id").cast("int").as("cb_id"),
+        expr("transform(sequence(1,16), j -> cast((id * 11 + j) % 17 as double))").as("cb_vec"))
+      .agg(sort_array(collect_list(struct($"cb_id", $"cb_vec"))).as("cbs"))
+    val input = spark.range(rows).repartition(4)
+      .withColumn("vec", expr("transform(sequence(1,16), j -> cast((id % 101) * j as double))"))
+      .crossJoin(broadcast(cb))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("pq_codes(vec, cbs, 4, 4)").as("c"))
+      .filter(expr("c[0].code") < 0))
+    input.unpersist()
+    // the m*k*subDim FMA loop: healthy is >1M rows/s at this geometry
+    assertFloor("pq_codes", rows, sec, 50000)
+  }
+
   test("bloom_agg: build-side update ≥ 100k rows/s") {
     val rows = 1000000L
     val input = spark.range(rows).repartition(4).toDF().cache()
