@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.functions.NumFunctions.r4
+import graft.functions.{SimilarityFunctions => Sim}
+import graft.queries.Extensions
+
+/** Streaming SemDeDup — the streaming twin of q90: embedding near-dup
+  * suppression for a continuously-ingesting corpus, with per-batch work
+  * bounded by the SAME two levers as the batch operator (cells +
+  * per-doc candidate caps), composed from pieces that already carry
+  * those contracts:
+  *
+  *   1. [[StreamAssign.assign]] routes each arriving doc to its trained
+  *      codebook cell — map-only, stateless.
+  *   2. WITHIN-BATCH pairing reuses q90's banded cell join verbatim
+  *      ([[Extensions.semdedupFromCells]]): every doc checks ≤ cap
+  *      immediately-preceding (by id rank) cell-mates, never |cell|².
+  *   3. AGAINST-HISTORY pairing joins the batch to the kept-doc history
+  *      on cell equality — and because history is laid out
+  *      `batch_id=N/cell=C`, the read is PARTITION-PRUNED to the
+  *      batch's touched cells: a micro-batch touching 5 of 4096 cells
+  *      reads 5/4096ths of the index, not the corpus.
+  *   4. Survivors append via the [[BatchIdSink]] layout (one
+  *      `batch_id=<id>` dir per batch, mode overwrite) — layout-
+  *      idempotent, so a crash-replayed batch REPLACES its own partial
+  *      output; the history join filters `batch_id < current`, so a
+  *      replay never sees its own half-written rows as history.
+  *
+  * A doc is a duplicate when it matches (cosine ≥ τ) any KEPT history
+  * doc or any earlier (lower-id) doc in its own batch; `dup_of` is the
+  * lowest matching id — so every dup points at a doc that is either in
+  * the history or earlier in the same batch, and ids must be globally
+  * unique and arrival-monotone for "earlier" to be meaningful.
+  * Mirrors q90's min-id convention; differs from batch q90 only in
+  * that CROSS-BATCH matches are always against kept docs (the batch
+  * operator ranks dups among its candidates too), i.e. `dup_of` names
+  * a canonical survivor.
+  *
+  * History growth is #batches × touched cells of small parquet files;
+  * compact periodically (graft.io.Tables compaction) — the cell
+  * partition column survives compaction, and pruning with it.
+  */
+object StreamSemDedup {
+
+  /** Per-doc annotation columns: `cell`, `dup_of` (null = kept),
+    * `n_dups` (matches found), `max_sim`. Kept docs' (id, vec, cell)
+    * append to `historyPath`; the full annotated batch writes to
+    * `outPath` — both in the batch_id layout.
+    */
+  def writer(stream: DataFrame, cells: Seq[(Int, Seq[Double])],
+      historyPath: String, outPath: String, tau: Double,
+      cap: Int = Extensions.SemDedupNeighborCap,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val s = batch.sparkSession
+      val assigned = StreamAssign.assign(batch.toDF(), cells, vecCol)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("cell"))
+      if (!batch.isEmpty) {
+        // q90's banded within-batch pairing: (vec_id, dup_of, n_dups, max_sim)
+        val intra = Extensions.semdedupFromCells(s, assigned, cap, tau)
+          .withColumnsRenamed(Map(
+            "dup_of" -> "b_dup", "n_dups" -> "b_n", "max_sim" -> "b_sim"))
+        // history matches, partition-pruned to the batch's touched cells
+        val touched = assigned.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ K ints — C1 scalar collect
+        val fs = new Path(historyPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // absent OR still-empty (a pre-created dir with no batch output
+        // yet would fail parquet schema inference)
+        val hasHistory = fs.exists(new Path(historyPath)) &&
+          fs.listStatus(new Path(historyPath))
+            .exists(_.getPath.getName.startsWith("batch_id="))
+        val inter =
+          if (!hasHistory) null
+          else s.read.option("basePath", historyPath).parquet(historyPath)
+            .filter(col("batch_id") < batchId) // a replay's own rows are not history
+            .filter(col("cell").isin(touched: _*))
+            .select(col("vec_id").as("h_id"), col("vec").as("h_vec"), col("cell"))
+            .join(assigned.hint("broadcast"), Seq("cell"))
+            .filter(Sim.cosine(col("vec"), col("h_vec")) >= tau)
+            .groupBy(col("vec_id"))
+            .agg(min(col("h_id")).as("h_dup"), count(lit(1)).as("h_n"),
+              r4(max(Sim.cosine(col("vec"), col("h_vec")))).as("h_sim"))
+        val joined0 = assigned.join(intra, Seq("vec_id"), "left")
+        val joined = if (inter == null)
+          joined0.withColumn("h_dup", lit(null).cast("bigint"))
+            .withColumn("h_n", lit(null).cast("bigint"))
+            .withColumn("h_sim", lit(null).cast("double"))
+        else joined0.join(inter, Seq("vec_id"), "left")
+        val annotated = joined.select(
+          col("vec_id"), col("vec"), col("cell"),
+          least(col("b_dup"), col("h_dup")).as("dup_of"),
+          (coalesce(col("b_n"), lit(0L)) + coalesce(col("h_n"), lit(0L))).as("n_dups"),
+          greatest(col("b_sim"), col("h_sim")).as("max_sim"))
+          .localCheckpoint(eager = true) // one computation feeds both writes
+        annotated.drop("vec")
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        annotated.filter(col("dup_of").isNull)
+          .select(col("vec_id"), col("vec"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$historyPath/batch_id=$batchId")
+      }
+      ()
+    }
+}
