@@ -32,24 +32,8 @@ import org.apache.spark.sql.types._
 case class ArgmaxDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val okVec = left.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    val okCbs = right.dataType match {
-      case ArrayType(StructType(Array(f0, f1)), _) =>
-        f0.dataType == IntegerType && (f1.dataType match {
-          case ArrayType(DoubleType, _) => true
-          case _ => false
-        })
-      case _ => false
-    }
-    if (okVec && okCbs) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"argmax_dot expects (array<double>, array<struct<int, array<double>>>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCbsTypes.check("argmax_dot", left, right)
 
   override def dataType: DataType =
     StructType(Seq(StructField("d", DoubleType), StructField("id", IntegerType)))

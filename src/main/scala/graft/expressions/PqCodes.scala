@@ -47,32 +47,15 @@ case class PqCodes(vec: Expression, cbs: Expression,
   private lazy val m: Int = mExpr.eval().asInstanceOf[Number].intValue()
   private lazy val subDim: Int = subDimExpr.eval().asInstanceOf[Number].intValue()
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val okVec = vec.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCbsTypes.check("pq_codes", vec, cbs) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        VecCbsTypes.checkIntLit(mExpr, "m")
+          .orElse(VecCbsTypes.checkIntLit(subDimExpr, "sub_dim"))
+          .map(TypeCheckResult.TypeCheckFailure)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
+      case f => f
     }
-    val okCbs = cbs.dataType match {
-      case ArrayType(StructType(Array(f0, f1)), _) =>
-        f0.dataType == IntegerType && (f1.dataType match {
-          case ArrayType(DoubleType, _) => true
-          case _ => false
-        })
-      case _ => false
-    }
-    def intLit(e: Expression, name: String): Option[String] =
-      if (!e.foldable) Some(s"$name must be a literal")
-      else if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType))
-        Some(s"$name must be an integral literal, got ${e.dataType.sql}")
-      else if (e.eval() == null || e.eval().asInstanceOf[Number].longValue() < 1)
-        Some(s"$name must be >= 1, got ${e.eval()}")
-      else None
-    if (!okVec || !okCbs) TypeCheckResult.TypeCheckFailure(
-      s"pq_codes expects (array<double>, array<struct<int, array<double>>>, int, int), got " +
-        s"(${vec.dataType.simpleString}, ${cbs.dataType.simpleString})")
-    else intLit(mExpr, "m").orElse(intLit(subDimExpr, "sub_dim"))
-      .map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
-  }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("code", IntegerType), StructField("score", DoubleType))),

@@ -156,14 +156,18 @@ object Extensions {
     // store may synthesize as constants — fingerprinting those would
     // serve a stale codebook after an in-place partition rewrite. Full
     // paths (not basenames) so a row moving between partition dirs
-    // changes the key too.
+    // changes the key too. Hidden-ness is judged on every path
+    // component BELOW the base (Spark's own file-index rule): a file
+    // under `_temporary/` from an in-flight write is invisible to the
+    // reader and must not mint a new cache key.
+    val base = fs.makeQualified(p).toString
     val it = fs.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith("."))
-        buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+      val rel = f.getPath.toString.stripPrefix(base).stripPrefix("/")
+      val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
     }
     val files = buf.sorted.mkString(",")
     val key = s"${fs.makeQualified(p)}|$files|$KmeansK|$KmeansIters"

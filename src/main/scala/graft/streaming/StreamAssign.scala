@@ -53,6 +53,10 @@ object StreamAssign {
     cb.select(explode(col("cbs")).as("c"))
       .select(col("c.cb_id"), col("c.cb_vec"))
       .collect()
+      // a corpus with null-vec rows trains a codebook carrying a
+      // null-cb_id cell (the null assignments' centroid) — not a
+      // routable cell; drop it rather than NPE at getInt
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .toSeq
 

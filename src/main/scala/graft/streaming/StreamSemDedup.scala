@@ -24,15 +24,21 @@ import graft.queries.Extensions
   *      on cell equality — and because history is laid out
   *      `batch_id=N/cell=C`, the read is PARTITION-PRUNED to the
   *      batch's touched cells: a micro-batch touching 5 of 4096 cells
-  *      reads 5/4096ths of the index, not the corpus.
+  *      reads 5/4096ths of the index, not the corpus. Candidates are
+  *      capped per cell at the `cap` most RECENT (highest-id) kept
+  *      docs, so join volume is ≤ cap·|batch| no matter how hot a cell
+  *      runs — the recency-directed analogue of the batch operator's
+  *      rank-band cap, with the matching miss class (a dup of only a
+  *      doc older than the cell's last `cap` survivors passes).
   *   4. Survivors append via the [[BatchIdSink]] layout (one
   *      `batch_id=<id>` dir per batch, mode overwrite) — layout-
   *      idempotent, so a crash-replayed batch REPLACES its own partial
   *      output; the history join filters `batch_id < current`, so a
   *      replay never sees its own half-written rows as history.
   *
-  * A doc is a duplicate when it matches (cosine ≥ τ) any KEPT history
-  * doc or any earlier (lower-id) doc in its own batch; `dup_of` is the
+  * A doc is a duplicate when it matches (cosine ≥ τ) a recent KEPT
+  * history cell-mate or any earlier (lower-id) doc in its own batch;
+  * `dup_of` is the
   * lowest matching id — so every dup points at a doc that is either in
   * the history or earlier in the same batch, and ids must be globally
   * unique and arrival-monotone for "earlier" to be meaningful.
@@ -58,16 +64,23 @@ object StreamSemDedup {
       idCol: String = "vec_id", vecCol: String = "vec"): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
-      val assigned = StreamAssign.assign(batch.toDF(), cells, vecCol)
-        .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("cell"))
       if (!batch.isEmpty) {
+        // one source read + argmax pass, shared by the touched-cells
+        // collect, both pairing paths, and the final annotate join
+        val assigned = StreamAssign.assign(batch.toDF(), cells, vecCol)
+          .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("cell"))
+          .localCheckpoint(eager = true)
         // q90's banded within-batch pairing: (vec_id, dup_of, n_dups, max_sim)
         val intra = Extensions.semdedupFromCells(s, assigned, cap, tau)
           .withColumnsRenamed(Map(
             "dup_of" -> "b_dup", "n_dups" -> "b_n", "max_sim" -> "b_sim"))
-        // history matches, partition-pruned to the batch's touched cells
-        val touched = assigned.select("cell").distinct()
-          .collect().map(_.getInt(0)).toSeq // ≤ K ints — C1 scalar collect
+        // ≤ K ints — C1 scalar collect. A null-vec doc has a null cell
+        // (argmax_dot null-propagates): it can match nothing (null joins
+        // nothing, cosine with null is null), so it is annotated kept and
+        // appended under the null partition — the q90 outcome for the
+        // same row — and contributes no touched cell.
+        val touched = assigned.select("cell").distinct().collect()
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
         val fs = new Path(historyPath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         // absent OR still-empty (a pre-created dir with no batch output
@@ -76,16 +89,33 @@ object StreamSemDedup {
           fs.listStatus(new Path(historyPath))
             .exists(_.getPath.getName.startsWith("batch_id="))
         val inter =
-          if (!hasHistory) null
-          else s.read.option("basePath", historyPath).parquet(historyPath)
-            .filter(col("batch_id") < batchId) // a replay's own rows are not history
-            .filter(col("cell").isin(touched: _*))
-            .select(col("vec_id").as("h_id"), col("vec").as("h_vec"), col("cell"))
-            .join(assigned.hint("broadcast"), Seq("cell"))
-            .filter(Sim.cosine(col("vec"), col("h_vec")) >= tau)
-            .groupBy(col("vec_id"))
-            .agg(min(col("h_id")).as("h_dup"), count(lit(1)).as("h_n"),
-              r4(max(Sim.cosine(col("vec"), col("h_vec")))).as("h_sim"))
+          if (!hasHistory || touched.isEmpty) null
+          else {
+            // Bound the history half exactly like the batch half: each
+            // batch doc compares against ≤ cap history cell-mates — the
+            // cap HIGHEST-id (most recent) kept docs per touched cell,
+            // ranked over the partition-pruned read (touched cells only,
+            // so the window sees a sliver of the index). Without this the
+            // per-batch cost would grow linearly with a hot cell's
+            // history; with it, join volume ≤ cap·|batch| — the
+            // SemDedupNeighborCap contract, recency-directed.
+            val recent = s.read.option("basePath", historyPath).parquet(historyPath)
+              .filter(col("batch_id") < batchId) // a replay's own rows are not history
+              .filter(col("cell").isin(touched: _*))
+              .select(col("vec_id").as("h_id"), col("vec").as("h_vec"), col("cell"))
+              .withColumn("hrn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("cell")).orderBy(col("h_id").desc)))
+              .filter(col("hrn") <= cap)
+              .drop("hrn")
+            recent
+              .join(assigned.hint("broadcast"), Seq("cell"))
+              .withColumn("sim", Sim.cosine(col("vec"), col("h_vec")))
+              .filter(col("sim") >= tau)
+              .groupBy(col("vec_id"))
+              .agg(min(col("h_id")).as("h_dup"), count(lit(1)).as("h_n"),
+                r4(max(col("sim"))).as("h_sim"))
+          }
         val joined0 = assigned.join(intra, Seq("vec_id"), "left")
         val joined = if (inter == null)
           joined0.withColumn("h_dup", lit(null).cast("bigint"))

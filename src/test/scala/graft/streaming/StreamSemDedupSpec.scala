@@ -44,8 +44,11 @@ class StreamSemDedupSpec extends SparkSpec {
       in.addData(Seq(
         (10L, axes(0)), (11L, jitter(axes(0), 0.1)), (12L, axes(1))).toIndexedSeq)
       q.processAllAvailable()
-      // batch 1: doc 20 near-copies doc 10 (history); doc 21 on axis2 (new)
-      in.addData(Seq((20L, jitter(axes(0), 0.2)), (21L, axes(2))).toIndexedSeq)
+      // batch 1: doc 20 near-copies doc 10 (history); doc 21 on axis2
+      // (new); doc 22 has a NULL embedding (null cell — must not crash
+      // the touched-cells collect, is kept, matches nothing)
+      in.addData(Seq((20L, jitter(axes(0), 0.2)), (21L, axes(2)),
+        (22L, null: Seq[Double])).toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
 
@@ -59,14 +62,50 @@ class StreamSemDedupSpec extends SparkSpec {
     assert(ann(12L)._1 == None)
     assert(ann(20L)._1 == Some(10L), s"cross-batch dup must point at kept doc 10: ${ann(20L)}")
     assert(ann(21L)._1 == None)
+    assert(ann(22L)._1 == None, s"null-embedding doc is kept, not crashed on: ${ann(22L)}")
 
     // history holds exactly the survivors, cell-partitioned per batch dir
     val kept = spark.read.option("basePath", hist).parquet(hist)
-    assert(kept.select("vec_id").as[Long].collect().toSet == Set(10L, 12L, 21L))
+    assert(kept.select("vec_id").as[Long].collect().toSet == Set(10L, 12L, 21L, 22L))
     assert(kept.columns.contains("cell") && kept.columns.contains("batch_id"))
     val dirs = new java.io.File(s"$hist/batch_id=0").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")),
       s"history must be cell-partitioned: ${dirs.mkString(",")}")
+  }
+
+  test("history candidates are capped at the cap most recent kept cell-mates") {
+    // two kept docs in one cell: 30 on axis3, 31 at 0.8 cosine to it
+    // (same argmax cell, below tau=0.9 so both survive)
+    val v30 = axes(3)
+    val v31 = Seq(0.0, 0.0, 6.0, 8.0)
+    val probe = jitter(axes(3), 0.05) // ~1.0 cosine to 30, ~0.8 to 31
+
+    def run(cap: Int): Option[Long] = {
+      val out = java.nio.file.Files.createTempDirectory(s"ssd_cap${cap}_o").toString
+      val hist = java.nio.file.Files.createTempDirectory(s"ssd_cap${cap}_h").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ssd_cap${cap}_c").toString
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = StreamSemDedup.writer(in.toDF().toDF("vec_id", "vec"), cells,
+        hist, out, tau = 0.9, cap = cap)
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        in.addData(Seq((30L, v30), (31L, v31)).toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(Seq((40L, probe)).toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val r = spark.read.parquet(out).filter(col("vec_id") === 40L)
+        .select("dup_of").head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+
+    // cap=2: both history cell-mates considered -> dup of 30 found
+    assert(run(2) == Some(30L))
+    // cap=1: only the most RECENT survivor (31, cosine 0.8 < tau) is a
+    // candidate -> the older match is invisible: the documented miss
+    // class of the recency cap, proving the cap binds
+    assert(run(1) == None)
   }
 }
