@@ -48,8 +48,16 @@ import graft.queries.Extensions
   * a canonical survivor.
   *
   * History growth is #batches × touched cells of small parquet files;
-  * compact periodically (graft.io.Tables compaction) — the cell
-  * partition column survives compaction, and pruning with it.
+  * [[compactHistory]] folds committed batch dirs periodically — the
+  * cell partition column survives compaction, and pruning with it.
+  *
+  * The history path is bound to ONE checkpoint lineage: batch ids must
+  * stay monotone for both the replay fence and the batch_id layout
+  * (a fresh checkpoint restarts ids at 0, which would both hide all
+  * existing history from the fence and overwrite its dirs on id
+  * collision). Restart the stream with its checkpoint — standard
+  * streaming practice, the checkpoint IS the query identity — or
+  * start a new history.
   */
 object StreamSemDedup {
 
@@ -137,4 +145,52 @@ object StreamSemDedup {
       }
       ()
     }
+
+  /** Fold all history batch dirs with `batch_id <= upToBatchId` into the
+    * single SMALLEST such dir — the answer to the layout's growth mode
+    * (#batches × touched-cells small files), keeping both contracts:
+    * cell partitioning survives (so partition pruning does), and the
+    * compacted rows carry a batch_id strictly below any batch the
+    * stream can still replay, so the `batch_id < current` fence is
+    * untouched. Call with `upToBatchId` ≤ the last COMMITTED batch id
+    * minus one (Structured Streaming can only replay the batch after
+    * the last checkpoint commit); single writer, stream idle or not —
+    * a reader mid-batch sees either layout, same rows.
+    *
+    * Crash-safe via the [[graft.io.AtomicPublish]] swap: the merged
+    * image is staged (hidden dir — invisible to readers), published
+    * over the min dir park-then-rename, and only then are the other
+    * source dirs deleted. A crash after publish but before the deletes
+    * leaves duplicate rows (n_dups inflation only — dup_of is a min,
+    * stable under duplicates) that the next compaction self-heals via
+    * its dropDuplicates pass. Returns the number of dirs folded away.
+    */
+  def compactHistory(spark: org.apache.spark.sql.SparkSession,
+      historyPath: String, upToBatchId: Long): Int = {
+    val root = new Path(historyPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val dirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+      .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
+      .filter(_._1 <= upToBatchId).sortBy(_._1)
+    if (dirs.isEmpty) return 0
+    val target = dirs.head._2
+    val parked = new Path(root, ".compact.parked")
+    val staging = new Path(root, ".compact.staging")
+    graft.io.AtomicPublish.recover(fs, target, parked)
+    if (dirs.length < 2) return 0
+    fs.delete(staging, true)
+    spark.read.option("basePath", historyPath)
+      .parquet(dirs.map(_._2.toString): _*)
+      .select(col("vec_id"), col("vec"), col("cell"))
+      .dropDuplicates("vec_id") // self-heals a crashed previous compaction
+      .repartition(col("cell")) // one file per cell after partitionBy
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    if (!fs.exists(new Path(staging, "_SUCCESS")))
+      throw new java.io.IOException(s"compactHistory: $staging has no _SUCCESS marker")
+    graft.io.AtomicPublish.replace(fs, staging, target, parked, "StreamSemDedup.compactHistory")
+    dirs.tail.foreach { case (_, p) => fs.delete(p, true) }
+    dirs.length - 1
+  }
 }

@@ -108,4 +108,58 @@ class StreamSemDedupSpec extends SparkSpec {
     // class of the recency cap, proving the cap binds
     assert(run(1) == None)
   }
+
+  test("compactHistory folds committed dirs; the restarted stream dedups against them") {
+    val out = java.nio.file.Files.createTempDirectory("ssd_cmp_o").toString
+    val hist = java.nio.file.Files.createTempDirectory("ssd_cmp_h").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ssd_cmp_c").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    def start() = StreamSemDedup.writer(in.toDF().toDF("vec_id", "vec"), cells,
+      hist, out, tau = 0.9)
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    val q1 = start()
+    try {
+      in.addData(Seq((50L, axes(0)), (51L, axes(1))).toIndexedSeq) // batch 0
+      q1.processAllAvailable()
+      in.addData(Seq((52L, axes(2))).toIndexedSeq)                 // batch 1
+      q1.processAllAvailable()
+      in.addData(Seq((53L, axes(3))).toIndexedSeq)                 // batch 2
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    def batchDirs = new java.io.File(hist).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(batchDirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+
+    // last committed = 2, so up to 1 is safely non-replayable
+    assert(StreamSemDedup.compactHistory(spark, hist, upToBatchId = 1) == 1)
+    assert(batchDirs == Seq("batch_id=0", "batch_id=2"))
+    val kept = spark.read.option("basePath", hist).parquet(hist)
+    assert(kept.select("vec_id").as[Long].collect().toSet == Set(50L, 51L, 52L, 53L))
+    assert(new java.io.File(s"$hist/batch_id=0").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      "cell partitioning must survive compaction")
+
+    // same checkpoint => ids continue; the new batch dedups against the
+    // COMPACTED dir
+    val q2 = start()
+    try {
+      in.addData(Seq((60L, jitter(axes(0), 0.05))).toIndexedSeq)   // batch 3
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val r = spark.read.parquet(out).filter(col("vec_id") === 60L)
+      .select("dup_of").head()
+    assert(!r.isNullAt(0) && r.getLong(0) == 50L,
+      s"post-compaction dedup must still find doc 50: $r")
+
+    // fold the rest of the committed range (batch 3 — the dup's empty
+    // survivor dir — is the latest batch and stays outside upTo)
+    assert(StreamSemDedup.compactHistory(spark, hist, upToBatchId = 2) == 1)
+    assert(batchDirs == Seq("batch_id=0", "batch_id=3"))
+    val after = spark.read.option("basePath", hist).parquet(hist)
+    assert(after.select("vec_id").as[Long].collect().toSet == Set(50L, 51L, 52L, 53L))
+    // no-op when there is nothing to fold
+    assert(StreamSemDedup.compactHistory(spark, hist, upToBatchId = 0) == 0)
+  }
 }
