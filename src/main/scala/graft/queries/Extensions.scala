@@ -312,14 +312,23 @@ object Extensions {
     // keys are engineered to be dense).
     // The inverted index feeds BOTH sides of the self-join; without
     // materialization the tokenize/bigram/hash subplan executes twice
-    // (self-join aliasing defeats ReuseExchange). One eager localCheckpoint
-    // computes it once — the explicit CTE-materialization Spark doesn't do
+    // (self-join aliasing defeats ReuseExchange). One eager pin computes
+    // it once — the explicit CTE-materialization Spark doesn't do
     // automatically. (On a fault-tolerant cluster run, reliable
-    // checkpoint() — same shape.)
-    val inv = grams.select(
+    // checkpoint() — same shape.) Pin the COMPACT per-doc hash arrays,
+    // not the exploded postings: the expensive work (tokenize → bigrams
+    // → xxhash64) happens once pre-pin, each join side pays only the
+    // cheap explode over the checkpoint, and the materialized bytes
+    // shrink from one row per (doc, gram) to one per doc — wall-time
+    // neutral at sf0.1 (the self-join dominates), but the smaller image
+    // is what a reliable checkpoint writes to durable storage on a
+    // cluster.
+    val hashed = grams.select(
       col("source"), col("doc_id"), col("gsz"),
-      explode(transform(col("grams"), x => xxhash64(x))).as("gh"))
+      transform(col("grams"), x => xxhash64(x)).as("ghs"))
       .pinned
+    val inv = hashed.select(
+      col("source"), col("doc_id"), col("gsz"), explode(col("ghs")).as("gh"))
     val inter = col("inter")
     inv.as("a")
       .join(inv.as("b"),
