@@ -52,6 +52,60 @@ object Multimodal {
     }
   }
 
+  /** A media embedding: parent id + unit-normalized vector — the
+    * feature-extract stage's output, shaped to drop straight into the
+    * embedding operators (cosine KNN, IVF assign, SemDeDup,
+    * [[graft.streaming.StreamAssign]]).
+    */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Double])
+
+  /** STUB feature extractor: `dim` independent rolling hashes of the
+    * payload, shifted to [-0.5, 0.5) and unit-normalized —
+    * deterministic, full-variance, cosine-ready fake features. Each
+    * dimension uses its own seed AND multiplier: a shared multiplier
+    * would make the dims affine shifts of one rolling hash (difference
+    * vectors near-constant across payloads — degenerate cosine
+    * geometry). Replace with a real encoder (ONNX runtime, JNI
+    * bindings) when available; the signature
+    * `(Array[Byte], Int) => Array[Double]` is the extension point and
+    * everything downstream — schema, mapPartitions batch shape,
+    * normalization contract — stays as-is.
+    */
+  def embedStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      var h = (d * 1315423911L) & 0x7fffffffL // per-dimension seed
+      val mult = 31L + 2L * d                 // per-dimension multiplier (odd)
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * mult + (bytes(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      v(d) = h.toDouble / 1000000007.0 - 0.5
+      d += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j) * v(j); j += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    var k = 0
+    while (k < dim) { v(k) *= inv; k += 1 }
+    v
+  }
+
+  /** Feature-extract a partitioned stream of blobs. Pure map-side
+    * (mapPartitions — encoder state would initialize once per
+    * partition); output feeds the embedding family directly.
+    */
+  def extractEmbeddings(blobs: Dataset[MediaBlob], dim: Int): Dataset[MediaEmbedding] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      // per-partition encoder init would go here (once, not per row)
+      iter.map(b => MediaEmbedding(b.doc_id, embedStub(b.bytes, dim)))
+    }
+  }
+
   /** One sampled "frame": parent id, frame index, byte offset, and a
     * rolling-hash fingerprint of the frame's byte window.
     */

@@ -25,6 +25,32 @@ class MultimodalSpec extends SparkSpec {
     assert((out(1).width, out(1).height, out(1).channels) == (w, h, c))
   }
 
+  test("extractEmbeddings: deterministic unit vectors that feed the IVF family") {
+    val blobs = (0L until 12L).map(i =>
+      Multimodal.MediaBlob(i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8"))).toDS()
+    val emb = Multimodal.extractEmbeddings(blobs, dim = 8).collect().sortBy(_.doc_id)
+    assert(emb.length == 12)
+    emb.foreach { e =>
+      assert(e.embedding.length == 8)
+      val norm = math.sqrt(e.embedding.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"unit-normalized: $norm")
+    }
+    // distinct payloads -> distinct directions
+    assert(emb.map(_.embedding.toSeq).distinct.length == 12)
+    // deterministic across runs
+    val again = Multimodal.extractEmbeddings(blobs, 8).collect().sortBy(_.doc_id)
+    assert(emb.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+    // composes end-to-end: blob -> embedding -> trained cells -> assignment
+    val frame = Multimodal.extractEmbeddings(blobs, 8).toDF()
+      .select(col("doc_id").as("vec_id"), col("embedding").as("vec"))
+    val cells = graft.streaming.StreamAssign.cellsOf(
+      graft.engine.KmeansCodebook.train(frame, k = 3, iters = 1))
+    assert(cells.nonEmpty)
+    val assigned = graft.streaming.StreamAssign.assign(frame, cells)
+    assert(assigned.select("cell").distinct().count() >= 1)
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+  }
+
   test("sampleFrames fans one blob out to N fingerprinted windows") {
     val payload = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.sampleFrames(
