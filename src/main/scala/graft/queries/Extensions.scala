@@ -145,6 +145,12 @@ object Extensions {
     * PlanShapeSpec pins on it — are unchanged, and the cache works
     * across SparkSessions (test suites spin up many).
     */
+  /** Bounded like BloomContains' executor cache: far more live
+    * codebooks than this means tables are being rewritten in a loop —
+    * drop the lot and retrain on demand rather than accrete ~32 KB
+    * entries forever.
+    */
+  private val MaxCachedCodebooks = 64
   private[graft] val cbCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
@@ -171,6 +177,7 @@ object Extensions {
     }
     val files = buf.sorted.mkString(",")
     val key = s"${fs.makeQualified(p)}|$files|$KmeansK|$KmeansIters"
+    if (cbCache.size() >= MaxCachedCodebooks && !cbCache.containsKey(key)) cbCache.clear()
     val (rows, schema) = cbCache.computeIfAbsent(key, _ => {
       val cb = KmeansCodebook.train(emb, KmeansK, KmeansIters)
       (cb.collect(), cb.schema)
