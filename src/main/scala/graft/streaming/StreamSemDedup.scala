@@ -165,21 +165,32 @@ object StreamSemDedup {
     * stable under duplicates) that the next compaction self-heals via
     * its dropDuplicates pass. Returns the number of dirs folded away.
     */
+  private val ParkedPrefix = ".compact.parked."
+
   def compactHistory(spark: org.apache.spark.sql.SparkSession,
       historyPath: String, upToBatchId: Long): Int = {
     val root = new Path(historyPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    // Recover an interrupted publish FIRST, before listing: the parked
+    // dir's NAME carries the batch dir it was parked from (a fixed
+    // parked name would orphan the survivor if a later run computed a
+    // different min dir and replace() then deleted the "stale" park —
+    // silent loss of a whole batch dir). Restore it if its original is
+    // missing; drop it as stale if the original is live.
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(ParkedPrefix)).foreach { pk =>
+        val orig = new Path(root, pk.getName.stripPrefix(ParkedPrefix))
+        if (!fs.exists(orig)) fs.rename(pk, orig) else fs.delete(pk, true)
+      }
     val dirs = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
       .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
       .filter(_._1 <= upToBatchId).sortBy(_._1)
-    if (dirs.isEmpty) return 0
-    val target = dirs.head._2
-    val parked = new Path(root, ".compact.parked")
-    val staging = new Path(root, ".compact.staging")
-    graft.io.AtomicPublish.recover(fs, target, parked)
     if (dirs.length < 2) return 0
+    val target = dirs.head._2
+    val parked = new Path(root, s"$ParkedPrefix${target.getName}")
+    val staging = new Path(root, ".compact.staging")
     fs.delete(staging, true)
     spark.read.option("basePath", historyPath)
       .parquet(dirs.map(_._2.toString): _*)

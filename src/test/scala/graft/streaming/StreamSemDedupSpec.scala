@@ -162,4 +162,26 @@ class StreamSemDedupSpec extends SparkSpec {
     // no-op when there is nothing to fold
     assert(StreamSemDedup.compactHistory(spark, hist, upToBatchId = 0) == 0)
   }
+
+  test("compactHistory recovers a crash-parked batch dir without losing rows") {
+    val hist = java.nio.file.Files.createTempDirectory("ssd_rec_h").toString
+    def writeBatch(id: Int, docs: Seq[(Long, Seq[Double], Int)]): Unit =
+      docs.toDF("vec_id", "vec", "cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$hist/batch_id=$id")
+    writeBatch(0, Seq((1L, axes(0), 0), (2L, axes(1), 1)))
+    writeBatch(1, Seq((3L, axes(2), 2)))
+    // simulate a crash between park and publish: batch_id=0 sits parked
+    // under its self-describing name, its original gone
+    val root = new java.io.File(hist)
+    assert(new java.io.File(root, "batch_id=0")
+      .renameTo(new java.io.File(root, ".compact.parked.batch_id=0")))
+    // recovery restores it, then compaction folds both dirs — no loss
+    assert(StreamSemDedup.compactHistory(spark, hist, upToBatchId = 1) == 1)
+    val rows = spark.read.option("basePath", hist).parquet(hist)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rows == Set(1L, 2L, 3L), s"parked rows must survive recovery: $rows")
+    assert(!root.listFiles().exists(_.getName.startsWith(".compact.parked")),
+      "stale park must be cleaned up")
+  }
 }
