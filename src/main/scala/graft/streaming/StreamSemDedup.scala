@@ -71,6 +71,19 @@ object StreamSemDedup {
       cap: Int = Extensions.SemDedupNeighborCap,
       idCol: String = "vec_id", vecCol: String = "vec"): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      processBatch(batch.toDF(), batchId, cells, historyPath, outPath,
+        tau, cap, idCol, vecCol)
+      ()
+    }
+
+  /** The per-micro-batch body, extracted so StreamSemDedupSpec can
+    * invoke a REPLAY directly (same batchId twice) and pin that the
+    * fence + overwrite layout make it idempotent — same annotations,
+    * same history, no duplicates.
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      cells: Seq[(Int, Seq[Double])], historyPath: String, outPath: String,
+      tau: Double, cap: Int, idCol: String, vecCol: String): Unit = {
       val s = batch.sparkSession
       if (!batch.isEmpty) {
         // one source read + argmax pass, shared by the touched-cells
@@ -143,8 +156,7 @@ object StreamSemDedup {
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$historyPath/batch_id=$batchId")
       }
-      ()
-    }
+  }
 
   /** Fold all history batch dirs with `batch_id <= upToBatchId` into the
     * single SMALLEST such dir — the answer to the layout's growth mode

@@ -163,6 +163,33 @@ class StreamSemDedupSpec extends SparkSpec {
     assert(StreamSemDedup.compactHistory(spark, hist, upToBatchId = 0) == 0)
   }
 
+  test("replaying a batch id is idempotent: same annotations, same history, no self-reads") {
+    val out = java.nio.file.Files.createTempDirectory("ssd_rep_o").toString
+    val hist = java.nio.file.Files.createTempDirectory("ssd_rep_h").toString
+    def snap() = (
+      spark.read.parquet(s"$out/batch_id=1").select("vec_id", "dup_of", "n_dups")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.option("basePath", hist).parquet(hist)
+        .select("vec_id", "cell", "batch_id").collect().map(_.toString).sorted.toSeq)
+
+    val b0 = Seq((70L, axes(0)), (71L, axes(1))).toDF("vec_id", "vec")
+    val b1 = Seq((72L, jitter(axes(0), 0.05)), (73L, axes(2))).toDF("vec_id", "vec")
+    StreamSemDedup.processBatch(b0, 0L, cells, hist, out, tau = 0.9,
+      cap = 8, idCol = "vec_id", vecCol = "vec")
+    StreamSemDedup.processBatch(b1, 1L, cells, hist, out, tau = 0.9,
+      cap = 8, idCol = "vec_id", vecCol = "vec")
+    val first = snap()
+    // crash-replay of batch 1: identical contents, same id — the fence
+    // must hide batch 1's own previous output (so 72 still dups to 70,
+    // not to its own ghost) and the overwrite layout must not duplicate
+    StreamSemDedup.processBatch(b1, 1L, cells, hist, out, tau = 0.9,
+      cap = 8, idCol = "vec_id", vecCol = "vec")
+    assert(snap() == first, "replay must be byte-for-byte idempotent")
+    val d72 = spark.read.parquet(s"$out/batch_id=1")
+      .filter(col("vec_id") === 72L).select("dup_of").head()
+    assert(d72.getLong(0) == 70L, s"replayed 72 must still dup to history doc 70: $d72")
+  }
+
   test("compactHistory recovers a crash-parked batch dir without losing rows") {
     val hist = java.nio.file.Files.createTempDirectory("ssd_rec_h").toString
     def writeBatch(id: Int, docs: Seq[(Long, Seq[Double], Int)]): Unit =
