@@ -932,15 +932,19 @@ object Extensions {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      // The previous rep rides the union as a `prev` tag (exactly one
+      // non-null per id — the labels row; max() picks it out), so the
+      // convergence check is a filter-count over the already-pinned
+      // round result instead of an extra join against the old labels —
+      // one aggregation and zero additional shuffles per round.
       val prop = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("rep"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .select(col("dst").as("id"), col("rep"),
+          lit(null).cast("bigint").as("prev"))
+      val next = labels.withColumn("prev", col("rep")).unionByName(prop)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
         .pinned
-      val nx = next.select(col("id").as("nid"), col("rep").as("nrep"))
-      changed = nx.join(labels, col("nid") === col("id"))
-        .filter(col("nrep") =!= col("rep")).count()
-      labels = next
+      changed = next.filter(col("rep") =!= col("prev")).count()
+      labels = next.drop("prev")
       rounds += 1
     }
     // Fail LOUD on non-convergence: returning partially-propagated labels
