@@ -98,4 +98,28 @@ class StreamingThroughputSpec extends SparkSpec {
       floorCheck("StreamAsOf", Rows, secs, 10000)
     } finally q.stop()
   }
+
+  test("StreamAssign cell routing ≥ 10k rows/s per micro-batch") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // production geometry: 64 cells x 64 dims — the K*dim argmax is the
+    // per-row cost a regression (e.g. per-row codebook rebuild) would
+    // inflate
+    val cells = (0 until 64).map(c =>
+      (c, (0 until 64).map(d => ((c * 31 + d * 7) % 17 - 8).toDouble)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamAssign.assign(in.toDF().toDF("vec_id", "vec"), cells)
+      .writeStream.format("memory").queryName("sa_tp").outputMode("append").start()
+    try {
+      in.addData((0L, (0 until 64).map(_.toDouble))); q.processAllAvailable()
+      val secs = (1 to 2).map { b =>
+        in.addData((1 to Rows).map(i =>
+          ((b * Rows + i).toLong,
+            (0 until 64).map(d => ((i * 13 + d) % 23 - 11).toDouble))).toIndexedSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      floorCheck("StreamAssign", Rows, secs, 10000)
+    } finally q.stop()
+  }
 }
