@@ -243,11 +243,23 @@ object Extensions {
       .distinct()
   }
 
+  /** (doc_id, source, simhash) via the native fused `simhash16` when the
+    * session has GraftExtensions registered (one pass: md5 per token
+    * straight from the bytes, votes from raw digest nibbles); the
+    * bit-identical two-step digest-array fold otherwise — the same
+    * native-with-fallback contract as `cosine_sim`/`argmax_dot`.
+    */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("simhash16"))
+      docs(s, dir).select(col("doc_id"), col("source"),
+        expr("simhash16(text)").as("simhash"))
+    else docs(s, dir)
+      .withColumn("td", Sim.tokenDigestsExpr("text"))
+      .select(col("doc_id"), col("source"), Sim.simhash16FromDigests("td").as("simhash"))
+
   /** 16-bit SimHash per document (md5-parity bit votes). */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("td", Sim.tokenDigestsExpr("text"))
-      .select(col("doc_id"), Sim.simhash16FromDigests("td").as("simhash"))
+    simhashFrame(s, dir).select(col("doc_id"), col("simhash"))
 
   /** SimHash near-duplicate pairs: same-source doc pairs whose 16-bit
     * simhashes differ in ≤ 2 bits.
@@ -264,9 +276,7 @@ object Extensions {
     * source)², which is what survives a 100 TB corpus.
     */
   def q37SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val h = docs(s, dir)
-      .withColumn("td", Sim.tokenDigestsExpr("text"))
-      .select(col("doc_id"), col("source"), Sim.simhash16FromDigests("td").as("simhash"))
+    val h = simhashFrame(s, dir)
     val segs = Seq((0, 6), (6, 5), (11, 5)) // (shift, width): 6+5+5 = 16 bits
     val segStructs = segs.zipWithIndex.map { case ((shift, width), i) =>
       struct(lit(i).as("seg"),

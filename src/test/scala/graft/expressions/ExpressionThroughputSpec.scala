@@ -142,6 +142,19 @@ class ExpressionThroughputSpec extends SparkSpec {
     assertFloor("pq_codes", rows, sec, 50000)
   }
 
+  test("simhash16: ~8-token docs ≥ 30k rows/s") {
+    val rows = 200000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 8), j -> concat('tok', cast(id * 13 + j as string))))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("simhash16(text)").as("h")).filter($"h" < 0))
+    input.unpersist()
+    // md5 per token dominates; healthy is >400k rows/s at 8 tokens/doc
+    assertFloor("simhash16", rows, sec, 30000)
+  }
+
   test("bloom_agg: build-side update ≥ 100k rows/s") {
     val rows = 1000000L
     val input = spark.range(rows).repartition(4).toDF().cache()
