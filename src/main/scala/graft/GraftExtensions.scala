@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, PqCodes, SimHash16, TopKPairs}
+import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, MinhashSigs, PqCodes, SimHash16, TopKPairs}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArgmaxDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigs(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),

@@ -196,12 +196,25 @@ object Extensions {
     // aligned across near-duplicate docs (position-based striding would
     // desync on a single insertion), so the Jaccard estimate is unbiased
     // over the sampled shingle space.
-    val sampled = filter(Txt.charShinglesExpr("text", ShingleN),
-      sh => pmod(ascii(substring(sh, 1, 1)), lit(2)) === 0)
-    docs(s, dir)
-      .filter(length(col("text")) >= ShingleN)
-      .withColumn("digests", Sim.shingleDigests(sampled))
-      .select(col("doc_id") +: Sim.minhashFromDigests(col("digests"), MinhashK): _*)
+    //
+    // Native `minhash_sigs` fuses shingle → sample → md5 → per-slice min
+    // into one pass over the text bytes (the HOF chain spent ~48 s of
+    // task time at sf0.1, of which raw md5 work was ~1-2 s — the rest
+    // was interpreter overhead and shingle/hex string churn); the
+    // bit-identical composable chain remains the no-extensions fallback
+    // (MinhashSigsSpec pins parity including multi-byte text).
+    val base = docs(s, dir).filter(length(col("text")) >= ShingleN)
+    if (s.catalog.functionExists("minhash_sigs"))
+      base.withColumn("ms", expr(s"minhash_sigs(text, $ShingleN, $MinhashK)"))
+        .select(col("doc_id") +: (0 until MinhashK).map(j =>
+          element_at(col("ms"), j + 1).as(s"sig_$j")): _*)
+    else {
+      val sampled = filter(Txt.charShinglesExpr("text", ShingleN),
+        sh => pmod(ascii(substring(sh, 1, 1)), lit(2)) === 0)
+      base
+        .withColumn("digests", Sim.shingleDigests(sampled))
+        .select(col("doc_id") +: Sim.minhashFromDigests(col("digests"), MinhashK): _*)
+    }
   }
 
   /** MinHash signatures over char shingles (k = MinhashK). */
