@@ -155,6 +155,20 @@ class ExpressionThroughputSpec extends SparkSpec {
     assertFloor("simhash16", rows, sec, 30000)
   }
 
+  test("minhash_sigs: ~60-char docs ≥ 5k rows/s") {
+    val rows = 50000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("text", expr(
+        "concat('document body number ', cast(id as string), ' with a shared tail of text')"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("minhash_sigs(text, 8, 8)").as("ms"))
+      .filter(expr("ms[0] = 'zzzz'")))
+    input.unpersist()
+    // ~25 sampled md5s per doc dominate; healthy is >100k rows/s here
+    assertFloor("minhash_sigs", rows, sec, 5000)
+  }
+
   test("bloom_agg: build-side update ≥ 100k rows/s") {
     val rows = 1000000L
     val input = spark.range(rows).repartition(4).toDF().cache()
