@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, MinhashSigs, PqCodes, SimHash16, TopKPairs}
+import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, MinhashSigs, PqCodes, SimHash16, TopKPairs, WordBigramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArgmaxDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_bigram_md5s"),
+      new ExpressionInfo(classOf[WordBigramMd5s].getName, "word_bigram_md5s"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordBigramMd5s(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),

@@ -1318,14 +1318,22 @@ object Extensions {
     */
   def q70BigramFluency(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val grams = widen(s, docs)
+    // Native `word_bigram_md5s` is one pass over the text bytes (each
+    // bigram concat IS a contiguous byte window, so md5 runs with no
+    // token array, concat strings, or HOF interpreter — ~23 s of task
+    // time at sf0.1 down to the raw hashing); the composable chain is
+    // the bit-identical no-extensions fallback (WordBigramMd5sSpec).
+    val grams = (if (s.catalog.functionExists("word_bigram_md5s"))
+      widen(s, docs)
+        .select(col("doc_id"), explode(expr("word_bigram_md5s(text)")).as("h"))
+    else widen(s, docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         "case when size(toks) >= 2 then " +
           "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(toks[i - 1], ' ', toks[i])) " +
           "else array() end")).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
+      .select(col("doc_id"), md5(col("g")).as("h")))
       .pinned // feeds the corpus count AND the score join once
     val df = grams.select("doc_id", "h").distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("bdf"))
