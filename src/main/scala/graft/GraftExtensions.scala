@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, MinhashSigs, PqCodes, SimHash16, TopKPairs, WordBigramMd5s}
 
 /** Engine extension point, wired via
@@ -13,63 +13,53 @@ import graft.expressions.{ArgmaxDot, BloomContains, BloomFilterAgg, BoundedSorte
   * (graft.plans.AsOfJoinNode -> AsOfJoinExec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Builder with arity validation: a wrong-arity SQL call fails with a
+    * clean message during analysis instead of an
+    * IndexOutOfBoundsException from `children(i)` inside the builder.
+    */
+  private def fn(ext: SparkSessionExtensions, name: String, arity: Int,
+      clazz: Class[_])(build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity,
+          s"$name expects $arity argument(s), got ${children.size}")
+        build(children)
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("topk_pairs"),
-      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TopKPairs(children(0), children(1), children(2))))
-    ext.injectFunction((
-      new FunctionIdentifier("bounded_sorted_list"),
-      new ExpressionInfo(classOf[BoundedSortedList].getName, "bounded_sorted_list"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        BoundedSortedList(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("freq_items"),
-      new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FreqItems(children(0), children(1))))
+    fn(ext, "cosine_sim", 2, classOf[CosineSimilarity])(c =>
+      CosineSimilarity(c(0), c(1)))
+    fn(ext, "topk_pairs", 3, classOf[TopKPairs])(c =>
+      TopKPairs(c(0), c(1), c(2)))
+    fn(ext, "bounded_sorted_list", 2, classOf[BoundedSortedList])(c =>
+      BoundedSortedList(c(0), c(1)))
+    fn(ext, "freq_items", 2, classOf[FreqItems])(c =>
+      FreqItems(c(0), c(1)))
+    // bloom_agg keeps its own builder: optional third argument (fpp)
     ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        BloomFilterAgg(children(0), children(1), children.lift(2))))
-    ext.injectFunction((
-      new FunctionIdentifier("argmax_dot"),
-      new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ArgmaxDot(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("word_bigram_md5s"),
-      new ExpressionInfo(classOf[WordBigramMd5s].getName, "word_bigram_md5s"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WordBigramMd5s(children(0))))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_sigs"),
-      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinhashSigs(children(0), children(1), children(2))))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash16"),
-      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash16(children(0))))
-    ext.injectFunction((
-      new FunctionIdentifier("pq_codes"),
-      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PqCodes(children(0), children(1), children(2), children(3))))
-    ext.injectFunction((
-      new FunctionIdentifier("bloom_contains"),
-      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        BloomContains(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          s"bloom_agg expects 2 or 3 arguments, got ${children.size}")
+        BloomFilterAgg(children(0), children(1), children.lift(2))
+      }))
+    fn(ext, "argmax_dot", 2, classOf[ArgmaxDot])(c =>
+      ArgmaxDot(c(0), c(1)))
+    fn(ext, "word_bigram_md5s", 1, classOf[WordBigramMd5s])(c =>
+      WordBigramMd5s(c(0)))
+    fn(ext, "minhash_sigs", 3, classOf[MinhashSigs])(c =>
+      MinhashSigs(c(0), c(1), c(2)))
+    fn(ext, "simhash16", 1, classOf[SimHash16])(c =>
+      SimHash16(c(0)))
+    fn(ext, "pq_codes", 4, classOf[PqCodes])(c =>
+      PqCodes(c(0), c(1), c(2), c(3)))
+    fn(ext, "bloom_contains", 2, classOf[BloomContains])(c =>
+      BloomContains(c(0), c(1)))
   }
 }

@@ -66,21 +66,21 @@ case class MinhashSigs(text: Expression, nExpr: Expression, kExpr: Expression)
     val t = text.eval(input)
     if (t == null) return null
     val bytes = t.asInstanceOf[UTF8String].getBytes
-    // char-start byte offsets (UTF-8: leading byte != 10xxxxxx)
+    // one pass: char-start byte offsets (UTF-8: leading byte !=
+    // 10xxxxxx), sized worst-case (all-ASCII text has nb chars — exact
+    // there, slack only on multi-byte text)
     val nb = bytes.length
+    val offs = new Array[Int](nb + 1)
     var chars = 0
     var b = 0
-    while (b < nb) { if ((bytes(b) & 0xc0) != 0x80) chars += 1; b += 1 }
-    val nulls = new GenericArrayData(new Array[Any](k)) // all-null slices
-    if (chars < n) return nulls
-    val offs = new Array[Int](chars + 1)
-    var ci = 0
-    b = 0
     while (b < nb) {
-      if ((bytes(b) & 0xc0) != 0x80) { offs(ci) = b; ci += 1 }
+      if ((bytes(b) & 0xc0) != 0x80) { offs(chars) = b; chars += 1 }
       b += 1
     }
     offs(chars) = nb
+    // all-null slices, built only on the degenerate paths
+    def nulls = new GenericArrayData(new Array[Any](k))
+    if (chars < n) return nulls
     val mins = new Array[Int](k)
     java.util.Arrays.fill(mins, Int.MaxValue)
     var any = false

@@ -169,6 +169,20 @@ class ExpressionThroughputSpec extends SparkSpec {
     assertFloor("minhash_sigs", rows, sec, 5000)
   }
 
+  test("word_bigram_md5s: ~8-token docs ≥ 10k rows/s") {
+    val rows = 100000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 8), j -> concat('w', cast(id * 7 + j as string))))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("word_bigram_md5s(text)").as("b"))
+      .filter(expr("b[0] = 'zz'")))
+    input.unpersist()
+    // 7 windowed md5s per doc dominate; healthy is >200k rows/s here
+    assertFloor("word_bigram_md5s", rows, sec, 10000)
+  }
+
   test("bloom_agg: build-side update ≥ 100k rows/s") {
     val rows = 1000000L
     val input = spark.range(rows).repartition(4).toDF().cache()

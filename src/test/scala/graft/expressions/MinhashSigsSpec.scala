@@ -49,6 +49,7 @@ class MinhashSigsSpec extends SparkSpec {
       "héllo wörld — ünïcode texte",   // 2-byte chars in shingles & sample keys
       "日本語のテキストです、これは。",    // 3-byte chars throughout
       "exactly8",                       // single shingle (length == N)
+      "😀😃 emoji leads the shingles",  // 4-byte supplementary sample keys
       "aaaaaaaaaa"))                    // identical shingles
     // every shingle starts with an odd codepoint -> zero sampled ->
     // all slices null on both forms
