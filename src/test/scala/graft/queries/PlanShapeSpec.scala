@@ -30,6 +30,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p)
   }
 
+  test("q34 ivf assign: map-only over the pinned corpus — no shuffle, no window, no equi-join") {
+    val p = planOf(Extensions.q34IvfAssign(spark, dir))
+    // assignment = pinned corpus x one-row broadcast codebook (the one
+    // legitimate nested-loop: a single-row build side) + per-row argmax
+    // fold. The codebook is memoized (train-once), so NO training
+    // exchanges may appear in the query's own plan.
+    assert(count(p, "Exchange") == count(p, "BroadcastExchange"),
+      "assignment must add zero SHUFFLE exchanges (broadcasting the one-row codebook is the only allowed Exchange): " + p)
+    assert(count(p, "BroadcastExchange") == 1, p)
+    assert(count(p, "Window") == 0, p)
+    assert(count(p, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") == 0, p)
+    assert(count(p, "BroadcastNestedLoop") == 1,
+      "exactly the one-row codebook broadcast: " + p)
+  }
+
   test("q90 semdedup: one equi-join over the pinned frame, no cartesian, no corpus re-scan") {
     val p = planOf(Extensions.q90Semdedup(spark, dir))
     assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0, p)
