@@ -38,11 +38,13 @@ object RunQuery {
     // loop, BudgetCut's stats pass) execute jobs during DataFrame
     // CONSTRUCTION, so timing only the count would hide most of their
     // cost (it once read q61 as 0.34 s when the bench-true cost was ~1.4 s).
+    // explain FIRST: the runner's main use is investigating misbehaving
+    // queries, so the plan must print even when execution later throws
+    if (doExplain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     var t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
     val n = df.count()
     println(f"[runquery] $name count=$n first_run=${(System.nanoTime() - t0) / 1e9}%.2fs (build+count)")
-    if (doExplain) df.explain("formatted")
     t0 = System.nanoTime()
     val df2 = SparkEntry.queries(name)(spark, sfDir)
     df2.count()

@@ -42,7 +42,7 @@ case class WordBigramMd5s(child: Expression)
 
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
-  private val HexChars = "0123456789abcdef".toCharArray
+  private val HexBytes = "0123456789abcdef".getBytes("US-ASCII")
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
@@ -71,14 +71,16 @@ case class WordBigramMd5s(child: Expression)
       md.reset()
       md.update(bytes, starts(i), ends(i + 1) - starts(i))
       val d = md.digest()
-      val hex = new Array[Char](32)
+      // hex is pure ASCII: write nibbles straight into the UTF8String's
+      // backing bytes — one allocation, no char[]/String/re-encode pass
+      val hex = new Array[Byte](32)
       var j = 0
       while (j < 16) {
-        hex(2 * j) = HexChars((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HexChars(d(j) & 0xf)
+        hex(2 * j) = HexBytes((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexBytes(d(j) & 0xf)
         j += 1
       }
-      out(i) = UTF8String.fromString(new String(hex))
+      out(i) = UTF8String.fromBytes(hex)
       i += 1
     }
     new GenericArrayData(out)

@@ -1323,10 +1323,10 @@ object Extensions {
     // token array, concat strings, or HOF interpreter — ~23 s of task
     // time at sf0.1 down to the raw hashing); the composable chain is
     // the bit-identical no-extensions fallback (WordBigramMd5sSpec).
+    val wide = widen(s, docs)
     val grams = (if (s.catalog.functionExists("word_bigram_md5s"))
-      widen(s, docs)
-        .select(col("doc_id"), explode(expr("word_bigram_md5s(text)")).as("h"))
-    else widen(s, docs)
+      wide.select(col("doc_id"), explode(expr("word_bigram_md5s(text)")).as("h"))
+    else wide
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         "case when size(toks) >= 2 then " +

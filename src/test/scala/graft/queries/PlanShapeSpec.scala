@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 
-/** Mechanical plan-shape pins for the round-7/8 additions (q89-q92) —
+/** Mechanical plan-shape pins (q34 + q89-q92) —
   * the PLAN_AUDIT.md table as assertions, so a shape regression (a new
   * cartesian, a join strategy flip, a global window sneaking in) fails
   * `sbt test` instead of waiting for a human diff of the audit doc.
