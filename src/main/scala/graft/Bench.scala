@@ -186,6 +186,11 @@ object Bench {
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(line)
+    // Belt-and-braces for the driver's parse: the same single-line metric
+    // as a plain file, written with NIO (no logger, no stream wrapper in
+    // the path), so the round's signal survives ANY stdout mangling.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), line + "\n")
     spark.stop()
   }
 }

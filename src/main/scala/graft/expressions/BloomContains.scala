@@ -182,8 +182,10 @@ object BloomContains {
   * and per-stage task-binary size are independent of image size — a
   * 1.2 GB 10⁹-key image stops being a plan literal re-shipped with every
   * stage that references it. Probe cost contract is unchanged: one
-  * `BloomFilter.readFrom` per EXECUTOR (shared weak cache keyed by the
-  * broadcast handle), then a hash probe per row inside codegen.
+  * `BloomFilter.readFrom` per EXECUTOR — a shared BOUNDED STRONG cache
+  * keyed by (application id, broadcast id), wholesale-cleared past
+  * `MaxCachedFilters` entries and re-deserialized on demand (see
+  * `forBroadcast`) — then a hash probe per row inside codegen.
   *
   * Not SQL-registered — a broadcast handle has no SQL literal form; build
   * it through [[graft.io.FilterStore.probe]], which picks literal vs

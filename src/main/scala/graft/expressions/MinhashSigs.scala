@@ -60,7 +60,13 @@ case class MinhashSigs(text: Expression, nExpr: Expression, kExpr: Expression)
 
   override def nullable: Boolean = text.nullable
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // One digest per THREAD, not per instance: a Column tree shared by
+  // concurrently executing driver-side queries evaluates the same
+  // expression instance from two threads, where a single mutable digest
+  // would interleave reset/update/digest and silently corrupt hashes.
+  // Per-task cost is unchanged (one getInstance per task thread).
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)
@@ -81,6 +87,7 @@ case class MinhashSigs(text: Expression, nExpr: Expression, kExpr: Expression)
     // all-null slices, built only on the degenerate paths
     def nulls = new GenericArrayData(new Array[Any](k))
     if (chars < n) return nulls
+    val md = mdTL.get()
     val mins = new Array[Int](k)
     java.util.Arrays.fill(mins, Int.MaxValue)
     var any = false

@@ -50,12 +50,16 @@ case class SimHash16(child: Expression)
   /** Never null: the fold maps a null document to simhash 0. */
   override def nullable: Boolean = false
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // Per-THREAD digest: safe under concurrent eval of a shared instance
+  // (see MinhashSigs — same contract), same per-task cost.
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
     if (t == null) return 0
     val bytes = t.asInstanceOf[UTF8String].getBytes
+    val md = mdTL.get()
     val votes = new Array[Int](16)
     var start = 0
     var i = 0

@@ -40,7 +40,10 @@ case class WordBigramMd5s(child: Expression)
 
   override def nullable: Boolean = false
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // Per-THREAD digest: safe under concurrent eval of a shared instance
+  // (see MinhashSigs — same contract), same per-task cost.
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   private val HexBytes = "0123456789abcdef".getBytes("US-ASCII")
 
@@ -65,6 +68,7 @@ case class WordBigramMd5s(child: Expression)
       b += 1
     }
     ends(ti) = n
+    val md = mdTL.get()
     val out = new Array[Any](spaces)
     var i = 0
     while (i < spaces) {

@@ -110,14 +110,54 @@ object FilterStore {
     if (image.length < BroadcastThresholdBytes) probe(image, key)
     else probeBroadcast(spark, image, key)
 
+  /** Broadcasts already shipped by [[probeBroadcast]], keyed by
+    * (application id, content MD5, length). A long-lived session
+    * rebuilds plans over the same filter image many times; without the
+    * memo every rebuild shipped a FRESH broadcast whose blocks outlive
+    * the plan (the r8 leak finding). Keyed on full-content MD5 — not a
+    * sampled fingerprint, which collides on sparse near-all-zero filter
+    * images — plus length; the O(image) hash costs the same order as the
+    * broadcast serialization it replaces. Bounded LRU: evicted entries
+    * are `unpersist(blocking=false)`-ed, which frees executor blocks but
+    * (unlike destroy) leaves the broadcast re-fetchable by any plan
+    * still holding it.
+    */
+  private val MaxCachedBroadcasts = 8
+  private val bcastByImage =
+    new java.util.LinkedHashMap[(String, String, Int),
+        org.apache.spark.broadcast.Broadcast[Array[Byte]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int),
+            org.apache.spark.broadcast.Broadcast[Array[Byte]]]): Boolean = {
+        val evict = size() > MaxCachedBroadcasts
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
   /** Broadcast-variable probe form, regardless of size (the ≥ threshold
     * arm of [[probe]]; exposed for tests and for callers that reuse one
-    * image across MANY queries — one broadcast amortizes across all of
-    * them, where each literal plan would re-ship it).
+    * image across MANY queries — ONE broadcast amortizes across all of
+    * them, where each literal plan would re-ship it). Broadcasts are
+    * memoized per image content ([[bcastByImage]]), so repeated calls
+    * over the same image reuse one broadcast instead of leaking a block
+    * per call.
     */
-  def probeBroadcast(spark: SparkSession, image: Array[Byte], key: Column): Column =
+  def probeBroadcast(spark: SparkSession, image: Array[Byte], key: Column): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(image).map(b => f"$b%02x").mkString
+    val id = (spark.sparkContext.applicationId, hex, image.length)
+    val b = bcastByImage.synchronized {
+      val hit = bcastByImage.get(id)
+      if (hit != null) hit
+      else {
+        val fresh = spark.sparkContext.broadcast(image)
+        bcastByImage.put(id, fresh)
+        fresh
+      }
+    }
     org.apache.spark.sql.GraftSqlBridge.column(
-      BloomContainsBroadcast(
-        spark.sparkContext.broadcast(image),
+      BloomContainsBroadcast(b,
         org.apache.spark.sql.GraftSqlBridge.expression(key)))
+  }
 }

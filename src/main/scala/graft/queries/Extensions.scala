@@ -29,8 +29,15 @@ object Extensions {
     * your cluster". On a real multi-TB scan the input is already at least
     * cluster-wide (maxPartitionBytes splitting), the gate is false, and no
     * extra exchange enters the plan.
+    *
+    * LOCAL-MODE-ONLY crutch, and conf-killable as such: set
+    * `spark.graft.widen.enabled=false` on a cluster and this is the
+    * identity function — zero repartitions injected regardless of scan
+    * width, so cluster plans carry no gratuitous exchange
+    * (WidenSpec asserts both modes).
     */
   private[graft] def widenIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+    if (!s.conf.get("spark.graft.widen.enabled", "true").toBoolean) return df
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else {

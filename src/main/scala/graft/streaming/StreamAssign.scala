@@ -37,12 +37,18 @@ object StreamAssign {
     * (`array<struct<cb_id:int, cb_vec:array<double>>>`, sorted by cb_id
     * so the strict-`>` argmax keeps the batch family's lowest-id
     * tie-break).
+    *
+    * ONE `Literal` node carrying the whole value (`typedlit`), not one
+    * `lit()` per double: at production cell counts (K ∝ √N, e.g. 2¹⁵
+    * cells × 64 dims) a per-double tree is millions of expression nodes
+    * the analyzer walks on EVERY micro-batch plan — planning cost that
+    * would dominate the map-only execution. The cast only renames the
+    * tuple's `_1/_2` struct fields (same physical types) and constant-
+    * folds back into the single literal at optimization.
     */
   def literalCbs(cells: Seq[(Int, Seq[Double])]): Column =
-    array(cells.sortBy(_._1).map { case (id, v) =>
-      struct(lit(id).as("cb_id"),
-        array(v.map(lit(_)): _*).as("cb_vec"))
-    }: _*)
+    typedlit(cells.sortBy(_._1))
+      .cast("array<struct<cb_id:int,cb_vec:array<double>>>")
 
   /** Collect a one-row codebook frame (the [[KmeansCodebook.train]] /
     * [[graft.io.CodebookStore.load]] shape: single `cbs` column) into

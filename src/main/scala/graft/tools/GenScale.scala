@@ -1,0 +1,215 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the bench tables: produces an sf-N× copy of a
+  * driver testdata directory (TESTDATA.md) so the bench can be pinned at
+  * a scale factor the driver didn't ship (BASELINE.md sf1 table).
+  *
+  * The driver's own generator is not available, so scaling mirrors its
+  * OBSERVED statistics rather than its code:
+  *
+  *   - `region`/`nation` are copied verbatim — fixed dimensions that do
+  *     not scale with sf (TPC-H's own rule).
+  *   - The relational fact/dim tables (`customer supplier part orders
+  *     lineitem events`) are replicated `copies`× with every key column
+  *     offset by `i * (max(key)+1)` — per-key distributions, join fan-out,
+  *     group cardinalities per month, and session shapes per user are
+  *     EXACTLY preserved; only the key domains grow, which is what a
+  *     bigger sf does.
+  *   - `documents`/`embeddings` are NOT replicated: exact copies would
+  *     plant a 10-way duplicate group on every document, turning the
+  *     dedup/pair queries' workload quadratic-in-copies instead of
+  *     scaling the way a real corpus does. Fresh rows are synthesized
+  *     from the source tables' measured distributions instead — vocabulary
+  *     frequencies, words-per-doc histogram, lang/source mix, and the
+  *     planted exact-duplicate rate for documents; per-(label, dim)
+  *     Gaussian fits for embeddings. Deterministic: every row is seeded
+  *     by its own id, so output is identical across reruns/partitionings.
+  *
+  * Usage: `runMain graft.tools.GenScale <srcDir> <outDir> [copies=10]`.
+  */
+object GenScale {
+
+  /** Key columns per table, each offset by i·domain on copy i. The domain
+    * of a key is max(value)+1 in the SOURCE data — offsets never collide
+    * because the driver's keys are dense from 0.
+    */
+  private val keyDomains: Map[String, Seq[(String, String)]] = Map(
+    // table -> (column, domain-defining table+column)
+    "customer" -> Seq("c_custkey" -> "customer.c_custkey"),
+    "supplier" -> Seq("s_suppkey" -> "supplier.s_suppkey"),
+    "part" -> Seq("p_partkey" -> "part.p_partkey"),
+    "orders" -> Seq(
+      "o_orderkey" -> "orders.o_orderkey",
+      "o_custkey" -> "customer.c_custkey"),
+    "lineitem" -> Seq(
+      "l_orderkey" -> "orders.o_orderkey",
+      "l_partkey" -> "part.p_partkey",
+      "l_suppkey" -> "supplier.s_suppkey"),
+    "events" -> Seq(
+      "event_id" -> "events.event_id",
+      "user_id" -> "events.user_id"))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "testdata_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rd(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    // Fixed dims: verbatim.
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+
+    // Key domains, one tiny max() aggregate per referenced column.
+    val domains: Map[String, Long] =
+      keyDomains.values.flatten.map(_._2).toSet.map { (ref: String) =>
+        val Array(t, c) = ref.split('.')
+        ref -> (rd(t).agg(max(col(c)).cast("long")).head.getLong(0) + 1L)
+      }.toMap
+
+    for ((table, keys) <- keyDomains) {
+      val base = rd(table)
+      val scaled = (0 until copies).map { i =>
+        keys.foldLeft(base) { case (df, (k, ref)) =>
+          // Cast back so replicated keys keep the source column type
+          // (events.event_id is BIGINT, nation fks INTEGER, ...).
+          df.withColumn(k,
+            (col(k).cast("long") + lit(i.toLong * domains(ref)))
+              .cast(base.schema(k).dataType))
+        }
+      }.reduce(_ unionByName _)
+      wr(scaled, table, math.max(copies, 4))
+    }
+
+    synthDocuments(spark, rd("documents"), out, copies)
+    synthEmbeddings(spark, rd("embeddings"), out, copies)
+
+    println(s"GENERATED $out (${copies}x $src)")
+    spark.stop()
+  }
+
+  /** Fresh documents with the source corpus's measured shape. Copy 0 is
+    * the source verbatim (sf1 ⊇ sf0.1, like a growing corpus); copies
+    * 1..n-1 are synthesized: vocabulary sampled by measured frequency,
+    * words-per-doc drawn from the empirical histogram, lang/source drawn
+    * from their measured mixes, and the planted exact-duplicate rate
+    * reproduced by re-emitting the previous synthesized text.
+    */
+  private def synthDocuments(
+      spark: SparkSession, docs: DataFrame, out: String, copies: Int): Unit = {
+    import spark.implicits._
+    val n = docs.count()
+    // Vocabulary by frequency (the corpus is a small closed vocab).
+    val vocab: Array[(String, Long)] = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .as[(String, Long)].collect()
+    val words = vocab.map(_._1)
+    val cum = vocab.map(_._2).scanLeft(0L)(_ + _).tail
+    val totalW = cum.last
+    // Empirical words-per-doc histogram (collectable: one int per doc).
+    val lens: Array[Int] =
+      docs.select(size(split(col("text"), " "))).as[Int].collect().sorted
+    val langs: Array[(String, Long)] =
+      docs.groupBy("lang").count().orderBy("lang").as[(String, Long)].collect()
+    val langCum = langs.map(_._2).scanLeft(0L)(_ + _).tail
+    val sources: Array[String] =
+      docs.select("source").distinct().orderBy("source").as[String].collect()
+    // Planted exact-dup rate: dup pairs per doc in the source.
+    val dupRate =
+      (n - docs.select("text").distinct().count()).toDouble / n
+
+    def pick(r: java.util.Random, cumW: Array[Long], tot: Long): Int = {
+      val x = (r.nextDouble() * tot).toLong
+      val i = java.util.Arrays.binarySearch(cumW, x + 1)
+      if (i >= 0) i else -i - 1
+    }
+
+    val extra = spark.range(n, n * copies).mapPartitions { ids =>
+      var prevText: String = null
+      ids.map { id =>
+        val r = new java.util.Random(1000003L * id + 42L)
+        val nw = lens(r.nextInt(lens.length))
+        val text =
+          if (prevText != null && r.nextDouble() < dupRate) prevText
+          else {
+            val sb = new StringBuilder
+            var i = 0
+            while (i < nw) {
+              if (i > 0) sb.append(' ')
+              sb.append(words(pick(r, cum, totalW)))
+              i += 1
+            }
+            sb.toString
+          }
+        prevText = text
+        (id, text, langs(pick(r, langCum, langCum.last))._1,
+          sources(r.nextInt(sources.length)), text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    docs.unionByName(extra).repartition(math.max(copies, 4))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Fresh embeddings from per-(label, dim) Gaussian fits of the source
+    * (the source is visibly label-clustered; sampling the fit preserves
+    * cluster geometry, so k-means/IVF/SemDeDup see the same cell shapes
+    * at every scale instead of 10 exact copies of each point).
+    */
+  private def synthEmbeddings(
+      spark: SparkSession, emb: DataFrame, out: String, copies: Int): Unit = {
+    import spark.implicits._
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    // labels × dim means/stds: tiny (10 × 64), collect once.
+    val stats: Map[Int, (Array[Double], Array[Double])] = emb
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy("label", "pos")
+      .agg(avg("col").as("mu"), stddev_pop("col").as("sd"))
+      .as[(Int, Int, Double, Double)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        val byDim = rows.sortBy(_._2)
+        l -> (byDim.map(_._3).toArray, byDim.map(_._4).toArray)
+      }
+    val labels: Array[(Int, Long)] =
+      emb.groupBy("label").count().orderBy("label").as[(Int, Long)].collect()
+    val labelCum = labels.map(_._2).scanLeft(0L)(_ + _).tail
+
+    val extra = spark.range(n, n * copies).map { id =>
+      val r = new java.util.Random(2000003L * id + 42L)
+      val x = (r.nextDouble() * labelCum.last).toLong
+      var li = java.util.Arrays.binarySearch(labelCum, x + 1)
+      if (li < 0) li = -li - 1
+      val label = labels(li)._1
+      val (mu, sd) = stats(label)
+      val vec = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        vec(d) = (mu(d) + sd(d) * r.nextGaussian()).toFloat
+        d += 1
+      }
+      (id, vec.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+
+    emb.unionByName(extra.withColumn("embedding", col("embedding").cast("array<float>")))
+      .repartition(math.max(copies, 4))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+}
