@@ -10,8 +10,9 @@ import graft.functions.{NumFunctions, SimilarityFunctions => Sim}
   * for until round 7. Reference behavior: the SemDeDup paper's
   * cluster-then-pair blocking (Abbas et al. 2023, arXiv:2303.09540 §3)
   * and FAISS-style IVF coarse cells; cell count is a PARAMETER
-  * (`Extensions.KmeansK`, production rule ∝√N per SCALING.md), not a
-  * constant of the plane family.
+  * (`Extensions.kmeansK(N)` = clamp(⌈√N⌉, 16, 65536), computed from the
+  * embeddings row count per SCALING.md), not a constant of the plane
+  * family.
   *
   * Everything here is engine-parity deterministic, because the trained
   * codebook feeds DuckDB-oracle-checked queries:

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * iterator per partition, so decoder state — codecs, buffers, models — is
   * initialized once per partition, not per row).
   *
-  * The actual image/audio decode is STUBBED (`decodeStub`): no media
-  * libraries ship in this container. The stub is a deterministic pure
-  * function of the bytes so tests and SQL oracles can reproduce it exactly;
-  * swapping in a real codec changes only `decodeStub`'s body — schema,
-  * partitioning, and batch shape stay as-is.
+  * Image decode is REAL where the stock JDK can do it: [[decodeReal]]
+  * reads width/height/channels from PNG/JPEG/GIF/BMP headers via
+  * `javax.imageio` (header-only — no pixel decode), falling back to the
+  * deterministic [[decodeStub]] for unrecognized bytes. The oracle-checked
+  * queries (q27/q54) pin the stub so DuckDB can reproduce the values
+  * exactly; audio/video feature extraction stays stubbed (no codec in the
+  * JDK) behind the same `Array[Byte] => …` extension-point signatures.
   */
 object Multimodal {
 
@@ -38,19 +40,70 @@ object Multimodal {
     (((h % 1024) + 1).toInt, (((h / 1024) % 768) + 1).toInt, 3)
   }
 
+  /** REAL image decode via `javax.imageio` (ships in the stock JDK — no
+    * new dependency): header-only read of width/height/bands for any
+    * registered format (PNG, JPEG, GIF, BMP…). `reader.getWidth/getHeight`
+    * parse only the header chunk/SOF marker — no pixel decode — so cost
+    * per blob is O(header), not O(pixels): the right shape for a metadata
+    * pass over 100 TB of media. Returns None when no installed codec
+    * recognizes the bytes (caller falls back to [[decodeStub]]).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    import javax.imageio.ImageIO
+    // In-memory stream only — never let ImageIO spill its read cache to
+    // executor-local temp files for a header probe.
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val c = if (types.hasNext) types.next().getNumBands else 3
+          if (w > 0 && h > 0) Some((w, h, c)) else None
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Real-codec decode with the stub as the no-codec fallback: bytes a
+    * JDK `ImageReader` recognizes get their true (width, height,
+    * channels); anything else (synthetic payloads, formats with no
+    * installed codec) falls back to [[decodeStub]]'s deterministic fake.
+    */
+  def decodeReal(bytes: Array[Byte]): (Int, Int, Int) =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
+
   /** Decode a partitioned stream of blobs into typed metadata. Pure
     * map-side: no shuffle, scales linearly with input splits.
+    * `decode` defaults to the deterministic stub — the oracle-checked
+    * queries (q27/q54) pin it so DuckDB can reproduce the values; pass
+    * [[decodeReal]] for the JDK-codec path ([[extractMetaReal]]).
     */
-  def extractMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+  def extractMeta(
+      blobs: Dataset[MediaBlob],
+      decode: Array[Byte] => (Int, Int, Int) = decodeStub): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       // per-partition decoder init would go here (once, not per row)
       iter.map { b =>
-        val (w, h, c) = decodeStub(b.bytes)
+        val (w, h, c) = decode(b.bytes)
         MediaMeta(b.doc_id, b.bytes.length, w, h, c)
       }
     }
   }
+
+  /** [[extractMeta]] over the real JDK codec path: true dimensions for
+    * recognized image bytes, stub fallback otherwise.
+    */
+  def extractMetaReal(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] =
+    extractMeta(blobs, decodeReal)
 
   /** A media embedding: parent id + unit-normalized vector — the
     * feature-extract stage's output, shaped to drop straight into the

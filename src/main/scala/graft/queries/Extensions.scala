@@ -111,14 +111,23 @@ object Extensions {
   lazy val Planes: Array[Array[Double]] = Sim.hyperplanes(LshPlanes, EmbeddingDim)
 
   /** Trained coarse-quantizer parameters for the IVF/SemDeDup family
-    * (q34/q53/q64/q90): KmeansK cells via KmeansIters Lloyd iterations
-    * ([[graft.engine.KmeansCodebook]]). K is the scale knob — production
-    * rule K ∝ √N (SemDeDup paper shape); 64 cells over the 500–2000-row
-    * testdata puts cells near the √N regime the paper runs at. The ±1
+    * (q34/q53/q64/q90): [[kmeansK]] cells via KmeansIters Lloyd iterations
+    * ([[graft.engine.KmeansCodebook]]). K is the scale knob, COMPUTED from
+    * the embeddings-table row count at training time — production rule
+    * K ∝ √N (SemDeDup paper shape), clamped to [16, 65536]: a user at
+    * 10⁹ docs gets 2¹⁶ cells without editing source, and the 500–2000-row
+    * testdata sits at K = 23–45, the √N regime the paper runs at. The
+    * DuckDB oracles compute the SAME K from the same count
+    * (`Oracles.kmeansCtes`' scalar-subquery LIMIT), so the two engines'
+    * codebooks stay bit-identical at every scale factor. The ±1
     * [[Planes]] stay behind the sign-hash LSH paths (q19/q22/q33/q35/q50),
     * where fixed hyperplanes are the operator's actual definition.
+    *
+    * `ceil` of an IEEE `sqrt` is portable: sqrt is correctly rounded, so
+    * perfect squares come out exact and both engines agree on the ceil.
     */
-  val KmeansK = 64
+  def kmeansK(n: Long): Int =
+    math.min(65536L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   val KmeansIters = 2
 
   /** (vec_id, vec double[]) embeddings, widened and materialized ONCE —
@@ -159,9 +168,19 @@ object Extensions {
     */
   private val MaxCachedCodebooks = 64
   private[graft] val cbCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+    String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType, Long)]
 
-  private[graft] def trainedCb(s: SparkSession, dir: String, emb: => DataFrame): DataFrame = {
+  private[graft] def trainedCb(s: SparkSession, dir: String, emb: => DataFrame): DataFrame =
+    trainedCbN(s, dir, emb)._1
+
+  /** [[trainedCb]] plus the embeddings row count N measured on the same
+    * training pass — the input every data-derived scale knob
+    * ([[kmeansK]], [[semDedupCap]]) is a function of. Memoized together
+    * with the codebook, so a cache hit serves N without touching the
+    * input frame.
+    */
+  private[graft] def trainedCbN(
+      s: SparkSession, dir: String, emb: => DataFrame): (DataFrame, Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // Recursive listing, DATA FILES only: a partitioned layout's
@@ -183,13 +202,17 @@ object Extensions {
       if (!hidden) buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
     }
     val files = buf.sorted.mkString(",")
-    val key = s"${fs.makeQualified(p)}|$files|$KmeansK|$KmeansIters"
+    // K is data-derived (kmeansK(N)), so the file fingerprint alone
+    // covers it: same files => same N => same K.
+    val key = s"${fs.makeQualified(p)}|$files|sqrtK|$KmeansIters"
     if (cbCache.size() >= MaxCachedCodebooks && !cbCache.containsKey(key)) cbCache.clear()
-    val (rows, schema) = cbCache.computeIfAbsent(key, _ => {
-      val cb = KmeansCodebook.train(emb, KmeansK, KmeansIters)
-      (cb.collect(), cb.schema)
+    val (rows, schema, n) = cbCache.computeIfAbsent(key, _ => {
+      val e = emb // evaluate the by-name input once for count + train
+      val nRows = e.count()
+      val cb = KmeansCodebook.train(e, kmeansK(nRows), KmeansIters)
+      (cb.collect(), cb.schema, nRows)
     })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    (s.createDataFrame(java.util.Arrays.asList(rows: _*), schema), n)
   }
 
   /** Exact content dedup by md5 — only digests shuffle, not documents. */
@@ -545,7 +568,7 @@ object Extensions {
   /** IVF-style cell assignment — the coarse-quantizer half of an IVF ANN
     * index: each vector joins the cell of its most-aligned TRAINED
     * centroid (argmax dot against the [[trainedCb]] k-means codebook,
-    * KmeansK cells). Search then probes only the query's cell(s), exactly
+    * [[kmeansK]](N) cells). Search then probes only the query's cell(s), exactly
     * like q33 does for sign buckets. Assignment is map-only — the
     * codebook rides a one-row broadcast and the argmax is an
     * in-expression fold, so the corpus pass adds no exchange.
@@ -1840,10 +1863,20 @@ object Extensions {
     * flood contract of [[HotBucketCap]], moved from "truncate the corpus
     * at 128 rows/cell" (round 7's scale bug: everything past the cap was
     * silently never dedup-checked) to "bound the work per covered doc".
-    * Whenever a cell holds ≤ cap+1 members the within-cell pairing is
-    * COMPLETE (exact SemDeDup) — true of every testdata cell at KmeansK=64
-    * — and a production run tunes KmeansK ∝ √N so cells sit near that
-    * regime rather than relying on the cap.
+    *
+    * DATA-DERIVED, like [[kmeansK]]: with K = ⌈√N⌉ cells the mean cell
+    * holds ~√N members, so cap = 4·⌈√N⌉ (clamped to [64, 4096]) covers
+    * any cell up to 4× the mean COMPLETELY (exact SemDeDup) while still
+    * bounding a pathological hot cell's pair volume at cap·N. The DuckDB
+    * q90 oracle computes the same cap from the same count
+    * (scalar-subquery rank-delta bound), so results match at every sf.
+    */
+  def semDedupCap(n: Long): Int =
+    math.min(4096L, math.max(64L,
+      4L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** No-stats fallback cap (streaming, where the corpus size is unknown
+    * at plan time): the old fixed value.
     */
   val SemDedupNeighborCap = 128
 
@@ -1857,7 +1890,7 @@ object Extensions {
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * embeddings are blocked by their TRAINED k-means cell ([[trainedCb]],
-    * KmeansK cells — the paper's clustering step), pairs are formed ONLY
+    * [[kmeansK]](N) cells — the paper's clustering step), pairs are formed ONLY
     * within a cell, and a document is marked a duplicate if an earlier-id
     * cell-mate sits above the cosine threshold. Output per dropped doc:
     * its keeper (`dup_of` = min earlier neighbor), how many near-dups it
@@ -1865,23 +1898,24 @@ object Extensions {
     *
     * Scale contract (round-8 rework): EVERY document is assigned and
     * enters pairing — no corpus truncation — and the per-doc candidate
-    * set is bounded at [[SemDedupNeighborCap]] earlier cell-mates, so
+    * set is bounded at [[semDedupCap]](N) earlier cell-mates, so
     * pair volume is ≤ cap·N. The bound is enforced BEFORE the join
     * explodes anything: cell-mates are banded by ⌈rank/cap⌉ and each
     * right-side row joins only its own and its predecessor band
     * ((cell, band) equi-join keys), then the exact `1 ≤ Δrank ≤ cap`
     * window filters the ≤ 2·cap survivors. Assignment itself is map-only
     * (broadcast codebook + in-expression fold — no exchange); the only
-    * window is the per-cell rank, whose parallelism is KmeansK — the
-    * tunable ∝√N knob, not a constant (SemDedupScaleSpec pins all
-    * three properties).
+    * window is the per-cell rank, whose parallelism is [[kmeansK]](N) —
+    * the data-derived ∝√N knob, not a constant (SemDedupScaleSpec pins
+    * all three properties).
     */
   def q90Semdedup(s: SparkSession, dir: String): DataFrame = {
     val base = embVec(s, dir)
-    val cells = base.crossJoin(broadcast(trainedCb(s, dir, base)))
+    val (cb, n) = trainedCbN(s, dir, base)
+    val cells = base.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("vec"),
         KmeansCodebook.bestByName(s, "vec", "cbs").getField("id").as("cell"))
-    semdedupFromCells(s, cells, SemDedupNeighborCap, SemDedupTau)
+    semdedupFromCells(s, cells, semDedupCap(n), SemDedupTau)
   }
 
   /** The banded within-cell pairing half of q90, parameterized for

@@ -75,8 +75,9 @@ object Oracles {
 
   /** DuckDB twin of [[graft.engine.KmeansCodebook.train]]: from a prior
     * CTE `e(vec_id, vec DOUBLE[])`, build `cb(cb_id, cb_vec)` — the
-    * codebook after KmeansIters Lloyd iterations seeded by the KmeansK
-    * lowest-id vectors. Same DECIMAL(28,14) centroid sums, same r4
+    * codebook after KmeansIters Lloyd iterations seeded by the
+    * K = clamp(⌈√N⌉, 16, 65536) lowest-id vectors (the same data-derived
+    * knob as `Extensions.kmeansK`, via a scalar-subquery LIMIT). Same DECIMAL(28,14) centroid sums, same r4
     * floor-form rounding, same strict-argmax tie-break (ORDER BY dd DESC,
     * cb_id ≡ the Spark fold's "strict > keeps first"), so the two
     * engines' codebooks are bit-identical at every iteration.
@@ -101,7 +102,13 @@ object Oracles {
     s"""cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
        |               vec AS cb_vec
        |        FROM (SELECT vec_id, vec FROM e WHERE vec_id IS NOT NULL
-       |              ORDER BY vec_id LIMIT ${Extensions.KmeansK})),
+       |              ORDER BY vec_id
+       |              -- K = clamp(ceil(sqrt(N)), 16, 65536), the same
+       |              -- data-derived knob as Extensions.kmeansK: both
+       |              -- engines compute K from the same row count, so the
+       |              -- codebooks stay bit-identical at every sf
+       |              LIMIT (SELECT LEAST(GREATEST(CAST(ceil(sqrt(count(*))) AS BIGINT), 16), 65536)
+       |                     FROM e))),
        |$iters,
        |cb AS (SELECT * FROM cb${Extensions.KmeansIters})""".stripMargin
   }
@@ -1202,7 +1209,10 @@ object Oracles {
          |p AS (
          |  SELECT b.vec_id AS vec_id, a.vec_id AS a_id, ${cosSql("a.vec", "b.vec")} AS sim
          |  FROM rk a JOIN rk b ON a.cell = b.cell
-         |    AND b.rn - a.rn BETWEEN 1 AND ${Extensions.SemDedupNeighborCap})
+         |    -- cap = clamp(4*ceil(sqrt(N)), 64, 4096) = Extensions.semDedupCap
+         |    AND b.rn - a.rn BETWEEN 1
+         |      AND (SELECT LEAST(GREATEST(4 * CAST(ceil(sqrt(count(*))) AS BIGINT), 64), 4096)
+         |           FROM e))
          |SELECT vec_id, min(a_id) AS dup_of, count(*) AS n_dups,
          |  ${r("max(sim)", 4)} AS max_sim
          |FROM p WHERE sim >= ${Extensions.SemDedupTau} GROUP BY vec_id""".stripMargin,

@@ -132,4 +132,35 @@ class KmeansCodebookSpec extends SparkSpec {
     val k = cb.select(size(col("cbs"))).as[Int].head()
     assert(k == 1)
   }
+
+  test("K is data-derived: clamp(ceil(sqrt(N)), 16, 65536) grows with N") {
+    import graft.queries.Extensions.{kmeansK, semDedupCap}
+    assert(kmeansK(100) == 16) // below the floor -> clamped up
+    assert(kmeansK(500) == 23) // the sf0.01 testdata regime
+    assert(kmeansK(2000) == 45) // sf0.1
+    assert(kmeansK(20000) == 142) // sf1
+    assert(kmeansK(2025) == 45) // perfect square: IEEE sqrt exact, no off-by-one
+    assert(kmeansK(10L * 1000 * 1000 * 1000) == 65536) // 10^10 docs -> ceiling
+    // the paired cap knob: 4x the mean cell size, clamped [64, 4096]
+    assert(semDedupCap(100) == 64)
+    assert(semDedupCap(2000) == 180)
+    assert(semDedupCap(10L * 1000 * 1000 * 1000) == 4096)
+  }
+
+  test("trainedCbN serves the measured N alongside the codebook") {
+    import graft.queries.Extensions
+    val dir = java.nio.file.Files.createTempDirectory("cbn").toString
+    spark.range(300).select(col("id").as("vec_id"),
+      array((0 until 4).map(d =>
+        (pmod(hash(col("id") * 7 + d), lit(31)).cast("double") - 15.0) / 4.0): _*)
+        .cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val (cb, n) = Extensions.trainedCbN(spark, dir, emb)
+    assert(n == 300)
+    // trained cell count is <= K(N) (empty cells drop) and well above 1
+    val cells = cb.select(size(col("cbs"))).as[Int].head()
+    assert(cells > 1 && cells <= Extensions.kmeansK(n))
+  }
 }

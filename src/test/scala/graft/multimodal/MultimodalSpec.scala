@@ -25,6 +25,53 @@ class MultimodalSpec extends SparkSpec {
     assert((out(1).width, out(1).height, out(1).channels) == (w, h, c))
   }
 
+  /** Encode a BufferedImage of the given type to format bytes via the
+    * JDK's own writer — a real PNG/JPEG payload with known dimensions.
+    */
+  private def imageBytes(w: Int, h: Int, imgType: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    // non-trivial pixels so JPEG has something to compress
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y * 7)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"JDK has no $format writer")
+    out.toByteArray
+  }
+
+  test("decodeReal reads true dimensions from real PNG/JPEG bytes") {
+    import java.awt.image.BufferedImage._
+    val png = imageBytes(17, 9, TYPE_INT_RGB, "png")
+    assert(Multimodal.decodeReal(png) == ((17, 9, 3)))
+    val pngAlpha = imageBytes(5, 8, TYPE_INT_ARGB, "png")
+    assert(Multimodal.decodeReal(pngAlpha) == ((5, 8, 4)))
+    val gray = imageBytes(33, 2, TYPE_BYTE_GRAY, "png")
+    assert(Multimodal.decodeReal(gray) == ((33, 2, 1)))
+    val jpg = imageBytes(21, 14, TYPE_INT_RGB, "jpg")
+    assert(Multimodal.decodeReal(jpg) == ((21, 14, 3)))
+  }
+
+  test("decodeReal falls back to the stub on unrecognized bytes") {
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(junk).isEmpty)
+    assert(Multimodal.decodeReal(junk) == Multimodal.decodeStub(junk))
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // a PNG magic number with a truncated/corrupt body must not throw
+    val truncated = imageBytes(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB, "png").take(12)
+    assert(Multimodal.decodeReal(truncated) == Multimodal.decodeStub(truncated))
+  }
+
+  test("extractMetaReal decodes a mixed real/synthetic blob stream") {
+    val png = imageBytes(40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB, "png")
+    val fake = "synthetic payload".getBytes("UTF-8")
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, png),
+      Multimodal.MediaBlob(2L, fake)).toDS().repartition(2)
+    val out = Multimodal.extractMetaReal(blobs).collect().sortBy(_.doc_id)
+    assert((out(0).width, out(0).height, out(0).channels) == ((40, 30, 3)))
+    assert(out(0).n_bytes == png.length)
+    val (fw, fh, fc) = Multimodal.decodeStub(fake)
+    assert((out(1).width, out(1).height, out(1).channels) == ((fw, fh, fc)))
+  }
+
   test("extractEmbeddings: deterministic unit vectors that feed the IVF family") {
     val blobs = (0L until 12L).map(i =>
       Multimodal.MediaBlob(i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8"))).toDS()
