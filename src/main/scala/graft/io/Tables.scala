@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Path-based "catalog" replacing the reference's Databricks metastore +
@@ -50,17 +50,24 @@ object Tables {
 
   /** Read one of the driver's testdata tables (TESTDATA.md).
     *
-    * events.ts is written as parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench sessions) it arrives as epoch-nanos LongType and is
-    * converted here to a microsecond TimestampType (integer `div`, not
-    * double division — epoch nanos exceed 2^53).
+    * events.ts has shipped in two physical forms across driver data drops:
+    * parquet TIMESTAMP(NANOS) — which Spark's reader rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into epoch-nanos
+    * LongType (converted here with integer `div`, not double division —
+    * epoch nanos exceed 2^53) — and plain TIMESTAMP(MICROS) without a
+    * timezone, which arrives as TimestampNTZType. Both are normalized to
+    * session-tz TimestampType (a no-shift cast under the UTC sessions all
+    * entry points pin), so downstream epoch-seconds casts and the DuckDB
+    * oracle agree regardless of the drop.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -64,7 +64,18 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark, src, out, copies)
+    println(s"GENERATED $out (${copies}x $src)")
+    spark.stop()
+  }
 
+  /** Core generation, callable from tests with an existing session.
+    * `slices` fixes the partition count of the synthesis ranges (default:
+    * session parallelism) — output values must be identical regardless,
+    * which GenScaleSpec asserts by varying it.
+    */
+  def run(spark: SparkSession, src: String, out: String, copies: Int,
+      slices: Option[Int] = None): Unit = {
     def rd(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, parts: Int): Unit =
@@ -96,12 +107,13 @@ object GenScale {
       wr(scaled, table, math.max(copies, 4))
     }
 
-    synthDocuments(spark, rd("documents"), out, copies)
-    synthEmbeddings(spark, rd("embeddings"), out, copies)
-
-    println(s"GENERATED $out (${copies}x $src)")
-    spark.stop()
+    synthDocuments(spark, rd("documents"), out, copies, slices)
+    synthEmbeddings(spark, rd("embeddings"), out, copies, slices)
   }
+
+  private def rangeIds(spark: SparkSession, start: Long, end: Long,
+      slices: Option[Int]) =
+    slices.fold(spark.range(start, end))(s => spark.range(start, end, 1L, s))
 
   /** Fresh documents with the source corpus's measured shape. Copy 0 is
     * the source verbatim (sf1 ⊇ sf0.1, like a growing corpus); copies
@@ -111,7 +123,8 @@ object GenScale {
     * reproduced by re-emitting the previous synthesized text.
     */
   private def synthDocuments(
-      spark: SparkSession, docs: DataFrame, out: String, copies: Int): Unit = {
+      spark: SparkSession, docs: DataFrame, out: String, copies: Int,
+      slices: Option[Int]): Unit = {
     import spark.implicits._
     val n = docs.count()
     // Vocabulary by frequency (the corpus is a small closed vocab).
@@ -129,8 +142,12 @@ object GenScale {
     val langs: Array[(String, Long)] =
       docs.groupBy("lang").count().orderBy("lang").as[(String, Long)].collect()
     val langCum = langs.map(_._2).scanLeft(0L)(_ + _).tail
-    val sources: Array[String] =
-      docs.select("source").distinct().orderBy("source").as[String].collect()
+    // Measured source mix (cumulative weights, same pick() as lang) — a
+    // uniform draw over distinct sources would distort per-source
+    // distributions (e.g. q91 token budgets) at scale.
+    val sources: Array[(String, Long)] =
+      docs.groupBy("source").count().orderBy("source").as[(String, Long)].collect()
+    val sourceCum = sources.map(_._2).scanLeft(0L)(_ + _).tail
     // Planted exact-dup rate: dup pairs per doc in the source.
     val dupRate =
       (n - docs.select("text").distinct().count()).toDouble / n
@@ -141,27 +158,39 @@ object GenScale {
       if (i >= 0) i else -i - 1
     }
 
-    val extra = spark.range(n, n * copies).mapPartitions { ids =>
-      var prevText: String = null
-      ids.map { id =>
-        val r = new java.util.Random(1000003L * id + 42L)
-        val nw = lens(r.nextInt(lens.length))
-        val text =
-          if (prevText != null && r.nextDouble() < dupRate) prevText
-          else {
-            val sb = new StringBuilder
-            var i = 0
-            while (i < nw) {
-              if (i > 0) sb.append(' ')
-              sb.append(words(pick(r, cum, totalW)))
-              i += 1
-            }
-            sb.toString
-          }
-        prevText = text
-        (id, text, langs(pick(r, langCum, langCum.last))._1,
-          sources(r.nextInt(sources.length)), text.length.toLong)
+    // Every per-row decision is a pure function of the row id, so output
+    // is byte-identical across reruns AND partition layouts (the dup
+    // plant must not thread mutable state through mapPartitions).
+    def dupCoin(id: Long): Boolean =
+      new java.util.Random(1000003L * id + 42L).nextDouble() < dupRate
+    def freshText(id: Long): String = {
+      val rt = new java.util.Random(3000017L * id + 7L)
+      val nw = lens(rt.nextInt(lens.length))
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nw) {
+        if (i > 0) sb.append(' ')
+        sb.append(words(pick(rt, cum, totalW)))
+        i += 1
       }
+      sb.toString
+    }
+
+    val extra = rangeIds(spark, n, n * copies, slices).map { id =>
+      val r = new java.util.Random(1000003L * id + 42L)
+      val dup = r.nextDouble() < dupRate && id > n
+      val lang = langs(pick(r, langCum, langCum.last))._1
+      val source = sources(pick(r, sourceCum, sourceCum.last))._1
+      val text =
+        if (dup) {
+          // Walk back over any dup'd predecessors so the planted pair
+          // shares the STORED text of the previous row (exact dup), not
+          // that row's unused fresh draw. Geometric chain, expected O(1).
+          var t = id - 1
+          while (t > n && dupCoin(t)) t -= 1
+          freshText(t)
+        } else freshText(id)
+      (id, text, lang, source, text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
 
     docs.unionByName(extra).repartition(math.max(copies, 4))
@@ -174,7 +203,8 @@ object GenScale {
     * at every scale instead of 10 exact copies of each point).
     */
   private def synthEmbeddings(
-      spark: SparkSession, emb: DataFrame, out: String, copies: Int): Unit = {
+      spark: SparkSession, emb: DataFrame, out: String, copies: Int,
+      slices: Option[Int]): Unit = {
     import spark.implicits._
     val n = emb.count()
     val dim = emb.select(size(col("embedding"))).as[Int].head()
@@ -192,7 +222,7 @@ object GenScale {
       emb.groupBy("label").count().orderBy("label").as[(Int, Long)].collect()
     val labelCum = labels.map(_._2).scanLeft(0L)(_ + _).tail
 
-    val extra = spark.range(n, n * copies).map { id =>
+    val extra = rangeIds(spark, n, n * copies, slices).map { id =>
       val r = new java.util.Random(2000003L * id + 42L)
       val x = (r.nextDouble() * labelCum.last).toLong
       var li = java.util.Arrays.binarySearch(labelCum, x + 1)
