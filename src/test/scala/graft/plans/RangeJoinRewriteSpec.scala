@@ -110,8 +110,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
 
   test("timestamps via epoch seconds: q71's shape rewrites and agrees") {
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val ev = graft.io.Tables.load(spark, dir, "events")
     val p = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("pe"), $"user_id".as("pu"), $"ts".cast("long").as("psec"))
     val iv = ev.filter($"event_type" === "view")
