@@ -188,9 +188,14 @@ object Bench {
     raw.println(line)
     // Belt-and-braces for the driver's parse: the same single-line metric
     // as a plain file, written with NIO (no logger, no stream wrapper in
-    // the path), so the round's signal survives ANY stdout mangling.
+    // the path). Anchored to the repo root (where the driver looks), not
+    // the process CWD — `sbt "runMain"` and a bare `java -cp` launch can
+    // differ; overridable for tests via the system property.
+    val summaryDir = sys.props.get("graft.bench.summaryDir")
+      .orElse(sys.env.get("SPARK_GRAFT_REPO_DIR"))
+      .getOrElse("/root/repo")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_summary.json"), line + "\n")
+      java.nio.file.Paths.get(summaryDir, "bench_summary.json"), line + "\n")
     spark.stop()
   }
 }

@@ -72,9 +72,29 @@ object FilterStore {
     * the C1-acceptable scalar collect, same as q79's inline build.
     */
   def load(spark: SparkSession, path: String): (Array[Byte], Meta) = {
+    val h = loadHandle(spark, path)
+    (h.image, h.meta)
+  }
+
+  /** A loaded filter snapshot with its storage identity. `snapshotId`
+    * (path + publish mtime) names the exact published image, so the
+    * handle-keyed `probeBroadcast` can memo-hit WITHOUT re-hashing the
+    * image content on every plan build — repeat probes are O(1).
+    * Re-`save` → new mtime → a fresh `loadHandle` gets a fresh key; a
+    * stale handle keeps naming the snapshot it actually read, which is
+    * the correct semantics.
+    */
+  final case class LoadedFilter(path: String, snapshotId: String,
+      image: Array[Byte], meta: Meta)
+
+  /** [[load]] returning a [[LoadedFilter]] handle for O(1) repeat probes. */
+  def loadHandle(spark: SparkSession, path: String): LoadedFilter = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(target).getModificationTime
     val row = spark.read.parquet(path).head
     val fpp = Option(row.getAs[java.lang.Double]("fpp")).map(_.doubleValue())
-    (row.getAs[Array[Byte]]("image"),
+    LoadedFilter(path, s"path:$path@$mtime", row.getAs[Array[Byte]]("image"),
       Meta(row.getAs[Long]("n_keys"), row.getAs[Long]("expected"), fpp,
         row.getAs[String]("built_from")))
   }
@@ -130,10 +150,33 @@ object FilterStore {
           e: java.util.Map.Entry[(String, String, Int),
             org.apache.spark.broadcast.Broadcast[Array[Byte]]]): Boolean = {
         val evict = size() > MaxCachedBroadcasts
-        if (evict) e.getValue.unpersist(false)
+        // unpersist of a broadcast whose owning context already stopped
+        // throws (SparkContext shut down) rather than no-op-ing; those
+        // entries are garbage either way, so swallow and drop.
+        if (evict) scala.util.Try(e.getValue.unpersist(false))
         evict
       }
     }
+
+  /** Memo lookup shared by both probeBroadcast forms: purge entries from
+    * stopped applications on a miss (their broadcasts are unreachable and
+    * must NOT be unpersist-ed through a dead context), then insert.
+    */
+  private def cachedBroadcast(spark: SparkSession, contentKey: String,
+      len: Int, image: => Array[Byte]) = {
+    val appId = spark.sparkContext.applicationId
+    val id = (appId, contentKey, len)
+    bcastByImage.synchronized {
+      val hit = bcastByImage.get(id)
+      if (hit != null) hit
+      else {
+        bcastByImage.keySet.removeIf(_._1 != appId)
+        val fresh = spark.sparkContext.broadcast(image)
+        bcastByImage.put(id, fresh)
+        fresh
+      }
+    }
+  }
 
   /** Broadcast-variable probe form, regardless of size (the ≥ threshold
     * arm of [[probe]]; exposed for tests and for callers that reuse one
@@ -141,21 +184,27 @@ object FilterStore {
     * them, where each literal plan would re-ship it). Broadcasts are
     * memoized per image content ([[bcastByImage]]), so repeated calls
     * over the same image reuse one broadcast instead of leaking a block
-    * per call.
+    * per call. This form must hash the full image per call to key the
+    * memo; callers that went through [[loadHandle]] should use the
+    * handle-keyed overload, whose repeat probes skip the hash entirely.
     */
   def probeBroadcast(spark: SparkSession, image: Array[Byte], key: Column): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(image).map(b => f"$b%02x").mkString
-    val id = (spark.sparkContext.applicationId, hex, image.length)
-    val b = bcastByImage.synchronized {
-      val hit = bcastByImage.get(id)
-      if (hit != null) hit
-      else {
-        val fresh = spark.sparkContext.broadcast(image)
-        bcastByImage.put(id, fresh)
-        fresh
-      }
-    }
+    val b = cachedBroadcast(spark, hex, image.length, image)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      BloomContainsBroadcast(b,
+        org.apache.spark.sql.GraftSqlBridge.expression(key)))
+  }
+
+  /** Handle-keyed broadcast probe: the memo key is the filter's storage
+    * snapshot identity ([[LoadedFilter.snapshotId]]), so a repeat probe
+    * is a map lookup — no O(image) content hash per plan build (the r9
+    * FilterStore nit). Safe because a snapshotId names one published
+    * image: re-saves change the publish mtime and therefore the key.
+    */
+  def probeBroadcast(spark: SparkSession, f: LoadedFilter, key: Column): Column = {
+    val b = cachedBroadcast(spark, f.snapshotId, f.image.length, f.image)
     org.apache.spark.sql.GraftSqlBridge.column(
       BloomContainsBroadcast(b,
         org.apache.spark.sql.GraftSqlBridge.expression(key)))

@@ -59,6 +59,33 @@ class FilterStoreSpec extends SparkSpec {
     assert(!fs.exists(parked))
   }
 
+  test("handle-keyed probes reuse ONE broadcast across N probes; re-save rotates it") {
+    def bcastOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlBridge.expression(c)
+        .asInstanceOf[graft.expressions.BloomContainsBroadcast].bcast
+    val dir = Files.createTempDirectory("fstore").toString + "/f.bloom"
+    FilterStore.save(spark, dir, (1L to 5000L).toDF("k"), expected = 5000L)
+    val h = FilterStore.loadHandle(spark, dir)
+    // N probes of one handle: all memo-hit the same broadcast (the key is
+    // the snapshot id — a map lookup, no per-call content hash), so plan
+    // rebuilds neither leak blocks nor pay O(image) to find that out.
+    val bs = (1 to 5).map(_ => bcastOf(FilterStore.probeBroadcast(spark, h, col("p"))))
+    assert(bs.forall(_ eq bs.head), "expected one shared broadcast across probes")
+    // and the handle path agrees with the content-keyed path row-for-row
+    val byHandle = spark.range(1, 10001).toDF("p")
+      .filter(FilterStore.probeBroadcast(spark, h, col("p"))).count()
+    val byContent = spark.range(1, 10001).toDF("p")
+      .filter(FilterStore.probeBroadcast(spark, h.image, col("p"))).count()
+    assert(byHandle === byContent)
+    // re-save publishes a new snapshot: a fresh handle must get a fresh
+    // broadcast (mtime in the snapshot id), never the stale image
+    Thread.sleep(1100) // fs mtime granularity can be 1s
+    FilterStore.save(spark, dir, (9000L to 9100L).toDF("k"), expected = 200L)
+    val h2 = FilterStore.loadHandle(spark, dir)
+    assert(h2.snapshotId != h.snapshotId)
+    assert(bcastOf(FilterStore.probeBroadcast(spark, h2, col("p"))) ne bs.head)
+  }
+
   test("re-save replaces the stored filter") {
     val dir = Files.createTempDirectory("fstore").toString + "/f.bloom"
     FilterStore.save(spark, dir, (1L to 100L).toDF("k"), expected = 100L)

@@ -3,13 +3,16 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 
-/** Mechanical plan-shape pins (q34 + q89-q92) —
-  * the PLAN_AUDIT.md table as assertions, so a shape regression (a new
-  * cartesian, a join strategy flip, a global window sneaking in) fails
-  * `sbt test` instead of waiting for a human diff of the audit doc.
+/** Mechanical plan-shape pins — the PLAN_AUDIT.md table as assertions, so
+  * a shape regression (a new cartesian, a join strategy flip, a global
+  * window sneaking in) fails `sbt test` instead of waiting for a human
+  * diff of the audit doc. Covers q34/q89–q92 plus the bench's top-10 most
+  * expensive queries (q04, q20, q58, q61, q64, q70, q72, q79, q87, q91).
   * Invariant-style bounds, not exact exchange counts: AQE and data size
   * legitimately move small-side strategies, while the properties pinned
-  * here are the ones that must hold at ANY size.
+  * here are the ones that must hold at ANY size. Nested-loop allowances
+  * are the documented scale-free ONE-ROW-build crosses (PLAN_AUDIT.md) —
+  * the pin is that their COUNT never grows.
   */
 class PlanShapeSpec extends SparkSpec {
 
@@ -73,5 +76,84 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Join") == 0, p)
     assert(count(p, "Window") == 0, p)
     assert(count(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q04 dedup exact: one hash-aggregate pass — no joins, no window, one scan") {
+    val p = planOf(graft.queries.Parity.q04DedupExact(spark, dir))
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Window") == 0, p)
+    assert(count(p, "Scan parquet") == 1, p)
+  }
+
+  test("q20 jaccard pairs: equi-joins on digests only, shared gram frame pinned once") {
+    val p = planOf(Extensions.q20JaccardPairs(spark, dir))
+    assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0, p)
+    // both join sides read the ONE checkpointed gram frame — a parquet
+    // scan here means tokenize/hash re-runs per side
+    assert(count(p, "Scan parquet") == 0, p)
+    assert(count(p, "Window") == 0, p)
+  }
+
+  test("q58 tfidf top-k: the only cross is the one-row corpus count; top-k window is per-doc") {
+    val p = planOf(Extensions.q58TfidfTopk(spark, dir))
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoop") == 1,
+      "exactly the one-row doc-count broadcast: " + p)
+    // the rank window must keep its per-key partition spec — an
+    // unpartitioned window would serialize the corpus through one task
+    assert("(?m)^.*Window.*windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined
+      || count(p, "Window") == 0, "q58's top-k window lost its doc_id partitioning:\n" + p)
+  }
+
+  test("q61 dedup clusters: iterative equi-joins, no cartesian, lineage truncated") {
+    val p = planOf(Extensions.q61DedupClusters(spark, dir))
+    assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0, p)
+    assert(count(p, "Window") == 0, p)
+    // converged result reads checkpointed rounds, never re-scans parquet
+    assert(count(p, "Scan parquet") == 0, p)
+  }
+
+  test("q64 ivf-pq search: codebook crosses are one-row builds; candidate joins are equi") {
+    val p = planOf(Extensions.q64IvfpqSearch(spark, dir))
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoop") <= 3,
+      "only the one-row codebook/ADC broadcasts may cross: " + p)
+    assert(count(p, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 1,
+      "cell-probe candidate selection must be an equi-join: " + p)
+    assert(count(p, "Scan parquet") == 0, p)
+  }
+
+  test("q70 bigram fluency: digest-only shuffles, shared gram frame pinned once") {
+    val p = planOf(Extensions.q70BigramFluency(spark, dir))
+    assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0, p)
+    assert(count(p, "Scan parquet") == 0, p)
+    assert(count(p, "Window") == 0, p)
+  }
+
+  test("q72 interval overlap: binning turns BETWEEN into a hash equi-join") {
+    val p = planOf(Extensions.q72IntervalOverlap(spark, dir))
+    assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0,
+      "a range theta-join leaked past the binned rewrite: " + p)
+    assert(count(p, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 1, p)
+  }
+
+  test("q79 bloom join: literal probe filters before the single confirm join") {
+    val p = planOf(Extensions.q79BloomJoin(spark, dir))
+    assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0,
+      "the image must ride a foldable literal, never a crossed column: " + p)
+    assert(count(p, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") == 1, p)
+    assert(p.contains("bloom_contains"),
+      "the pre-join bloom probe filter disappeared from the plan:\n" + p)
+  }
+
+  test("q87 deciles: range-partitioned rank; the only cross is the one-row total") {
+    val p = planOf(Extensions.q87Deciles(spark, dir))
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoop") == 1,
+      "exactly the one-row total-count broadcast: " + p)
+    // decile boundaries come from range partitioning + per-partition
+    // offsets, never a global unpartitioned rank window
+    assert(!"(?m)^.*Window.*windowspecdefinition\\(\\s*[,)]".r.findFirstIn(p).isDefined,
+      "q87 grew an unpartitioned global window:\n" + p)
   }
 }
