@@ -109,6 +109,7 @@ object SparkEntry {
     "q90_semdedup" -> (Extensions.q90Semdedup _),
     "q91_token_budget" -> (Extensions.q91TokenBudget _),
     "q92_sample_quantiles" -> (Extensions.q92SampleQuantiles _),
+    "q93_real_decode" -> (Extensions.q93RealDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -208,4 +208,43 @@ object Multimodal {
       .as[MediaBlob]
     extractMeta(blobs).toDF()
   }
+
+  /** REAL-codec pipeline (q93): render a deterministic RGB PNG per doc —
+    * dimensions a closed-form function of the id, so the DuckDB oracle
+    * recomputes them without any codec — then run [[extractMetaReal]]
+    * over the encoded bytes. Encode and decode both happen inside the
+    * executors' mapPartitions stages (the bytes never visit the driver),
+    * so the harness exercises the true `javax.imageio` path under the
+    * same distributed shape as a 100 TB media scan.
+    */
+  def pngWidth(id: Long): Int = (16 + id % 32).toInt
+  def pngHeight(id: Long): Int = (16 + (id * 7) % 32).toInt
+
+  def syntheticPngMeta(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    val blobs = df.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // keep ImageIO's scratch space in memory: a header-sized encode
+      // must not page through executor-local temp files
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val (w, h) = (pngWidth(id), pngHeight(id))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaBlob(id, bos.toByteArray)
+      }
+    }
+    extractMetaReal(blobs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+  }
 }

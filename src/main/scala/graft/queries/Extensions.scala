@@ -1875,8 +1875,10 @@ object Extensions {
     math.min(4096L, math.max(64L,
       4L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
-  /** No-stats fallback cap (streaming, where the corpus size is unknown
-    * at plan time): the old fixed value.
+  /** No-stats fallback cap for callers that cannot measure a corpus size
+    * at all. Streaming no longer needs it — StreamSemDedup re-measures
+    * the kept-doc history per micro-batch and derives [[semDedupCap]]
+    * from it (CapAuto).
     */
   val SemDedupNeighborCap = 128
 
@@ -2053,4 +2055,18 @@ object Extensions {
         portableRound(weight, 6).as("weight"),
         r4(weight / share).as("boost"))
   }
+
+  /** q93 — REAL image decode, oracle-checked: render a deterministic PNG
+    * per doc (dims a closed-form function of doc_id, see
+    * [[Multimodal.pngWidth]]/[[Multimodal.pngHeight]]), decode it back
+    * through the true `javax.imageio` header path, and report the decoded
+    * dimensions. The oracle recomputes the dims arithmetically — so a
+    * codec regression (wrong band count, off-by-one header parse, stub
+    * silently taking over) is a hash mismatch, not a test-only concern.
+    * 48 docs: enough to cover every (width, height) residue class while
+    * keeping the encode cost a rounding error in the bench.
+    */
+  def q93RealDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticPngMeta(s,
+      t(s, dir, "documents").where(col("doc_id") < 48))
 }

@@ -1258,6 +1258,17 @@ object Oracles {
          |  ${r("quantile_cont(v, 0.99)", 4)} AS p99
          |FROM smp GROUP BY l_returnflag""".stripMargin,
 
+    // q93: the Spark side ENCODES a real PNG per doc and DECODES it via
+    // javax.imageio; the oracle recomputes the planted dimensions
+    // arithmetically (no codec in DuckDB needed) — a decode regression
+    // shows up as a value mismatch.
+    "q93_real_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM documents WHERE doc_id < 48""".stripMargin,
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -61,6 +61,24 @@ import graft.queries.Extensions
   */
 object StreamSemDedup {
 
+  /** `cap` sentinel: derive the per-batch candidate cap from the data —
+    * [[Extensions.semDedupCap]] of the CURRENT corpus size (kept-doc
+    * history + this batch), re-measured every micro-batch. The batch
+    * operator's cap is a function of its corpus row count; the streaming
+    * corpus grows, so its cap must grow with it rather than sit at a
+    * compile-time constant (the r9 "fixed 128 fallback" finding). The
+    * history size is one metadata-cheap parquet count over the kept-doc
+    * index (footer row counts — compaction keeps the file count bounded).
+    */
+  val CapAuto: Int = -1
+
+  /** The cap a batch actually runs with: explicit wins; [[CapAuto]]
+    * derives from the corpus size at this batch. Pure — pinned directly
+    * by StreamSemDedupSpec alongside the e2e parity case.
+    */
+  def effectiveCap(cap: Int, historyN: Long, batchN: Long): Int =
+    if (cap > 0) cap else Extensions.semDedupCap(historyN + batchN)
+
   /** Per-doc annotation columns: `cell`, `dup_of` (null = kept),
     * `n_dups` (matches found), `max_sim`. Kept docs' (id, vec, cell)
     * append to `historyPath`; the full annotated batch writes to
@@ -68,7 +86,7 @@ object StreamSemDedup {
     */
   def writer(stream: DataFrame, cells: Seq[(Int, Seq[Double])],
       historyPath: String, outPath: String, tau: Double,
-      cap: Int = Extensions.SemDedupNeighborCap,
+      cap: Int = CapAuto,
       idCol: String = "vec_id", vecCol: String = "vec"): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       processBatch(batch.toDF(), batchId, cells, historyPath, outPath,
@@ -91,8 +109,27 @@ object StreamSemDedup {
         val assigned = StreamAssign.assign(batch.toDF(), cells, vecCol)
           .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("cell"))
           .localCheckpoint(eager = true)
+        val fs = new Path(historyPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // absent OR still-empty (a pre-created dir with no batch output
+        // yet would fail parquet schema inference)
+        val hasHistory = fs.exists(new Path(historyPath)) &&
+          fs.listStatus(new Path(historyPath))
+            .exists(_.getPath.getName.startsWith("batch_id="))
+        // CapAuto: the corpus at this batch = kept history (replay fence
+        // applied, so a re-run sizes identically) + the batch itself.
+        // Counting the checkpointed batch is free; the history count is
+        // parquet footer metadata.
+        val effCap =
+          if (cap > 0) cap
+          else {
+            val histN = if (!hasHistory) 0L
+              else s.read.option("basePath", historyPath).parquet(historyPath)
+                .filter(col("batch_id") < batchId).count()
+            effectiveCap(cap, histN, assigned.count())
+          }
         // q90's banded within-batch pairing: (vec_id, dup_of, n_dups, max_sim)
-        val intra = Extensions.semdedupFromCells(s, assigned, cap, tau)
+        val intra = Extensions.semdedupFromCells(s, assigned, effCap, tau)
           .withColumnsRenamed(Map(
             "dup_of" -> "b_dup", "n_dups" -> "b_n", "max_sim" -> "b_sim"))
         // ≤ K ints — C1 scalar collect. A null-vec doc has a null cell
@@ -102,13 +139,6 @@ object StreamSemDedup {
         // same row — and contributes no touched cell.
         val touched = assigned.select("cell").distinct().collect()
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
-        val fs = new Path(historyPath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        // absent OR still-empty (a pre-created dir with no batch output
-        // yet would fail parquet schema inference)
-        val hasHistory = fs.exists(new Path(historyPath)) &&
-          fs.listStatus(new Path(historyPath))
-            .exists(_.getPath.getName.startsWith("batch_id="))
         val inter =
           if (!hasHistory || touched.isEmpty) null
           else {
@@ -127,7 +157,7 @@ object StreamSemDedup {
               .withColumn("hrn", row_number().over(
                 org.apache.spark.sql.expressions.Window
                   .partitionBy(col("cell")).orderBy(col("h_id").desc)))
-              .filter(col("hrn") <= cap)
+              .filter(col("hrn") <= effCap)
               .drop("hrn")
             recent
               .join(assigned.hint("broadcast"), Seq("cell"))

@@ -109,6 +109,47 @@ class StreamSemDedupSpec extends SparkSpec {
     assert(run(1) == None)
   }
 
+  test("CapAuto derives the cap from history size and tracks its growth") {
+    import graft.queries.Extensions
+    // the pure derivation: explicit wins; auto = semDedupCap(history+batch),
+    // which FOLLOWS the corpus as it grows instead of pinning 128
+    assert(StreamSemDedup.effectiveCap(7, 1000000L, 10L) === 7)
+    assert(StreamSemDedup.effectiveCap(StreamSemDedup.CapAuto, 0L, 100L) ===
+      Extensions.semDedupCap(100L))
+    val small = StreamSemDedup.effectiveCap(StreamSemDedup.CapAuto, 1000L, 50L)
+    val big = StreamSemDedup.effectiveCap(StreamSemDedup.CapAuto, 1000000L, 50L)
+    assert(small === Extensions.semDedupCap(1050L))
+    assert(big === Extensions.semDedupCap(1000050L))
+    assert(big > small, "cap must grow with the kept-doc history")
+
+    // e2e: an auto-cap stream annotates identically to one run with the
+    // equivalent explicit cap (batch/stream parity of the derivation) —
+    // batch 1 has no history (N = 2), batch 2 sees history 2 + batch 1
+    def run(cap: Int): Seq[(Long, Option[Long])] = {
+      val out = java.nio.file.Files.createTempDirectory(s"ssd_auto${cap}_o").toString
+      val hist = java.nio.file.Files.createTempDirectory(s"ssd_auto${cap}_h").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ssd_auto${cap}_c").toString
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = StreamSemDedup.writer(in.toDF().toDF("vec_id", "vec"), cells,
+        hist, out, tau = 0.9, cap = cap)
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        in.addData(Seq((10L, axes(0)), (11L, axes(1))).toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(Seq((20L, jitter(axes(0), 0.05)), (21L, axes(2))).toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out).select("vec_id", "dup_of").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSeq.sortBy(_._1)
+    }
+    val auto = run(StreamSemDedup.CapAuto)
+    val explicit = run(Extensions.semDedupCap(4L)) // == the auto cap at this size
+    assert(auto === explicit)
+    assert(auto.toMap.apply(20L) === Some(10L), "cross-batch dup must still resolve")
+  }
+
   test("compactHistory folds committed dirs; the restarted stream dedups against them") {
     val out = java.nio.file.Files.createTempDirectory("ssd_cmp_o").toString
     val hist = java.nio.file.Files.createTempDirectory("ssd_cmp_h").toString
