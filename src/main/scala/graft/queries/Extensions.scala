@@ -346,61 +346,105 @@ object Extensions {
   /** Word-bigram Jaccard near-dup pairs, blocked by `source` (blocking key
     * bounds the pair space; at scale the block key would be an LSH bucket).
     */
+  /** q20's LSH banding parameters: [[JacBands]] bands of [[JacRows]]
+    * minhashes ⇒ candidate recall 1 − (1 − j^rows)^bands — ~0.86 at the
+    * τ = 0.2 floor, ≥ 0.99 from j ≈ 0.3, ~1 for real near-dups. The
+    * permutation family is multiply-add mod 2³² over a 32-bit md5-prefix
+    * gram hash — exact in 64-bit integer arithmetic on BOTH engines
+    * (products < 2⁶³, no overflow), so the DuckDB oracle replays the
+    * identical permutations. Constants are fixed draws (odd multipliers
+    * < 2³¹) from one seeded generator.
+    */
+  val JacBands = 48
+  val JacRows = 2
+  val (jacA, jacC): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(2020L)
+    // odd, < 2³¹: a·h32 + c < 2⁶³ for any 32-bit h32 — no Long overflow
+    val a = Array.fill(JacBands * JacRows)((r.nextInt(Int.MaxValue) | 1).toLong)
+    val c = Array.fill(JacBands * JacRows)(r.nextInt(Int.MaxValue).toLong * 2)
+    (a, c)
+  }
+
   def q20JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // Exact-verified LSH similarity join — the formulation that survives
+    // a 100 TB corpus. History: round 2 replaced per-pair array_intersect
+    // with an inverted-index co-occurrence COUNT join, linear in gram
+    // co-occurrences; the round-10 sf1 measurement showed that term is
+    // itself quadratic when the vocabulary is closed (df ∝ N ⇒ co-pairs
+    // ∝ N²: 3.9 M at sf0.1 → 369 M at sf1 → bench timeout). Exact
+    // blocking (PPJoin prefix filtering) prunes only ~24 % here (flat
+    // df), and rare-gram candidate capping has a measured 0/22 recall at
+    // sf1 — qualifying pairs share only common grams. So q20 now does
+    // what production near-dup does at scale (MinHash blocking + exact
+    // verification): candidates come from banded minhash collisions over
+    // the gram set ([[JacBands]]×[[JacRows]], recall curve above), and
+    // every candidate is verified with an EXACT Jaccard over the full
+    // gram arrays — reported values are exact; the only miss class is a
+    // pair colliding in no band, the same documented contract as
+    // q18/q90. Cost: signatures are one md5 + 2·bands·rows multiply-adds
+    // per gram posting (one hash aggregate), buckets are equi-grouped
+    // with the [[HotBucketCap]] flood cap, and verification touches only
+    // actual candidates — every stage linear in the corpus.
     val grams = docs(s, dir)
       .withColumn("tk", Txt.tokens(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(Txt.wordBigramsExpr("tk")).as("grams"))
-      .withColumn("gsz", size(col("grams")))
-    // Inverted-index intersection: per-pair array_intersect is an
-    // interpreted (non-codegen) expression — at ~10⁶ candidate pairs it
-    // dominated the query. Instead explode to (source, gramHash, doc) rows,
-    // self-join on the gram, and COUNT co-occurrences per pair: every
-    // operator is a codegen'd join/hash-aggregate, the shuffle key
-    // (source, gram) is high-cardinality (full parallelism), and cost is
-    // linear in actual co-occurrences instead of pairs × |grams|. This is
-    // the formulation that survives a 100 TB corpus — no arrays cross a
-    // shuffle, no O(n²) per-block work without evidence of overlap.
-    // Gram identity travels as xxhash64 (|hashed ∩| = |string ∩| absent
-    // collisions, P ≈ 10⁻¹¹ here — the string-based oracle still matches).
-    // Measured dead end (r2): rewriting this self-join as the q18-style
-    // GROUP BY + collect_list pair expansion was 2.4× SLOWER — word
-    // bigrams are near-unique, so collect_list materializes millions of
-    // size-1 postings lists that the filter then discards, while the join
-    // only pays for actual matches. The double-computed gram subplan is
-    // the cheaper side of that trade here (unlike q18/q37, whose bucket
-    // keys are engineered to be dense).
-    // The inverted index feeds BOTH sides of the self-join; without
-    // materialization the tokenize/bigram/hash subplan executes twice
-    // (self-join aliasing defeats ReuseExchange). One eager pin computes
-    // it once — the explicit CTE-materialization Spark doesn't do
-    // automatically. (On a fault-tolerant cluster run, reliable
-    // checkpoint() — same shape.) Pin the COMPACT per-doc hash arrays,
-    // not the exploded postings: the expensive work (tokenize → bigrams
-    // → xxhash64) happens once pre-pin, each join side pays only the
-    // cheap explode over the checkpoint, and the materialized bytes
-    // shrink from one row per (doc, gram) to one per doc — wall-time
-    // neutral at sf0.1 (the self-join dominates), but the smaller image
-    // is what a reliable checkpoint writes to durable storage on a
-    // cluster.
+    // Compact per-doc arrays of 60-bit md5-prefix gram hashes, pinned
+    // once: the signature aggregate AND both verify sides read this one
+    // materialization (|hashed ∩| = |string ∩| absent collisions,
+    // P ≈ 2⁻⁶⁰ per pair — the string-based oracle still matches).
     val hashed = grams.select(
-      col("source"), col("doc_id"), col("gsz"),
-      transform(col("grams"), x => xxhash64(x)).as("ghs"))
+      col("source"), col("doc_id"), size(col("grams")).as("gsz"),
+      transform(col("grams"),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("ghs"))
       .pinned
-    val inv = hashed.select(
-      col("source"), col("doc_id"), col("gsz"), explode(col("ghs")).as("gh"))
-    val inter = col("inter")
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.source") === col("b.source") && col("a.gh") === col("b.gh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.source").as("source"),
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.gsz").as("asz"), col("b.gsz").as("bsz"))
-      .agg(count(lit(1)).as("inter"))
+    val post = hashed.select(
+      col("source"), col("doc_id"), explode(col("ghs")).as("h60"))
+      // h32 = first 8 hex = h60 >> 28: the permutation input (integer
+      // `div` — a double `/` would round h60 past 53 bits first)
+      .withColumn("h32", expr("h60 div 268435456"))
+    // 2·bands minhashes per doc in ONE hash aggregate: min of
+    // (permuted h32, h60) structs — lexicographic struct min = argmin
+    // with a deterministic h60 tie-break; the kept h60 IS the argmin
+    // gram's identity, so band keys are 60-bit-wide per row (no 32-bit
+    // bucket aliasing at billion-doc scale).
+    val mins = (0 until JacBands * JacRows).map { j =>
+      min(struct(
+        ((lit(jacA(j)) * col("h32") + lit(jacC(j))) % lit(4294967296L)).as("p"),
+        col("h60").as("g"))).as(s"m$j")
+    }
+    val sig = post.groupBy(col("source"), col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until JacBands).map { b =>
+      struct(lit(b).as("band"),
+        col(s"m${JacRows * b}").getField("g").as("k1"),
+        col(s"m${JacRows * b + 1}").getField("g").as("k2"))
+    }
+    val bands = sig.select(col("source"), col("doc_id"),
+      explode(array(bandStructs: _*)).as("bh"))
+      .select(col("source"), col("doc_id"), col("bh.band").as("band"),
+        col("bh.k1").as("k1"), col("bh.k2").as("k2"))
+    // q18's capped-bucket pair expansion: GROUP BY the bucket key,
+    // bounded member list, in-plan i<j combinations.
+    val cand = bands
+      .groupBy(col("source"), col("band"), col("k1"), col("k2"))
+      .agg(boundedSortedList(s, HotBucketCap, "doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("source"), explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .select(col("source"), col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    // EXACT verification of each candidate over the full gram arrays.
+    val inter = size(array_intersect(col("a_ghs"), col("b_ghs")))
+    cand
+      .join(hashed.select(col("source"), col("doc_id").as("a_id"),
+        col("gsz").as("asz"), col("ghs").as("a_ghs")), Seq("source", "a_id"))
+      .join(hashed.select(col("source"), col("doc_id").as("b_id"),
+        col("gsz").as("bsz"), col("ghs").as("b_ghs")), Seq("source", "b_id"))
       .select(col("source"), col("a_id"), col("b_id"),
-        (inter.cast("double") / (col("asz") + col("bsz") - inter).cast("double")).as("jac"))
+        (inter.cast("double") /
+          (col("asz") + col("bsz") - inter).cast("double")).as("jac"))
       .filter(col("jac") >= 0.2)
       .select(col("source"), col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
   }

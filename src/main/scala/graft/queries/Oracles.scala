@@ -323,18 +323,50 @@ object Oracles {
     },
 
     "q20_jaccard_pairs" -> {
+      // Mirror of the LSH-blocked exact-verified similarity join: same
+      // md5-prefix gram hashes, same multiply-add-mod-2³² permutations
+      // (identical constants interpolated from Extensions.jacA/jacC),
+      // same banded argmin keys, same HotBucketCap smallest-ids bucket
+      // cap, then exact Jaccard over the full hashed-gram sets.
       val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
+      val minsSql = (0 until Extensions.JacBands * Extensions.JacRows).map { j =>
+        s"min([(${Extensions.jacA(j)} * h32 + ${Extensions.jacC(j)}) % 4294967296, h60]) AS m$j"
+      }.mkString(",\n    ")
+      val bandSql = (0 until Extensions.JacBands).map { b =>
+        s"SELECT source, doc_id, $b AS band, m${Extensions.JacRows * b}[2] AS k1, " +
+          s"m${Extensions.JacRows * b + 1}[2] AS k2 FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
       s"""WITH tok AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, source, $bigrams AS grams FROM tok),
-         |sz AS (SELECT doc_id, source, grams, len(grams) AS gsz FROM g),
-         |i AS (
-         |  SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
-         |    len(list_intersect(a.grams, b.grams)) AS inter, a.gsz AS asz, b.gsz AS bsz
-         |  FROM sz a JOIN sz b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |hg AS (SELECT doc_id, source, len(grams) AS gsz,
+         |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in grams] AS ghs FROM g),
+         |post AS (SELECT doc_id, source, unnest(ghs) AS h60 FROM hg),
+         |ph AS (SELECT doc_id, source, h60, h60 // 268435456 AS h32 FROM post),
+         |sig AS (
+         |  SELECT source, doc_id,
+         |    $minsSql
+         |  FROM ph GROUP BY source, doc_id),
+         |bands AS (
+         |  $bandSql),
+         |capped AS (SELECT * FROM (
+         |  SELECT source, band, k1, k2, doc_id,
+         |    row_number() OVER (PARTITION BY source, band, k1, k2 ORDER BY doc_id) AS rn
+         |  FROM bands) WHERE rn <= ${Extensions.HotBucketCap}),
+         |cand AS (
+         |  SELECT DISTINCT a.source, a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM capped a JOIN capped b
+         |    ON a.source = b.source AND a.band = b.band
+         |   AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT cand.source, a_id, b_id,
+         |    len(list_intersect(ha.ghs, hb.ghs)) AS inter, ha.gsz AS asz, hb.gsz AS bsz
+         |  FROM cand
+         |  JOIN hg ha ON ha.source = cand.source AND ha.doc_id = cand.a_id
+         |  JOIN hg hb ON hb.source = cand.source AND hb.doc_id = cand.b_id),
          |p AS (
          |  SELECT source, a_id, b_id,
          |    CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) AS jac
-         |  FROM i)
+         |  FROM v)
          |SELECT source, a_id, b_id, ${r("jac", 4)} AS jaccard FROM p WHERE jac >= 0.2""".stripMargin
     },
 

@@ -26,15 +26,21 @@ def canon(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
-    import os
+    import os, re, tempfile
+    # Bound DuckDB instead of letting the box's OOM killer do it: big-sf
+    # oracle replays (list-heavy CTEs) spill to disk past the limit.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckck')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver data = one file; GenScale output = a Spark directory
         pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if re.search(only, k)}
     fails = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -81,4 +87,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
