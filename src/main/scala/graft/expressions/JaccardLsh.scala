@@ -1,0 +1,186 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The q20 LSH banding constants, owned here so the fused expressions,
+  * the composable fallback, and the DuckDB oracle all read ONE source.
+  * [[Bands]] bands of [[Rows]] minhashes; permutation j is
+  * `(A(j)·h32 + C(j)) mod 2³¹` over the gram's 32-bit md5-prefix hash —
+  * every product stays under 2⁶³, so 64-bit integer arithmetic is exact
+  * and bit-identical on Spark and DuckDB. Constants are fixed draws
+  * (odd multipliers < 2³¹) from one seeded generator.
+  */
+object JaccardLsh {
+  val Bands = 48
+  val Rows = 2
+  val (a, c): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(2020L)
+    val a = Array.fill(Bands * Rows)((r.nextInt(Int.MaxValue) | 1).toLong)
+    val c = Array.fill(Bands * Rows)(r.nextInt(Int.MaxValue).toLong * 2)
+    (a, c)
+  }
+}
+
+/** `bigram_h60s(text)` → array<long> of the DISTINCT 60-bit md5-prefix
+  * hashes of the text's word bigrams — the q20 gram fingerprint, fused.
+  *
+  * Exact-parity twin of the composable chain
+  * `transform(array_distinct(bigrams(tokens(text))),
+  *            g -> conv(substr(md5(g), 1, 15), 16, 10))`:
+  * tokens are the non-empty runs between 0x20 bytes, a bigram's digest
+  * input is `tokA ⧺ 0x20 ⧺ tokB` (three md5 updates — no concat
+  * allocation), h60 is the digest's first 8 bytes big-endian shifted
+  * right 4 (= the first 15 hex chars as an integer), and distinctness
+  * is by h60 with first-occurrence order. The fold form allocates a
+  * token array, a bigram string, a 32-char hex string, and an
+  * interpreted `conv` per gram; this is one pass over the raw bytes.
+  * CodegenFallback for the ArgmaxDot reason; ExpressionThroughputSpec
+  * pins the speedup and BigramH60sSpec the parity.
+  */
+case class BigramH60s(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bigram_h60s expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](0x20)
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val bytes = t.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    // non-empty token spans (starts, ends), skipping runs of spaces
+    var nTok = 0
+    var b = 0
+    while (b < n) {
+      if (bytes(b) != 0x20) {
+        nTok += 1
+        while (b < n && bytes(b) != 0x20) b += 1
+      } else b += 1
+    }
+    if (nTok < 2) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var ti = 0
+    b = 0
+    while (b < n) {
+      if (bytes(b) != 0x20) {
+        starts(ti) = b
+        while (b < n && bytes(b) != 0x20) b += 1
+        ends(ti) = b
+        ti += 1
+      } else b += 1
+    }
+    val md = mdTL.get()
+    val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
+    val out = new Array[Long](nTok - 1)
+    var m = 0
+    var i = 0
+    while (i < nTok - 1) {
+      md.reset()
+      md.update(bytes, starts(i), ends(i) - starts(i))
+      md.update(Space, 0, 1)
+      md.update(bytes, starts(i + 1), ends(i + 1) - starts(i + 1))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      val h60 = h >>> 4
+      if (seen.add(h60)) { out(m) = h60; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
+  override def prettyName: String = "bigram_h60s"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `jac_band_keys(ghs)` → array<long> of the [[JaccardLsh.Bands]] LSH
+  * band bucket keys of a gram-hash array. Minhash j is
+  * `min over grams of (perm_j(h32)·2³² + h32)` with
+  * `perm_j(x) = (A(j)·x + C(j)) mod 2³¹` and `h32 = h60 >>> 28` — the
+  * low 32 bits of each min are the argmin gram's h32. Band b's key
+  * packs its two argmins into one signed 64-bit value with NO overflow
+  * on either engine: `(k₁ − 2³¹)·2³² + k₂` spans exactly
+  * [−2⁶³, 2⁶³−1], so DuckDB's checked BIGINT arithmetic replays it.
+  *
+  * Emitting finished KEYS (not the 96 raw mins) matters: a 96-element
+  * intermediate consumed by 96 `element_at`s gets INLINED by projection
+  * collapse, re-evaluating the producer once per reference (measured
+  * 43 s of task time at sf0.1); one `posexplode` of this array
+  * evaluates it once per row. The exploded 96-way packed-long min
+  * aggregate is the composable parity twin. Empty gram array → empty
+  * result (the caller drops sig-less docs, matching the aggregate form
+  * which never saw a group).
+  */
+case class JacBandKeys(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jac_band_keys expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val ghs = arr.asInstanceOf[ArrayData]
+    val n = ghs.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val k = JaccardLsh.Bands * JaccardLsh.Rows
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val a = JaccardLsh.a
+    val c = JaccardLsh.c
+    var i = 0
+    while (i < n) {
+      val h32 = ghs.getLong(i) >>> 28
+      var j = 0
+      while (j < k) {
+        // mod/mul by powers of two as mask/shift — the operands are
+        // non-negative, so this is value-identical to the composable
+        // twin's `% 2³¹ · 2³²` and ~10× cheaper than integer division
+        val packed = ((a(j) * h32 + c(j)) & 0x7fffffffL) << 32 | h32
+        if (packed < mins(j)) mins(j) = packed
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](JaccardLsh.Bands)
+    var b = 0
+    while (b < JaccardLsh.Bands) {
+      val k1 = mins(JaccardLsh.Rows * b) & 0xffffffffL
+      val k2 = mins(JaccardLsh.Rows * b + 1) & 0xffffffffL
+      keys(b) = ((k1 - 2147483648L) << 32) + k2
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override def prettyName: String = "jac_band_keys"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -349,21 +349,16 @@ object Extensions {
   /** q20's LSH banding parameters: [[JacBands]] bands of [[JacRows]]
     * minhashes ⇒ candidate recall 1 − (1 − j^rows)^bands — ~0.86 at the
     * τ = 0.2 floor, ≥ 0.99 from j ≈ 0.3, ~1 for real near-dups. The
-    * permutation family is multiply-add mod 2³² over a 32-bit md5-prefix
+    * permutation family is multiply-add mod 2³¹ over a 32-bit md5-prefix
     * gram hash — exact in 64-bit integer arithmetic on BOTH engines
     * (products < 2⁶³, no overflow), so the DuckDB oracle replays the
     * identical permutations. Constants are fixed draws (odd multipliers
     * < 2³¹) from one seeded generator.
     */
-  val JacBands = 48
-  val JacRows = 2
-  val (jacA, jacC): (Array[Long], Array[Long]) = {
-    val r = new java.util.Random(2020L)
-    // odd, < 2³¹: a·h32 + c < 2⁶³ for any 32-bit h32 — no Long overflow
-    val a = Array.fill(JacBands * JacRows)((r.nextInt(Int.MaxValue) | 1).toLong)
-    val c = Array.fill(JacBands * JacRows)(r.nextInt(Int.MaxValue).toLong * 2)
-    (a, c)
-  }
+  val JacBands: Int = graft.expressions.JaccardLsh.Bands
+  val JacRows: Int = graft.expressions.JaccardLsh.Rows
+  val jacA: Array[Long] = graft.expressions.JaccardLsh.a
+  val jacC: Array[Long] = graft.expressions.JaccardLsh.c
 
   def q20JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // Exact-verified LSH similarity join — the formulation that survives
@@ -385,50 +380,85 @@ object Extensions {
     // per gram posting (one hash aggregate), buckets are equi-grouped
     // with the [[HotBucketCap]] flood cap, and verification touches only
     // actual candidates — every stage linear in the corpus.
-    val grams = docs(s, dir)
-      .withColumn("tk", Txt.tokens(col("text")))
-      .select(col("doc_id"), col("source"),
-        array_distinct(Txt.wordBigramsExpr("tk")).as("grams"))
     // Compact per-doc arrays of 60-bit md5-prefix gram hashes, pinned
-    // once: the signature aggregate AND both verify sides read this one
+    // once: the signature pass AND both verify sides read this one
     // materialization (|hashed ∩| = |string ∩| absent collisions,
     // P ≈ 2⁻⁶⁰ per pair — the string-based oracle still matches).
-    val hashed = grams.select(
-      col("source"), col("doc_id"), size(col("grams")).as("gsz"),
-      transform(col("grams"),
-        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("ghs"))
+    // Native fused `bigram_h60s` when registered (one pass over the raw
+    // bytes, zero string allocations); the composable twin otherwise.
+    val hashed = (if (s.catalog.functionExists("bigram_h60s"))
+      docs(s, dir).select(col("source"), col("doc_id"),
+        expr("bigram_h60s(text)").as("ghs"))
+    else
+      docs(s, dir)
+        .withColumn("tk", Txt.tokens(col("text")))
+        .withColumn("grams", array_distinct(Txt.wordBigramsExpr("tk")))
+        .select(col("source"), col("doc_id"),
+          transform(col("grams"),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("ghs")))
+      .withColumn("gsz", size(col("ghs")))
+      .filter(col("gsz") > 0)
       .pinned
-    val post = hashed.select(
-      col("source"), col("doc_id"), explode(col("ghs")).as("h60"))
-      // h32 = first 8 hex = h60 >> 28: the permutation input (integer
-      // `div` — a double `/` would round h60 past 53 bits first)
-      .withColumn("h32", expr("h60 div 268435456"))
-    // 2·bands minhashes per doc in ONE hash aggregate: min of
-    // (permuted h32, h60) structs — lexicographic struct min = argmin
-    // with a deterministic h60 tie-break; the kept h60 IS the argmin
-    // gram's identity, so band keys are 60-bit-wide per row (no 32-bit
-    // bucket aliasing at billion-doc scale).
-    val mins = (0 until JacBands * JacRows).map { j =>
-      min(struct(
-        ((lit(jacA(j)) * col("h32") + lit(jacC(j))) % lit(4294967296L)).as("p"),
-        col("h60").as("g"))).as(s"m$j")
-    }
-    val sig = post.groupBy(col("source"), col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until JacBands).map { b =>
-      struct(lit(b).as("band"),
-        col(s"m${JacRows * b}").getField("g").as("k1"),
-        col(s"m${JacRows * b + 1}").getField("g").as("k2"))
-    }
-    val bands = sig.select(col("source"), col("doc_id"),
-      explode(array(bandStructs: _*)).as("bh"))
-      .select(col("source"), col("doc_id"), col("bh.band").as("band"),
-        col("bh.k1").as("k1"), col("bh.k2").as("k2"))
-    // q18's capped-bucket pair expansion: GROUP BY the bucket key,
-    // bounded member list, in-plan i<j combinations.
+    // One 64-bit bucket KEY per (doc, band): minhash j is the packed min
+    // perm_j·2³² + h32 (perm mod 2³¹ keeps it under 2⁶³; the low 32
+    // bits ARE the argmin gram's h32), and band b packs its two argmins
+    // as (k₁−2³¹)·2³² + k₂ — 64 key bits, no narrow-bucket aliasing at
+    // billion-doc scale; a same-h32 gram collision only mints a false
+    // candidate for the exact verify to kill. The native `jac_band_keys`
+    // computes ALL of a doc's keys in one register loop consumed by one
+    // posexplode — map-only, no signature shuffle, and crucially ONE
+    // evaluation per row (exposing the 96 raw mins to 96 element_at
+    // consumers re-evaluated the producer per reference under projection
+    // collapse — measured 43 s of task time at sf0.1). The exploded
+    // 96-way packed-long min aggregate is the composable parity twin.
+    val bands =
+      if (s.catalog.functionExists("jac_band_keys"))
+        hashed.select(col("source"), col("doc_id"),
+          posexplode(expr("jac_band_keys(ghs)")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "k"))
+      else {
+        val post = hashed.select(
+          col("source"), col("doc_id"), explode(col("ghs")).as("h60"))
+          // h32 = first 8 hex = h60 >> 28 (integer `div` — a double `/`
+          // would round h60 past 53 bits first)
+          .withColumn("h32", expr("h60 div 268435456"))
+        val mins = (0 until JacBands * JacRows).map { j =>
+          min(((lit(jacA(j)) * col("h32") + lit(jacC(j))) % lit(2147483648L)) *
+            lit(4294967296L) + col("h32")).as(s"m$j")
+        }
+        val keyCols = (0 until JacBands).map { b =>
+          struct(lit(b).as("band"),
+            (((col(s"m${JacRows * b}") % lit(4294967296L)) - lit(2147483648L)) *
+              lit(4294967296L) +
+              (col(s"m${JacRows * b + 1}") % lit(4294967296L))).as("k"))
+        }
+        post.groupBy(col("source"), col("doc_id")).agg(mins.head, mins.tail: _*)
+          .select(col("source"), col("doc_id"),
+            explode(array(keyCols: _*)).as("bh"))
+          .select(col("source"), col("doc_id"),
+            col("bh.band").as("band"), col("bh.k").as("k"))
+      }
+    // Pair expansion. q18's one-shot GROUP-BY + bounded-list shape is
+    // wrong here: 48 bands × N docs make ~48·N bucket keys, nearly all
+    // singletons, and an ObjectHashAggregate materializing a typed
+    // state object per singleton group measured 67 s of task time at
+    // sf0.1. Instead: (1) a codegen'd LONG count per bucket — cheap at
+    // any group count; (2) keep buckets with 2 ≤ members ≤ cap (a
+    // FLOODED bucket is dropped whole — an adversarial dup flood
+    // contributes zero pairs instead of a truncated sample; the oracle
+    // mirrors the same rule); (3) join the surviving keys back (AQE
+    // broadcasts the small survivor set locally; at scale it hash-joins
+    // on the same key) and collect members — the list aggregate now
+    // touches only real buckets.
+    val live = bands
+      .groupBy(col("source"), col("band"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= HotBucketCap)
+      .drop("n")
     val cand = bands
-      .groupBy(col("source"), col("band"), col("k1"), col("k2"))
+      .join(live, Seq("source", "band", "k"))
+      .groupBy(col("source"), col("band"), col("k"))
       .agg(boundedSortedList(s, HotBucketCap, "doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(col("source"), explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),

@@ -329,12 +329,22 @@ object Oracles {
       // same banded argmin keys, same HotBucketCap smallest-ids bucket
       // cap, then exact Jaccard over the full hashed-gram sets.
       val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
+      // (perm, h32) packed into ONE BIGINT (perm·2³² + h32, perm mod
+      // 2³¹ — bit-identical to the engine's packed-long min; list- or
+      // struct-valued min states are unspillable in DuckDB and off the
+      // primitive codegen path in Spark, so BOTH engines min plain
+      // 64-bit integers).
       val minsSql = (0 until Extensions.JacBands * Extensions.JacRows).map { j =>
-        s"min([(${Extensions.jacA(j)} * h32 + ${Extensions.jacC(j)}) % 4294967296, h60]) AS m$j"
+        s"min(((${Extensions.jacA(j)} * h32 + ${Extensions.jacC(j)}) % 2147483648)" +
+          s" * 4294967296 + h32) AS m$j"
       }.mkString(",\n    ")
+      // band key = (k₁ − 2³¹)·2³² + k₂ over the two argmin h32s — spans
+      // exactly the signed 64-bit range, so checked BIGINT arithmetic
+      // replays the engine's packed key bit-identically
       val bandSql = (0 until Extensions.JacBands).map { b =>
-        s"SELECT source, doc_id, $b AS band, m${Extensions.JacRows * b}[2] AS k1, " +
-          s"m${Extensions.JacRows * b + 1}[2] AS k2 FROM sig"
+        s"SELECT source, doc_id, $b AS band, " +
+          s"((m${Extensions.JacRows * b} % 4294967296) - 2147483648) * 4294967296 + " +
+          s"(m${Extensions.JacRows * b + 1} % 4294967296) AS k FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH tok AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, source, $bigrams AS grams FROM tok),
@@ -349,14 +359,14 @@ object Oracles {
          |bands AS (
          |  $bandSql),
          |capped AS (SELECT * FROM (
-         |  SELECT source, band, k1, k2, doc_id,
-         |    row_number() OVER (PARTITION BY source, band, k1, k2 ORDER BY doc_id) AS rn
-         |  FROM bands) WHERE rn <= ${Extensions.HotBucketCap}),
+         |  SELECT source, band, k, doc_id,
+         |    count(*) OVER (PARTITION BY source, band, k) AS n
+         |  FROM bands) WHERE n > 1 AND n <= ${Extensions.HotBucketCap}),
          |cand AS (
          |  SELECT DISTINCT a.source, a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM capped a JOIN capped b
          |    ON a.source = b.source AND a.band = b.band
-         |   AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+         |   AND a.k = b.k AND a.doc_id < b.doc_id),
          |v AS (
          |  SELECT cand.source, a_id, b_id,
          |    len(list_intersect(ha.ghs, hb.ghs)) AS inter, ha.gsz AS asz, hb.gsz AS bsz
