@@ -191,4 +191,32 @@ class ExpressionThroughputSpec extends SparkSpec {
     input.unpersist()
     assertFloor("bloom_agg", rows, sec, 100000)
   }
+
+  test("bigram_h60s: ~8-token docs ≥ 10k rows/s") {
+    val rows = 100000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 8), j -> concat('w', cast(id * 7 + j as string))))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("bigram_h60s(text)").as("g"))
+      .filter(expr("g[0] = -1")))
+    input.unpersist()
+    // 7 three-update md5s per doc dominate; healthy is >200k rows/s here
+    assertFloor("bigram_h60s", rows, sec, 10000)
+  }
+
+  test("jac_band_keys: 32-gram arrays, 96 permutations ≥ 10k rows/s") {
+    val rows = 100000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("ghs", expr(
+        "transform(sequence(1, 32), j -> cast(id * 131 + j * 7919 as bigint))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("jac_band_keys(ghs)").as("k"))
+      .filter(expr("k[0] = -1")))
+    input.unpersist()
+    // 96 mask-shift permutations x 32 grams per row; healthy is >300k rows/s
+    assertFloor("jac_band_keys", rows, sec, 10000)
+  }
 }
