@@ -37,10 +37,14 @@ object TextFunctions {
     * inlining the split into the lambda would re-tokenize per element.
     */
   def wordBigramsExpr(tokCol: String): Column =
+    // the < 2 guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    // so an unguarded transform would index tok[-1] on 1-token docs
     expr(
-      s"""transform(
+      s"""CASE WHEN size($tokCol) < 2 THEN array()
+         |ELSE transform(
          |  sequence(1, size($tokCol) - 1),
-         |  i -> concat($tokCol[i - 1], ' ', $tokCol[i]))""".stripMargin)
+         |  i -> concat($tokCol[i - 1], ' ', $tokCol[i]))
+         |END""".stripMargin)
 
   /** Distinct-stopword hit count: |tokens ∩ stopwords|. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
