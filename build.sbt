@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through VERBATIM. With the default strategy
+// sbt pipes the child's stdout through its logger, prefixing every line
+// with `[info] ` — which broke the driver's parse of Bench's one-line
+// JSON metric in rounds 8-10 (BENCH parsed:null). StdoutOutput inherits
+// sbt's own stdout, so the metric line lands clean on the real stream.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -177,23 +177,25 @@ object Bench {
     // the ok count that reads as a speedup).
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}"""
-    println(line)
     // The driver parses the process's stdout tail; sbt's in-process run
-    // wraps System.out with its `[info]`-prefixing logger, which broke
-    // that parse every round. Writing to raw FileDescriptor.out bypasses
-    // any JVM-level System.out redirection, so the LAST metric line on
-    // the real stream is clean JSON.
+    // wraps System.out with its `[info]`-prefixing logger, which through
+    // round 10 echoed a SECOND `[info] {...}` copy of the metric line
+    // after the clean one, so the tail's last line was never bare JSON
+    // (BENCH_r08..r10 all parsed:null). Emit the line exactly ONCE, on
+    // raw FileDescriptor.out — that bypasses any JVM-level System.out
+    // redirection, so the last line on the real stream is clean JSON and
+    // no logger ever sees it to re-echo.
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(line)
     // Belt-and-braces for the driver's parse: the same single-line metric
     // as a plain file, written with NIO (no logger, no stream wrapper in
-    // the path). Anchored to the repo root (where the driver looks), not
-    // the process CWD — `sbt "runMain"` and a bare `java -cp` launch can
-    // differ; overridable for tests via the system property.
+    // the path). Defaults to the process CWD (the repo root under both
+    // `sbt runMain` and the driver's launch); overridable for tests via
+    // the system property or for odd checkouts via the env var.
     val summaryDir = sys.props.get("graft.bench.summaryDir")
       .orElse(sys.env.get("SPARK_GRAFT_REPO_DIR"))
-      .getOrElse("/root/repo")
+      .getOrElse(".")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(summaryDir, "bench_summary.json"), line + "\n")
     spark.stop()

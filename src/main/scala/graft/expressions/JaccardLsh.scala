@@ -135,10 +135,21 @@ case class JacBandKeys(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with CodegenFallback {
 
+  // containsNull=false only: eval reads each slot with getLong, which on
+  // a null slot would return an undefined 0 and silently fold a phantom
+  // gram into every minhash (round-10 advice). bigram_h60s output and the
+  // composable `transform(...)` chain are both containsNull=false, so the
+  // tighter contract costs nothing; an arbitrary SQL caller with nullable
+  // arrays gets an analysis error, never a wrong answer. Values must be
+  // NON-NEGATIVE (h60s are 60-bit): eval's `>>> 28` equals the composable
+  // twin's `div 268435456` exactly on [0, 2⁶³); a negative input would
+  // diverge, and the bigram_h60s producer can't emit one.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"jac_band_keys expects array<bigint>, got ${other.simpleString}")
+      s"jac_band_keys expects array<bigint> with non-null elements " +
+        s"(non-negative 60-bit gram hashes, e.g. bigram_h60s output), " +
+        s"got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -46,9 +46,14 @@ object FilterStore {
     val image = row.getAs[Array[Byte]]("image")
     val nKeys = row.getAs[Long]("n_keys")
     import spark.implicits._
+    // publish_id names this exact publish: filesystem mtime has 1-second
+    // granularity on many filesystems, so two saves inside one tick would
+    // otherwise share a snapshot identity and a handle-keyed probe after
+    // the re-save could serve the STALE broadcast image (round-10 advice).
+    val publishId = java.util.UUID.randomUUID().toString
     val frame = Seq(
-      (image, nKeys, expected, fpp.map(Double.box).orNull.asInstanceOf[java.lang.Double], builtFrom))
-      .toDF("image", "n_keys", "expected", "fpp", "built_from")
+      (image, nKeys, expected, fpp.map(Double.box).orNull.asInstanceOf[java.lang.Double], builtFrom, publishId))
+      .toDF("image", "n_keys", "expected", "fpp", "built_from", "publish_id")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
@@ -77,24 +82,31 @@ object FilterStore {
   }
 
   /** A loaded filter snapshot with its storage identity. `snapshotId`
-    * (path + publish mtime) names the exact published image, so the
-    * handle-keyed `probeBroadcast` can memo-hit WITHOUT re-hashing the
-    * image content on every plan build — repeat probes are O(1).
-    * Re-`save` → new mtime → a fresh `loadHandle` gets a fresh key; a
-    * stale handle keeps naming the snapshot it actually read, which is
-    * the correct semantics.
+    * (the per-save `publish_id` UUID written inside the parquet) names
+    * the exact published image, so the handle-keyed `probeBroadcast` can
+    * memo-hit WITHOUT re-hashing the image content on every plan build —
+    * repeat probes are O(1). Re-`save` → new publish_id → a fresh
+    * `loadHandle` gets a fresh key even when both saves land inside one
+    * filesystem-mtime tick; a stale handle keeps naming the snapshot it
+    * actually read, which is the correct semantics. Images written before
+    * publish_id existed fall back to path + publish mtime.
     */
   final case class LoadedFilter(path: String, snapshotId: String,
       image: Array[Byte], meta: Meta)
 
   /** [[load]] returning a [[LoadedFilter]] handle for O(1) repeat probes. */
   def loadHandle(spark: SparkSession, path: String): LoadedFilter = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mtime = fs.getFileStatus(target).getModificationTime
-    val row = spark.read.parquet(path).head
+    val frame = spark.read.parquet(path)
+    val row = frame.head
     val fpp = Option(row.getAs[java.lang.Double]("fpp")).map(_.doubleValue())
-    LoadedFilter(path, s"path:$path@$mtime", row.getAs[Array[Byte]]("image"),
+    val snapshotId =
+      if (frame.columns.contains("publish_id")) s"pub:${row.getAs[String]("publish_id")}"
+      else { // legacy image without publish_id: best-effort mtime identity
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        s"path:$path@${fs.getFileStatus(target).getModificationTime}"
+      }
+    LoadedFilter(path, snapshotId, row.getAs[Array[Byte]]("image"),
       Meta(row.getAs[Long]("n_keys"), row.getAs[Long]("expected"), fpp,
         row.getAs[String]("built_from")))
   }

@@ -78,8 +78,9 @@ class FilterStoreSpec extends SparkSpec {
       .filter(FilterStore.probeBroadcast(spark, h.image, col("p"))).count()
     assert(byHandle === byContent)
     // re-save publishes a new snapshot: a fresh handle must get a fresh
-    // broadcast (mtime in the snapshot id), never the stale image
-    Thread.sleep(1100) // fs mtime granularity can be 1s
+    // broadcast, never the stale image. No sleep: the snapshot id is the
+    // per-save publish_id UUID, so even a re-save inside the same
+    // filesystem-mtime tick gets a distinct identity (round-10 advice).
     FilterStore.save(spark, dir, (9000L to 9100L).toDF("k"), expected = 200L)
     val h2 = FilterStore.loadHandle(spark, dir)
     assert(h2.snapshotId != h.snapshotId)

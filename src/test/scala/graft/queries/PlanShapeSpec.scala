@@ -147,13 +147,22 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q87 deciles: range-partitioned rank; the only cross is the one-row total") {
-    val p = planOf(Extensions.q87Deciles(spark, dir))
+    val df = Extensions.q87Deciles(spark, dir)
+    val p = planOf(df)
     assert(count(p, "CartesianProduct") == 0, p)
     assert(count(p, "BroadcastNestedLoop") == 1,
       "exactly the one-row total-count broadcast: " + p)
     // decile boundaries come from range partitioning + per-partition
-    // offsets, never a global unpartitioned rank window
-    assert(!"(?m)^.*Window.*windowspecdefinition\\(\\s*[,)]".r.findFirstIn(p).isDefined,
-      "q87 grew an unpartitioned global window:\n" + p)
+    // offsets, never a global unpartitioned rank window. Inspect the
+    // optimized plan's Window nodes directly — the round-10 advice showed
+    // the old string regex could never match a real plan print (an
+    // unpartitioned-but-ordered window prints its ORDER columns first),
+    // so it passed vacuously.
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"q87 grew an unpartitioned global window:\n${globalWindows.mkString("\n")}")
   }
 }
