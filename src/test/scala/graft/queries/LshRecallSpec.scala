@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Adversarial recall evidence for the banded-LSH dedup family
+  * (q20/q18/q90) — the round-10 verdict's open item #2. The family's
+  * documented miss-class contract is "a pair colliding in no band is
+  * missed; flooded buckets are dropped whole (q20) or truncated to the
+  * cap's smallest members (q18)"; until this spec that contract was only
+  * a comment plus 22 planted truth pairs. Here it is MEASURED:
+  *
+  *   1. Near-threshold recall: planted pairs with exact bigram Jaccard
+  *      at/above the τ = 0.2 floor (0.20, 0.25, 0.35, 0.61), 100 pairs
+  *      per level with pair-private vocabularies (cross-pair J = 0), so
+  *      exact ground truth is the plant itself. The banded pipeline's
+  *      per-level recall is pinned against floors derived from the
+  *      theoretical candidate curve 1 − (1 − j²)^48 (≈ 0.87 / 0.96 /
+  *      0.998 / ~1), with slack for binomial sampling noise. PRECISION
+  *      is exact by construction (every candidate is verified with exact
+  *      Jaccard), so emitted ⊆ planted is asserted as equality-of-values
+  *      too: a banding-parameter change that craters recall, or a verify
+  *      bug that inflates it, both fail here (the round-10 ADVICE pin).
+  *
+  *   2. Flooded bucket (q20): hundreds of near-identical boilerplate
+  *      docs (pairwise J = 59/61 ≈ 0.97) sharing every band bucket. The
+  *      whole-drop policy means ZERO within-flood pairs — recall 0 on
+  *      C(300,2) true pairs, the documented worst case — while planted
+  *      normal pairs in the SAME source remain found (the flood is
+  *      contained, not contagious). In the full engine the flood class
+  *      is owned by the exact/simhash dedup stages (q04/q16/q37), which
+  *      catch exact and near-exact boilerplate without pair explosion.
+  *
+  *   3. Flooded bucket (q18): identical docs → identical signatures →
+  *      one bucket; policy is TRUNCATE to the HotBucketCap smallest
+  *      members (C(cap,2) pairs, dedup survivor kept), not whole-drop.
+  *
+  *   4. Flooded cell (q90 SemDeDup): near-identical embeddings all land
+  *      in one trained cell; the banded rank join bounds work per doc at
+  *      semDedupCap but misses NOTHING adjacent — every flood member
+  *      except a cell's first is reported as a duplicate. The three
+  *      policies (drop-whole / truncate / complete-within-cap) are the
+  *      family's full miss-class surface.
+  *
+  *   5. Real-data exact pin (sf0.001): brute-force exact ground truth
+  *      (all same-source pairs, J ≥ 0.2) equals q20's output exactly —
+  *      on non-adversarial data the LSH misses nothing at this scale.
+  */
+class LshRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String)], dir: String): Unit =
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"lshrecall_$tag").toString
+
+  /** A doc pair with exact bigram Jaccard (k−1)/(2(M−1)−(k−1)): M tokens
+    * each, the first k shared, tails disjoint; all tokens pair-private
+    * (prefix p$pid) and doc-unique, so grams are distinct and cross-pair
+    * Jaccard is exactly 0.
+    */
+  private val M = 51
+  private def plantPair(pid: Int, k: Int): (String, String) = {
+    val shared = (0 until k).map(i => s"p${pid}s$i")
+    val aTail = (k until M).map(i => s"p${pid}a$i")
+    val bTail = (k until M).map(i => s"p${pid}b$i")
+    ((shared ++ aTail).mkString(" "), (shared ++ bTail).mkString(" "))
+  }
+  private def jacOf(k: Int): Double = (k - 1).toDouble / (2 * (M - 1) - (k - 1))
+
+  test("q20 near-threshold recall: pinned floors at J ≈ 0.20/0.25/0.35/0.61; precision exact") {
+    // (prefix length, recall floor): theory 1−(1−j²)^48 gives
+    // 0.872 / 0.955 / 0.998 / ~1.0; floors leave ~3σ of binomial room
+    // on 100 draws. A banding change (bands/rows/hash) that craters
+    // near-threshold recall fails the first floor immediately.
+    val levels = Seq((18, 0.75), (21, 0.88), (27, 0.95), (39, 1.00))
+    val perLevel = 100
+    val rows = for {
+      (li, (k, _)) <- levels.zipWithIndex.map { case (l, i) => (i, l) }
+      p <- 0 until perLevel
+    } yield {
+      val pid = li * perLevel + p
+      val (ta, tb) = plantPair(pid, k)
+      val base = 10000L + pid * 2L
+      Seq((base, ta, "s0"), (base + 1, tb, "s0"))
+    }
+    val dir = tmp("near")
+    writeDocs(rows.flatten, dir)
+
+    val got = Extensions.q20JaccardPairs(spark, dir)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // precision: every emitted pair is a planted pair with the exact
+    // constructed Jaccard (r4-rounded) — the verify stage is exact
+    val expectedJac = levels.zipWithIndex.map { case ((k, _), li) =>
+      li -> BigDecimal(jacOf(k)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got.foreach { case ((a, b), j) =>
+      assert(b == a + 1 && a >= 10000L && a % 2 == 0, s"non-planted pair ($a,$b)")
+      val li = ((a - 10000L) / 2 / perLevel).toInt
+      assert(math.abs(j - expectedJac(li)) < 1e-9,
+        s"pair ($a,$b) level $li: jaccard $j, want ${expectedJac(li)}")
+    }
+
+    val recalls = levels.zipWithIndex.map { case ((k, floor), li) =>
+      val found = (0 until perLevel).count { p =>
+        val base = 10000L + (li * perLevel + p) * 2L
+        got.contains((base, base + 1))
+      }
+      val recall = found.toDouble / perLevel
+      assert(recall >= floor,
+        f"level J=${jacOf(k)}%.3f: recall $recall%.2f below floor $floor%.2f")
+      f"J=${jacOf(k)}%.3f recall=$recall%.2f (floor $floor%.2f)"
+    }
+    info(recalls.mkString("; "))
+  }
+
+  test("q20 flood: a 300-doc boilerplate flood contributes zero pairs; neighbors unaffected") {
+    val boiler = (0 until 60).map(i => s"fb$i")
+    val flood = (0 until 300).map { d =>
+      (100000L + d, (boiler :+ s"fu$d").mkString(" "), "s_flood")
+    }
+    // planted high-J pairs in the SAME source — must survive the flood
+    val planted = (0 until 3).flatMap { p =>
+      val (ta, tb) = plantPair(900 + p, 39)
+      val base = 300000L + p * 2L
+      Seq((base, ta, "s_flood"), (base + 1, tb, "s_flood"))
+    }
+    val dir = tmp("flood20")
+    writeDocs(flood ++ planted, dir)
+
+    val got = Extensions.q20JaccardPairs(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val wantPlanted = (0 until 3).map(p => (300000L + p * 2L, 300000L + p * 2L + 1)).toSet
+    assert(got == wantPlanted,
+      s"flood run: want exactly the 3 planted pairs, got ${got.size} pairs: " +
+        got.take(10).mkString(", "))
+    // documented miss: all C(300,2) true flood pairs (J ≈ 0.97) dropped
+    // whole — the class the exact/simhash dedup stages own upstream
+  }
+
+  test("q18 flood: identical docs truncate to C(cap,2) pairs over the cap smallest ids") {
+    val text = "identical boilerplate sentence crawled many times over for this flood case"
+    val flood = (0 until 300).map(d => (d.toLong, text, "s0"))
+    val dir = tmp("flood18")
+    writeDocs(flood, dir)
+
+    val got = Extensions.q18LshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val cap = Extensions.HotBucketCap
+    assert(got.size == cap * (cap - 1) / 2,
+      s"want C($cap,2)=${cap * (cap - 1) / 2} truncated pairs, got ${got.size}")
+    assert(got.flatMap(p => Set(p._1, p._2)) == (0L until cap.toLong).toSet,
+      "truncation keeps the cap SMALLEST ids (the dedup survivor among them)")
+  }
+
+  test("q90 flood: a 300-member near-identical embedding cell is deduped completely") {
+    val dim = 64
+    val rng = new java.util.Random(7L)
+    val center = Array.fill(dim)(rng.nextGaussian())
+    val flood = (0 until 300).map { i =>
+      val r = new java.util.Random(100L + i)
+      (i.toLong, center.map(v => (v + 0.001 * r.nextGaussian()).toFloat).toSeq, 0)
+    }
+    val background = (300 until 1000).map { i =>
+      val r = new java.util.Random(100L + i)
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat).toSeq, 1 + i % 9)
+    }
+    val dir = tmp("flood90")
+    (flood ++ background).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = Extensions.q90Semdedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+
+    // every flood member except a cell's first is a reported duplicate:
+    // the semDedupCap band join bounds WORK per doc, not coverage — the
+    // adjacent-rank neighbor is always within the cap. k-means may split
+    // the near-point blob across a couple of cells (each cell's first
+    // member is then a keeper), hence the ≥ 295 floor rather than 299.
+    val floodDups = (1L until 300L).count(got.contains)
+    assert(!got.contains(0L), "the globally-first flood member is the keeper")
+    assert(floodDups >= 295,
+      s"flood dedup coverage: $floodDups of 299 members reported (cap must not drop coverage)")
+    (1L until 300L).filter(got.contains).foreach { id =>
+      assert(got(id) >= 0.99, s"flood member $id max_sim ${got(id)} — want ≈ 1")
+    }
+  }
+
+  test("q20 on real sf0.001 data equals the exact all-pairs ground truth") {
+    val dir = "/root/testdata/sf0.001"
+    val grams = graft.io.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), expr("bigram_h60s(text)").as("ghs"))
+      .filter(size(col("ghs")) > 0)
+    val inter = size(array_intersect(col("a_ghs"), col("b_ghs")))
+    val truth = grams.as("a")
+      .select(col("source"), col("doc_id").as("a_id"), col("ghs").as("a_ghs"))
+      .join(grams.select(col("source"), col("doc_id").as("b_id"), col("ghs").as("b_ghs")),
+        Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(inter.cast("double") /
+        (size(col("a_ghs")) + size(col("b_ghs")) - inter).cast("double") >= 0.2)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val got = Extensions.q20JaccardPairs(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "ground truth empty — the pin is vacuous")
+    assert(got == truth,
+      s"q20 vs exact truth: missed ${(truth -- got).mkString(",")}; " +
+        s"extra ${(got -- truth).mkString(",")}")
+  }
+}
