@@ -110,6 +110,7 @@ object SparkEntry {
     "q91_token_budget" -> (Extensions.q91TokenBudget _),
     "q92_sample_quantiles" -> (Extensions.q92SampleQuantiles _),
     "q93_real_decode" -> (Extensions.q93RealDecode _),
+    "q94_real_features" -> (Extensions.q94RealFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

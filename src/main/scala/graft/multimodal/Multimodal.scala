@@ -147,15 +147,99 @@ object Multimodal {
     v
   }
 
-  /** Feature-extract a partitioned stream of blobs. Pure map-side
-    * (mapPartitions — encoder state would initialize once per
-    * partition); output feeds the embedding family directly.
+  /** Feature-extract a partitioned stream of blobs with the PINNED hash
+    * stub (the q27/q54 oracle contract). For real image bytes prefer
+    * [[extractEmbeddingsReal]], which computes classical features from
+    * the actual decoded pixels and keeps the stub only as the
+    * unrecognized-bytes fallback.
     */
   def extractEmbeddings(blobs: Dataset[MediaBlob], dim: Int): Dataset[MediaEmbedding] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       // per-partition encoder init would go here (once, not per row)
       iter.map(b => MediaEmbedding(b.doc_id, embedStub(b.bytes, dim)))
+    }
+  }
+
+  /** REAL feature core (q94): decode the full image via `javax.imageio`
+    * and accumulate per-cell luma sums over a fixed `grid`×`grid`
+    * spatial grid — the classical downsampled-luma descriptor. Returns
+    * (width, height, cellLumaSums, cellPixelCounts) with
+    * luma = r + g + b per pixel and cell (gy, gx) = (y·grid/h, x·grid/w)
+    * — ALL integer arithmetic, so an oracle can replay it exactly when
+    * the pixel values are closed-form. None when no installed codec
+    * recognizes the bytes.
+    */
+  def lumaGridSums(bytes: Array[Byte], grid: Int): Option[(Int, Int, Array[Long], Array[Long])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val gy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) & 0xffffff
+            val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val gd = gy * grid + x * grid / w
+            sums(gd) += luma
+            counts(gd) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sums, counts))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL classical features from real pixels: per-cell mean luma over
+    * the fixed grid, unit-normalized — cosine-ready, deterministic, and
+    * computed from the ACTUAL decoded image (the round-10 verdict's
+    * embedStub replacement). None when the bytes aren't a decodable
+    * image.
+    */
+  def lumaGridFeatures(bytes: Array[Byte], grid: Int): Option[Array[Double]] =
+    lumaGridSums(bytes, grid).map { case (_, _, sums, counts) =>
+      val v = new Array[Double](grid * grid)
+      var i = 0
+      while (i < v.length) {
+        v(i) = if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i)
+        i += 1
+      }
+      var n = 0.0
+      var j = 0
+      while (j < v.length) { n += v(j) * v(j); j += 1 }
+      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+      var k = 0
+      while (k < v.length) { v(k) *= inv; k += 1 }
+      v
+    }
+
+  /** Real-pixel features with the hash stub as the no-codec fallback —
+    * the production default for media columns. `dim` must be a square
+    * (the grid is √dim × √dim).
+    */
+  def embedReal(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val g = math.sqrt(dim.toDouble).toInt
+    require(g * g == dim, s"embedReal needs a square dim (grid^2), got $dim")
+    lumaGridFeatures(bytes, g).getOrElse(embedStub(bytes, dim))
+  }
+
+  /** [[extractEmbeddings]] over real decoded pixels: luma-grid features
+    * for decodable images, stub fallback otherwise. Same map-only
+    * mapPartitions shape; output feeds the embedding family (cosine
+    * KNN, IVF assign, SemDeDup) unchanged.
+    */
+  def extractEmbeddingsReal(blobs: Dataset[MediaBlob], dim: Int): Dataset[MediaEmbedding] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map(b => MediaEmbedding(b.doc_id, embedReal(b.bytes, dim)))
     }
   }
 
@@ -220,9 +304,21 @@ object Multimodal {
   def pngWidth(id: Long): Int = (16 + id % 32).toInt
   def pngHeight(id: Long): Int = (16 + (id * 7) % 32).toInt
 
-  def syntheticPngMeta(s: SparkSession, df: DataFrame): DataFrame = {
+  /** Deterministic closed-form pixel: the RGB of (x, y) in doc `id`'s
+    * synthetic image — shared by the renderer and (arithmetically) by
+    * the q93/q94 oracles.
+    */
+  def pngPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt
+
+  /** Render the deterministic RGB PNG per doc_id, inside the executors
+    * (mapPartitions — the bytes never visit the driver). PNG is
+    * lossless, so decoding these blobs recovers [[pngPixel]] exactly:
+    * the oracle for any pixel-derived value is closed-form arithmetic.
+    */
+  def syntheticPngBlobs(s: SparkSession, df: DataFrame): Dataset[MediaBlob] = {
     import s.implicits._
-    val blobs = df.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    df.select(col("doc_id")).as[Long].mapPartitions { ids =>
       // keep ImageIO's scratch space in memory: a header-sized encode
       // must not page through executor-local temp files
       javax.imageio.ImageIO.setUseCache(false)
@@ -234,7 +330,7 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xffffff).toInt)
+            img.setRGB(x, y, pngPixel(id, x, y))
             x += 1
           }
           y += 1
@@ -244,7 +340,71 @@ object Multimodal {
         MediaBlob(id, bos.toByteArray)
       }
     }
-    extractMetaReal(blobs).toDF()
+  }
+
+  def syntheticPngMeta(s: SparkSession, df: DataFrame): DataFrame =
+    extractMetaReal(syntheticPngBlobs(s, df)).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("channels"))
+
+  /** q94's anchor codebook: [[AnchorK]] fixed integer anchor vectors over
+    * the [[LumaGrid]]² feature dims. Anchors are closed-form small ints
+    * so BOTH engines derive the identical codebook (the q94 oracle SQL
+    * interpolates [[anchor]]'s values) — the assignment is the IVF shape
+    * (argmax of dot/‖anchor‖ over a broadcastable codebook) with
+    * integer-exact dots; a TRAINED codebook would force the oracle to
+    * replay k-means, which q34/q53 already cover for the embeddings
+    * table.
+    */
+  val AnchorK = 8
+  val LumaGrid = 4
+  def anchor(k: Int, d: Int): Int = 1 + (3 * d + 7 * k + k * d) % 9
+
+  /** One row per decoded blob: true dims, assigned anchor cell, the
+    * winning anchor's integer dot, and the total luma — every column
+    * either an exact integer or absent, so the oracle compare is
+    * float-free.
+    */
+  case class LumaAssign(doc_id: Long, width: Int, height: Int,
+      cell: Int, top_dot: Long, total_luma: Long)
+
+  /** The q94 chain: REAL pixel decode → luma-grid sums → argmax-score
+    * anchor assignment (score = dot/√‖a‖², one division of exact
+    * integers — bit-identical on Spark and DuckDB; ties break to the
+    * smaller k on both). Blobs no codec recognizes are DROPPED, so a
+    * stub silently taking over shows up as a row-count mismatch.
+    */
+  def lumaAnchorAssign(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val grid = LumaGrid
+    val anchors = AnchorK
+    blobs.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.flatMap { b =>
+        lumaGridSums(b.bytes, grid).map { case (w, h, sums, _) =>
+          var total = 0L
+          var i = 0
+          while (i < sums.length) { total += sums(i); i += 1 }
+          var bestK = 0
+          var bestDot = 0L
+          var bestScore = Double.NegativeInfinity
+          var k = 0
+          while (k < anchors) {
+            var dot = 0L
+            var nsq = 0L
+            var d = 0
+            while (d < sums.length) {
+              val a = anchor(k, d)
+              dot += sums(d) * a
+              nsq += a.toLong * a
+              d += 1
+            }
+            val score = dot.toDouble / math.sqrt(nsq.toDouble)
+            if (score > bestScore) { bestScore = score; bestK = k; bestDot = dot }
+            k += 1
+          }
+          LumaAssign(b.doc_id, w, h, bestK, bestDot, total)
+        }
+      }
+    }.toDF()
   }
 }

@@ -1311,6 +1311,55 @@ object Oracles {
         |  CAST(3 AS INTEGER) AS channels
         |FROM documents WHERE doc_id < 48""".stripMargin,
 
+    // q94: the Spark side decodes the q93 PNGs IN FULL and computes
+    // luma-grid sums + anchor-codebook assignment from the real pixels;
+    // the oracle replays every pixel arithmetically (Multimodal.pngPixel
+    // is closed-form in (doc_id, x, y)) and the anchor VALUES are
+    // interpolated from the same Multimodal.anchor the executors run —
+    // the two sides cannot drift. All compared columns are exact
+    // integers; the only float (the argmax score) is one division of
+    // exact integers by an exact-integer sqrt, bit-identical on both
+    // engines, and ties break to the smaller k on both.
+    "q94_real_features" -> {
+      val g = graft.multimodal.Multimodal.LumaGrid
+      val anchors = (0 until graft.multimodal.Multimodal.AnchorK)
+        .flatMap(k => (0 until g * g).map(d =>
+          s"($k, $d, ${graft.multimodal.Multimodal.anchor(k, d)})"))
+        .mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(16 + doc_id % 32 AS INTEGER) AS w,
+         |    CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS h
+         |  FROM documents WHERE doc_id < 48),
+         |px AS (
+         |  SELECT d.doc_id, d.w, d.h,
+         |    ((ys.range * $g) // d.h) * $g + ((xs.range * $g) // d.w) AS gd,
+         |    ((d.doc_id * 2654435761 + xs.range * 131 + ys.range * 31) & 16777215) AS rgb
+         |  FROM d, range(0, 47) xs, range(0, 47) ys
+         |  WHERE xs.range < d.w AND ys.range < d.h),
+         |cells AS (
+         |  SELECT doc_id, w, h, gd,
+         |    CAST(SUM((rgb // 65536) + ((rgb // 256) % 256) + (rgb % 256)) AS BIGINT) AS s
+         |  FROM px GROUP BY 1, 2, 3, 4),
+         |anchors(k, gd, a) AS (VALUES $anchors),
+         |norms AS (SELECT k, CAST(SUM(a * a) AS BIGINT) AS nsq FROM anchors GROUP BY k),
+         |dots AS (
+         |  SELECT c.doc_id, c.w, c.h, an.k,
+         |    CAST(SUM(c.s * an.a) AS BIGINT) AS dot
+         |  FROM cells c JOIN anchors an ON an.gd = c.gd
+         |  GROUP BY 1, 2, 3, 4),
+         |scored AS (
+         |  SELECT dt.doc_id, dt.w, dt.h, dt.k, dt.dot,
+         |    row_number() OVER (PARTITION BY dt.doc_id
+         |      ORDER BY dt.dot / sqrt(n.nsq) DESC, dt.k ASC) AS rn
+         |  FROM dots dt JOIN norms n ON n.k = dt.k),
+         |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total_luma FROM cells GROUP BY 1)
+         |SELECT sc.doc_id, sc.w AS width, sc.h AS height,
+         |  CAST(sc.k AS INTEGER) AS cell, sc.dot AS top_dot, t.total_luma
+         |FROM scored sc JOIN tot t ON t.doc_id = sc.doc_id
+         |WHERE sc.rn = 1""".stripMargin
+    },
+
     "q75_cube_agg" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -98,6 +98,92 @@ class MultimodalSpec extends SparkSpec {
     assert(assigned.filter(col("cell").isNull).count() == 0)
   }
 
+  test("lumaGridFeatures: real pixels, known grid geometry, unit norm") {
+    // 4x4 image, one grid cell per pixel (grid=4): features are the
+    // unit-normalized per-pixel lumas — verifiable by hand
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => (0 until 4).foreach { y =>
+      val v = (y * 4 + x) * 15 // r=g=b=v: luma = 3v
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = Multimodal.lumaGridFeatures(out.toByteArray, grid = 4).get
+    val lumas = (0 until 16).map(i => 3.0 * i * 15)
+    val norm = math.sqrt(lumas.map(v => v * v).sum)
+    (0 until 16).foreach { i =>
+      assert(math.abs(f(i) - lumas(i) / norm) < 1e-12, s"dim $i: ${f(i)}")
+    }
+    // a wider image pools columns into cells: 8 wide / grid 4 -> 2 px/cell
+    val wide = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(x => (0 until 4).foreach(y => wide.setRGB(x, y, x)))
+    val wout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(wide, "png", wout)
+    val (w, h, sums, counts) = Multimodal.lumaGridSums(wout.toByteArray, 4).get
+    assert((w, h) == ((8, 4)))
+    assert(counts.forall(_ == 2), "8x4 at grid 4: every cell holds 2 pixels")
+    // cell (gy=0, gx=0) pools x=0,1 (lumas 0+1), cell gx=1 pools x=2,3 ...
+    assert(sums.take(4).toSeq == Seq(1L, 5L, 9L, 13L))
+  }
+
+  test("embedReal: real-pixel features for images, stub fallback otherwise; feeds IVF") {
+    val png = imageBytes(20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB, "png")
+    val fromPixels = Multimodal.embedReal(png, dim = 16)
+    assert(math.abs(math.sqrt(fromPixels.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(fromPixels.toSeq == Multimodal.lumaGridFeatures(png, 4).get.toSeq,
+      "decodable bytes take the real-pixel path, not the hash stub")
+    val junk = "not an image".getBytes("UTF-8")
+    assert(Multimodal.embedReal(junk, 16).toSeq == Multimodal.embedStub(junk, 16).toSeq,
+      "unrecognized bytes fall back to the stub")
+    intercept[IllegalArgumentException](Multimodal.embedReal(png, 15))
+
+    // end-to-end: real blobs -> real features -> trained cells -> assignment
+    val blobs = (0L until 12L).map { i =>
+      Multimodal.MediaBlob(i, imageBytes(16 + i.toInt, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB, "png"))
+    }.toDS()
+    val emb = Multimodal.extractEmbeddingsReal(blobs, dim = 16).collect().sortBy(_.doc_id)
+    assert(emb.length == 12 && emb.forall(_.embedding.length == 16))
+    val frame = Multimodal.extractEmbeddingsReal(blobs, 16).toDF()
+      .select(col("doc_id").as("vec_id"), col("embedding").as("vec"))
+    val cells = graft.streaming.StreamAssign.cellsOf(
+      graft.engine.KmeansCodebook.train(frame, k = 3, iters = 1))
+    val assigned = graft.streaming.StreamAssign.assign(frame, cells)
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+  }
+
+  test("lumaAnchorAssign: cell is the argmax dot/|anchor| over the closed-form codebook") {
+    val blobs = Multimodal.syntheticPngBlobs(spark, Seq(0L, 7L, 23L).toDF("doc_id"))
+    val got = Multimodal.lumaAnchorAssign(blobs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("cell"),
+          r.getAs[Long]("top_dot"), r.getAs[Long]("total_luma"))).toMap
+    assert(got.keySet == Set(0L, 7L, 23L))
+    got.foreach { case (id, (w, h, cell, topDot, total)) =>
+      assert((w, h) == ((Multimodal.pngWidth(id), Multimodal.pngHeight(id))))
+      // replay the reference computation from the closed-form pixels
+      val g = Multimodal.LumaGrid
+      val sums = new Array[Long](g * g)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val rgb = Multimodal.pngPixel(id, x, y) & 0xffffff
+          val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          sums((y * g / h) * g + x * g / w) += luma
+        }
+      }
+      assert(total == sums.sum)
+      val scored = (0 until Multimodal.AnchorK).map { k =>
+        val dot = (0 until g * g).map(d => sums(d) * Multimodal.anchor(k, d)).sum
+        val nsq = (0 until g * g).map(d => Multimodal.anchor(k, d).toLong *
+          Multimodal.anchor(k, d)).sum
+        (k, dot, dot.toDouble / math.sqrt(nsq.toDouble))
+      }
+      val best = scored.maxBy(s => (s._3, -s._1))
+      assert(cell == best._1 && topDot == best._2,
+        s"doc $id: got ($cell, $topDot), want (${best._1}, ${best._2})")
+    }
+  }
+
   test("sampleFrames fans one blob out to N fingerprinted windows") {
     val payload = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.sampleFrames(
