@@ -1023,16 +1023,21 @@ object Extensions {
     * survivor; everything else in the cluster is droppable. Without this,
     * pairwise dedup keeps B and C of an A≈B, B≈C chain.
     *
-    * Algorithm: iterative min-label propagation to fixpoint — per round one
-    * equi-join (edge × label) + one min-aggregate, both codegen hash ops;
-    * labels monotonically decrease so the fixpoint is unique and
-    * deterministic under any partitioning. Rounds = component diameter,
-    * which for near-dup clusters is small by construction (a flood
-    * collapses through its shared bucket in one round). The data never
-    * leaves the cluster — the driver only counts label changes per round
-    * (O(1) per iteration, bounded iterations). At web scale the same loop
-    * with the large-star/small-star alternation gives O(log n) rounds; the
-    * propagation step is identical.
+    * Algorithm: iterative min-label propagation + pointer jumping to
+    * fixpoint — per round one equi-join (edge × label) + one min-aggregate
+    * + one label self-join (the shortcut l(v) := l(l(v))), all codegen
+    * hash ops; labels monotonically decrease so the fixpoint is unique and
+    * deterministic under any partitioning. The jump step is what bounds
+    * rounds at O(log diameter) instead of O(diameter): propagation alone
+    * moves a label one hop per round, while jumping doubles the collapsed
+    * distance every round (path halving, the standard parallel
+    * union-find / Shiloach–Vishkin shortcut). Near-dup clusters are
+    * clique-like and collapse in 2–3 rounds either way; the jump is the
+    * insurance for the pathological chain shape (template-drift A≈B≈C≈…)
+    * where plain propagation needs diameter rounds — Q61RoundsSpec pins a
+    * planted 4,000-doc chain at ≤ 16 rounds. The data never leaves the
+    * cluster — the driver only counts label changes per round (O(1) per
+    * iteration, bounded iterations).
     */
   def q61DedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(q18LshPairs(s, dir))
@@ -1050,7 +1055,15 @@ object Extensions {
     * `spark.graft.checkpoint.reliable` routes the same pins to reliable
     * `checkpoint()` for fault-tolerant cluster runs.
     */
-  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[queries] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — exposed so
+    * Q61RoundsSpec can pin the O(log diameter) convergence guarantee as a
+    * regression gate (a future edit that drops the jump step would pass the
+    * small-clique oracles but blow the chain spec's round budget).
+    */
+  private[queries] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .pinned
@@ -1070,8 +1083,19 @@ object Extensions {
       val next = labels.withColumn("prev", col("rep")).unionByName(prop)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
         .pinned
-      changed = next.filter(col("rep") =!= col("prev")).count()
-      labels = next.drop("prev")
+      // Pointer jump (path halving): l(v) := l(l(v)). Every rep is itself
+      // a node id present in `next` (reps only ever flow from node ids),
+      // so the lookup is an equi self-join of the pinned round frame; the
+      // left join + coalesce is belt-and-braces for the impossible miss.
+      // Monotone (l(l(v)) <= l(v)), so the fixpoint and its loud
+      // non-convergence guard are unchanged; changed-count still compares
+      // against the pre-round label via the riding prev tag.
+      val jumped = next
+        .join(next.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("prev"))
+        .pinned
+      changed = jumped.filter(col("rep") =!= col("prev")).count()
+      labels = jumped.drop("prev")
       rounds += 1
     }
     // Fail LOUD on non-convergence: returning partially-propagated labels
@@ -1080,8 +1104,9 @@ object Extensions {
     require(changed == 0,
       s"connectedComponents: not converged after $rounds rounds ($changed labels still changing) — component diameter exceeds the round cap")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
+    val out = labels.join(sizes, "rep")
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
+    (out, rounds)
   }
 
   /** Sequential token-budget packing — chunking documents into
