@@ -20,13 +20,24 @@ object Verify {
     // Local-iteration subset (comma-separated names); the driver leaves it
     // unset → full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // Output file count: 1 (default — the driver's sf0.01 scale, single
+    // tidy file per query). At big local scale factors coalesce(1)
+    // single-tasks the FINAL STAGE — for map-only queries that is the
+    // whole query — so sf1/sf10 runs set SPARK_GRAFT_OUT_PARTS=0 to keep
+    // the natural partitioning (check.py and the driver both glob
+    // <name>/*.parquet).
+    val outParts = sys.env.get("SPARK_GRAFT_OUT_PARTS").map(_.toInt).getOrElse(1)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
 
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        (if (outParts <= 0) df else df.coalesce(outParts))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
