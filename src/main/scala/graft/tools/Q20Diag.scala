@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.Extensions.{HotBucketCap, JacBands}
+
+/** Diagnostic for q20's LSH stage costs across scale factors: bucket-size
+  * histogram, live/flooded bucket counts, and the candidate-pair volume
+  * Σ C(n,2) that the exact-verify join must absorb. Reads the same
+  * `bigram_h60s` + `jac_band_keys` pipeline as q20 itself.
+  *
+  * Usage: `Q20Diag <sfDir> [stage]` — stage `buckets` (default) or
+  * `cands` (also counts distinct candidate pairs).
+  */
+object Q20Diag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("testdata_sf1")
+    val stage = if (args.length > 1) args(1) else "buckets"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        expr("bigram_h60s(coalesce(text, ''))").as("ghs"))
+      .filter(size(col("ghs")) > 0)
+    val n = docs.count()
+    println(s"docs=$n")
+
+    val bands = docs.select(col("source"), col("doc_id"),
+        posexplode(expr("jac_band_keys(ghs)")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "k"))
+
+    val sizes = bands.groupBy("source", "band", "k").agg(count(lit(1)).as("n"))
+    val hist = sizes.select(
+        when(col("n") === 1, "1")
+          .when(col("n") <= 4, "2-4")
+          .when(col("n") <= 16, "5-16")
+          .when(col("n") <= HotBucketCap, s"17-$HotBucketCap")
+          .otherwise(s">$HotBucketCap (flooded)").as("bucket_size"),
+        col("n"))
+      .groupBy("bucket_size")
+      .agg(count(lit(1)).as("buckets"),
+        sum(col("n")).as("members"),
+        sum(col("n") * (col("n") - 1) / 2).as("pairs"))
+      .orderBy("bucket_size")
+    hist.show(false)
+
+    val live = sizes.filter(col("n") > 1 && col("n") <= HotBucketCap)
+    val agg = live.agg(count(lit(1)).as("live_buckets"),
+      sum(col("n") * (col("n") - 1) / 2).as("cand_pairs_with_dup")).collect()(0)
+    println(s"live_buckets=${agg.getLong(0)} cand_pair_slots=${agg.getLong(1)}")
+
+    if (stage == "cands") {
+      val cand = bands.join(live.drop("n"), Seq("source", "band", "k"))
+        .groupBy(col("source"), col("band"), col("k"))
+        .agg(collect_list("doc_id").as("ids"))
+        .select(col("source"), explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |            y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+        .select(col("source"), col("p.a_id"), col("p.b_id"))
+      val distinctCands = cand.distinct().count()
+      println(s"distinct_cands=$distinctCands")
+    }
+    spark.stop()
+  }
+}
