@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, PqCodes, SimHash16, TopKPairs, WordBigramMd5s}
+import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, PqCodes, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BigramH60s(c(0)))
     fn(ext, "jac_band_keys", 1, classOf[JacBandKeys])(c =>
       JacBandKeys(c(0)))
+    fn(ext, "sorted_inter_size", 2, classOf[SortedInterSize])(c =>
+      SortedInterSize(c(0), c(1)))
     fn(ext, "minhash_sigs", 3, classOf[MinhashSigs])(c =>
       MinhashSigs(c(0), c(1), c(2)))
     fn(ext, "simhash16", 1, classOf[SimHash16])(c =>

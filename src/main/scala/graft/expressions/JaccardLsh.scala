@@ -195,3 +195,58 @@ case class JacBandKeys(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `sorted_inter_size(a, b)` → int: the intersection size of two
+  * ascending-sorted distinct bigint arrays, by a single merge walk — no
+  * hash set, no output array. q20's exact-verify stage calls this once
+  * per candidate pair (Θ(N²·c) pairs on a closed-vocabulary corpus —
+  * see Extensions.q20JaccardPairs), where `size(array_intersect(...))`
+  * pays a per-call hash-set build; the merge walk is the same count at
+  * ~10× less cost (ExpressionThroughputSpec pins it).
+  *
+  * PRECONDITION (documented for arbitrary SQL callers, like
+  * jac_band_keys' non-negativity): both inputs sorted ascending with
+  * distinct elements — q20 guarantees it with one array_sort per DOC
+  * (bigram_h60s emits first-occurrence order; order is irrelevant to
+  * every other consumer). Unsorted input returns the number of matches
+  * a single forward merge pass happens to find — never an error, never
+  * a crash, just not the set intersection.
+  */
+case class SortedInterSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_size expects two array<bigint> with non-null " +
+          s"elements, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def prettyName: String = "sorted_inter_size"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -386,16 +386,20 @@ object Extensions {
     // P ≈ 2⁻⁶⁰ per pair — the string-based oracle still matches).
     // Native fused `bigram_h60s` when registered (one pass over the raw
     // bytes, zero string allocations); the composable twin otherwise.
+    // Sorted ONCE PER DOC: every consumer is order-independent (min over
+    // grams, set intersection size, cardinality), and the ascending order
+    // lets the per-PAIR verify run as a merge walk (`sorted_inter_size`)
+    // instead of a per-call hash set.
     val hashed = (if (s.catalog.functionExists("bigram_h60s"))
       docs(s, dir).select(col("source"), col("doc_id"),
-        expr("bigram_h60s(text)").as("ghs"))
+        array_sort(expr("bigram_h60s(text)")).as("ghs"))
     else
       docs(s, dir)
         .withColumn("tk", Txt.tokens(col("text")))
         .withColumn("grams", array_distinct(Txt.wordBigramsExpr("tk")))
         .select(col("source"), col("doc_id"),
-          transform(col("grams"),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("ghs")))
+          array_sort(transform(col("grams"),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("ghs")))
       .withColumn("gsz", size(col("ghs")))
       .filter(col("gsz") > 0)
       .pinned
@@ -455,27 +459,45 @@ object Extensions {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= HotBucketCap)
       .drop("n")
-    val cand = bands
+    // EXACT verification INSIDE the bucket (r11). The r10 shape distinct'd
+    // the exploded candidate pairs and joined the gram arrays onto them —
+    // at sf10 the closed-vocabulary corpus pushes bucket occupancy up
+    // (candidates are Θ(N²·c) under ANY banding when background Jaccard
+    // is a constant ≈0.05–0.1 over the vocabulary head — Q20Diag: 2.6 M
+    // candidates at sf1, 99 % below j=0.1), so the array-to-candidate
+    // join shuffled arrays PER CANDIDATE — hundreds of GB at sf10,
+    // 1224 s. Now the bucket aggregate collects (doc_id, gsz, ghs)
+    // structs and the pairwise exact Jaccard runs where the candidates
+    // are born: compute ∝ candidate slots, data movement ∝ live bucket
+    // MEMBERS (arrays shuffle once per member, never per pair),
+    // sub-threshold pairs die inside the flatten, and the distinct
+    // touches only qualifying pairs (~1e3, not ~1e8). Same bucket
+    // membership (boundedSortedList orders by the struct's leading
+    // doc_id), same flood cap, same exact Jaccard — identical result,
+    // oracle unchanged.
+    bands
       .join(live, Seq("source", "band", "k"))
+      .join(hashed.select(col("source"), col("doc_id"), col("gsz"), col("ghs")),
+        Seq("source", "doc_id"))
+      .select(col("source"), col("band"), col("k"),
+        struct(col("doc_id"), col("gsz"), col("ghs")).as("m"))
       .groupBy(col("source"), col("band"), col("k"))
-      .agg(boundedSortedList(s, HotBucketCap, "doc_id").as("ids"))
+      .agg(boundedSortedList(s, HotBucketCap, "m").as("ms"))
       .select(col("source"), explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
-      .select(col("source"), col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        s"""flatten(transform(ms, (x, i) ->
+          |  filter(
+          |    transform(slice(ms, i + 2, size(ms)), y ->
+          |      named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
+          |        'inter', ${if (s.catalog.functionExists("sorted_inter_size"))
+                    "sorted_inter_size(x.ghs, y.ghs)"
+                  else "size(array_intersect(x.ghs, y.ghs))"},
+          |        'den', x.gsz + y.gsz)),
+          |    p -> cast(p.inter as double) /
+          |           cast(p.den - p.inter as double) >= 0.2d)))""".stripMargin)).as("p"))
+      .select(col("source"), col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        (col("p.inter").cast("double") /
+          (col("p.den") - col("p.inter")).cast("double")).as("jac"))
       .distinct()
-    // EXACT verification of each candidate over the full gram arrays.
-    val inter = size(array_intersect(col("a_ghs"), col("b_ghs")))
-    cand
-      .join(hashed.select(col("source"), col("doc_id").as("a_id"),
-        col("gsz").as("asz"), col("ghs").as("a_ghs")), Seq("source", "a_id"))
-      .join(hashed.select(col("source"), col("doc_id").as("b_id"),
-        col("gsz").as("bsz"), col("ghs").as("b_ghs")), Seq("source", "b_id"))
-      .select(col("source"), col("a_id"), col("b_id"),
-        (inter.cast("double") /
-          (col("asz") + col("bsz") - inter).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.2)
       .select(col("source"), col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
   }
 

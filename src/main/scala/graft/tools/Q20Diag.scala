@@ -50,13 +50,14 @@ object Q20Diag {
       .groupBy("bucket_size")
       .agg(count(lit(1)).as("buckets"),
         sum(col("n")).as("members"),
-        sum(col("n") * (col("n") - 1) / 2).as("pairs"))
+        sum((col("n") * (col("n") - 1)).cast("long") / 2).cast("long").as("pairs"))
       .orderBy("bucket_size")
     hist.show(false)
 
     val live = sizes.filter(col("n") > 1 && col("n") <= HotBucketCap)
     val agg = live.agg(count(lit(1)).as("live_buckets"),
-      sum(col("n") * (col("n") - 1) / 2).as("cand_pairs_with_dup")).collect()(0)
+      sum((col("n") * (col("n") - 1)).cast("long") / 2).cast("long")
+        .as("cand_pairs_with_dup")).collect()(0)
     println(s"live_buckets=${agg.getLong(0)} cand_pair_slots=${agg.getLong(1)}")
 
     if (stage == "cands") {
@@ -68,8 +69,24 @@ object Q20Diag {
             |  transform(slice(ids, i + 2, size(ids)),
             |            y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
         .select(col("source"), col("p.a_id"), col("p.b_id"))
-      val distinctCands = cand.distinct().count()
-      println(s"distinct_cands=$distinctCands")
+      val distinctCands = cand.distinct()
+      println(s"distinct_cands=${distinctCands.count()}")
+      // Exact-Jaccard histogram over a hash-sample of distinct candidates:
+      // tells which similarity stratum DOMINATES candidate volume, which is
+      // what any banding change (rows-per-band, band count) trades against.
+      val sample = distinctCands
+        .filter(pmod(xxhash64(col("a_id"), col("b_id")), lit(100)) === 0)
+        .join(docs.select(col("source"), col("doc_id").as("a_id"),
+          col("ghs").as("a_ghs")), Seq("source", "a_id"))
+        .join(docs.select(col("source"), col("doc_id").as("b_id"),
+          col("ghs").as("b_ghs")), Seq("source", "b_id"))
+      val inter = size(array_intersect(col("a_ghs"), col("b_ghs")))
+      sample.select((inter.cast("double") /
+          (size(col("a_ghs")) + size(col("b_ghs")) - inter).cast("double")).as("jac"))
+        .select(floor(col("jac") * 20).cast("int").as("jac_bin_x20"))
+        .groupBy("jac_bin_x20").agg(count(lit(1)).as("sampled_pairs_x100"))
+        .orderBy("jac_bin_x20")
+        .show(30, false)
     }
     spark.stop()
   }

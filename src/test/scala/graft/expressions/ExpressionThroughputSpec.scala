@@ -219,4 +219,21 @@ class ExpressionThroughputSpec extends SparkSpec {
     // 96 mask-shift permutations x 32 grams per row; healthy is >300k rows/s
     assertFloor("jac_band_keys", rows, sec, 10000)
   }
+
+  test("sorted_inter_size: 64-element sorted pairs ≥ 200k rows/s") {
+    val rows = 1000000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("a", expr(
+        "array_sort(transform(sequence(1, 64), j -> cast(id * 3 + j * 5 as bigint)))"))
+      .withColumn("b", expr(
+        "array_sort(transform(sequence(1, 64), j -> cast(id * 3 + j * 7 as bigint)))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.filter(expr("sorted_inter_size(a, b) < 0")))
+    input.unpersist()
+    // one 128-step merge walk per row, no allocation; healthy is >4M rows/s
+    // (the hash-set array_intersect it replaced in q20 runs ~10x slower at
+    // this geometry)
+    assertFloor("sorted_inter_size", rows, sec, 200000)
+  }
 }

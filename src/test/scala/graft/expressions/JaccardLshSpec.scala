@@ -82,4 +82,22 @@ class JaccardLshSpec extends SparkSpec {
     assert(keys(1L) === keys(2L), "identical docs must share every band key")
     assert(keys(1L).intersect(keys(3L)).isEmpty, "disjoint docs must share none")
   }
+
+  test("sorted_inter_size equals size(array_intersect) on sorted distinct arrays") {
+    // deterministic pseudo-random sorted-distinct pairs incl. edge shapes:
+    // empty/empty, empty/full, identical, disjoint, interleaved overlap
+    val pairs = spark.range(500)
+      .withColumn("a", expr(
+        "array_sort(array_distinct(transform(sequence(1, cast(id % 40 as int)), " +
+          "j -> coalesce(cast((id * 37 + j * j * 13) % 97 as bigint), 0L))))"))
+      .withColumn("b", expr(
+        "array_sort(array_distinct(transform(sequence(1, cast((id * 7) % 40 as int)), " +
+          "j -> coalesce(cast((id * 11 + j * j * 29) % 97 as bigint), 0L))))"))
+    val diff = pairs.filter(
+      expr("sorted_inter_size(a, b) != size(array_intersect(a, b))"))
+    assert(diff.count() === 0L)
+    // the merge walk is symmetric
+    val sym = pairs.filter(expr("sorted_inter_size(a, b) != sorted_inter_size(b, a)"))
+    assert(sym.count() === 0L)
+  }
 }
