@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, PqCodes, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s}
+import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, PqCodes, RollingHash31, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -59,6 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       JacBandKeys(c(0)))
     fn(ext, "sorted_inter_size", 2, classOf[SortedInterSize])(c =>
       SortedInterSize(c(0), c(1)))
+    fn(ext, "rolling_hash31", 1, classOf[RollingHash31])(c =>
+      RollingHash31(c(0)))
     fn(ext, "minhash_sigs", 3, classOf[MinhashSigs])(c =>
       MinhashSigs(c(0), c(1), c(2)))
     fn(ext, "simhash16", 1, classOf[SimHash16])(c =>

@@ -141,10 +141,20 @@ object TextFunctions {
   /** Polynomial rolling hash of the raw text: h = (h*31 + codepoint) mod
     * 1e9+7. Portable integer arithmetic (exact in any engine), used both as
     * a cheap fingerprint and as the deterministic "decode" seed for the
-    * multimodal stub.
+    * multimodal stub. Native `rolling_hash31` when registered — the
+    * composable fold below is its exact-parity twin but O(len²) per doc
+    * (`substr(text, i, 1)` re-seeks the UTF-8 buffer for every i; 328 s
+    * of the sf10 verify), kept as the extension-less fallback and the
+    * spec's parity reference.
     */
   def rollingHashExpr(textCol: String): Column =
-    expr(
+    rollingHashExpr(textCol, forceComposable = false)
+
+  def rollingHashExpr(textCol: String, forceComposable: Boolean): Column =
+    if (!forceComposable && org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("rolling_hash31")))
+      expr(s"rolling_hash31($textCol)")
+    else expr(
       s"""aggregate(
          |  transform(sequence(1, length($textCol)), i -> ascii(substr($textCol, i, 1))),
          |  cast(0 as bigint),

@@ -833,23 +833,50 @@ object Oracles {
          |FROM x GROUP BY cell, dim""".stripMargin
     },
 
-    "q61_dedup_clusters" ->
-      s"""WITH RECURSIVE $lshPairCtes,
+    "q61_dedup_clusters" -> {
+      // Connected components as STAGED min-label propagation + pointer
+      // jumping, not recursive all-pairs reachability: the original
+      // `reach(id, r)` CTE materializes Σ component² rows — fine at the
+      // driver's sf0.01, but the sf10 corpus chains one 75k-doc component
+      // through the saturated band keys (5.6e9 reach rows, wedged). Each
+      // stage halves label-path lengths (propagate one hop, then follow
+      // the label pointer), so 24 stages cover any component this side of
+      // 2^24 hops of diameter. A convergence guard poisons every rep to
+      // NULL if any edge is label-inconsistent or any label is not a
+      // fixpoint — an under-iterated oracle FAILS the compare instead of
+      // silently passing.
+      val stages = (1 to 24).map { k =>
+        val prev = if (k == 1) "lab0" else s"j${k - 1}"
+        s"""p$k AS MATERIALIZED (SELECT id, min(rep) AS rep FROM (
+           |  SELECT id, rep FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst AS id, l.rep FROM edges e JOIN $prev l ON l.id = e.src
+           |) GROUP BY id),
+           |j$k AS MATERIALIZED (SELECT a.id, b.rep FROM p$k a JOIN p$k b ON b.id = a.rep)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshPairCtes,
          |pairs AS (
          |  $lshPairSelect),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION
          |  SELECT b_id AS src, a_id AS dst FROM pairs),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |lab0 AS (SELECT id, id AS rep FROM nodes),
+         |$stages,
+         |lab AS (SELECT id, rep FROM j24),
+         |bad AS (
+         |  SELECT (SELECT count(*) FROM edges e
+         |            JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+         |            WHERE la.rep <> lb.rep)
+         |       + (SELECT count(*) FROM lab a JOIN lab b ON b.id = a.rep
+         |            WHERE a.rep <> b.rep) AS n),
          |sz AS (SELECT rep, count(*) AS cluster_size FROM lab GROUP BY rep)
-         |SELECT lab.id AS doc_id, lab.rep AS cluster_rep, sz.cluster_size
-         |FROM lab JOIN sz USING (rep)""".stripMargin,
+         |SELECT lab.id AS doc_id,
+         |  CASE WHEN (SELECT n FROM bad) = 0 THEN lab.rep END AS cluster_rep,
+         |  sz.cluster_size
+         |FROM lab JOIN sz USING (rep)""".stripMargin
+    },
 
     "q62_seq_packing" -> {
       val tokCount = "len([t for t in str_split(text, ' ') if t != ''])"

@@ -53,6 +53,22 @@ class TextSpec extends SparkSpec {
     assert(out.head == h)
   }
 
+  test("native rolling_hash31 equals the composable fold (incl. multi-byte, empty, null)") {
+    val df = Seq(
+      Some("hello world 42"),
+      Some("répé tition über ascii"), // 2-byte UTF-8 code points
+      Some(""),
+      Some("x"),
+      None: Option[String]).toDF("text")
+    val both = df.select(
+      Txt.rollingHashExpr("text").as("fast"),
+      Txt.rollingHashExpr("text", forceComposable = true).as("slow"))
+    assert(both.filter(!(col("fast") <=> col("slow"))).count() == 0L)
+    // guard that the fast path actually resolved to the native expression
+    assert(both.queryExecution.analyzed.toString.contains("rolling_hash31"),
+      "native rolling_hash31 not picked up — registry probe broken")
+  }
+
   test("stopword hits: distinct vs multiset semantics") {
     val df = Seq("the cat the dog").toDF("text").withColumn("tk", Txt.tokens(col("text")))
     val (dst, occ) = df.select(
