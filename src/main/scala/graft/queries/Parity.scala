@@ -231,13 +231,25 @@ object Parity {
   def q30ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     def withinPct(approx: Column, exact: Column, bound: Double): Column =
       abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") <= bound
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+    // The sketch and the exact twin run as SEPARATE aggregates joined on
+    // the 3-row group key. Fusing them looks cheaper but is quadratic in
+    // the key domain: RewriteDistinctAggregates expands each row once per
+    // distinct set and keys the first partial aggregate by
+    // (flag, gid, partkey, suppkey) — and the ~12 KB rsd=0.01 HLL buffer
+    // is allocated for EVERY such group, so the fused plan materializes
+    // |distinct keys| × 12 KB of sketch state (70+ GB at sf10; measured
+    // wedged in HyperLogLogPlusPlus.merge). Split, the sketch aggregate
+    // holds 3 buffers total and the exact aggregate shuffles bare keys.
+    val li = t(s, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("parts"),
-        countDistinct(col("l_suppkey")).as("supps"),
+        countDistinct(col("l_suppkey")).as("supps"))
+    val sketch = li.groupBy(col("l_returnflag"))
+      .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("pa"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("sa"))
+    exact.join(broadcast(sketch), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("parts"), col("supps"),
         withinPct(col("pa"), col("parts"), 0.05).as("parts_within_5pct"),
         withinPct(col("sa"), col("supps"), 0.05).as("supps_within_5pct"))
