@@ -81,15 +81,23 @@ object Oracles {
     * floor-form rounding, same strict-argmax tie-break (ORDER BY dd DESC,
     * cb_id ≡ the Spark fold's "strict > keeps first"), so the two
     * engines' codebooks are bit-identical at every iteration.
+    *
+    * Argmax shape: a streaming `max(struct_pack(dd, -cb_id))` aggregate,
+    * NOT `row_number() OVER (PARTITION BY vec_id)` — the window form
+    * forces DuckDB to materialize and sort the N×K cross join (2.8 B rows
+    * at sf10 → 48 GB OOM), while the lexicographic struct max streams
+    * through a 2 M-group hash aggregate. Same tie-break: max dd, then
+    * min cb_id (via negation). The N×K stream also drops `vec`
+    * (~550 B/row → ~20 B/row); the winner's vector is joined back by
+    * vec_id afterwards.
     */
   private val kmeansCtes: String = {
     def one(i: Int, prev: String): String =
-      s"""x$i AS (SELECT e.vec_id, e.vec, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
+      s"""x$i AS (SELECT e.vec_id, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
          |        FROM e CROSS JOIN $prev c),
-         |a$i AS (SELECT vec_id, vec, cb_id AS cell FROM (
-         |        SELECT vec_id, vec, cb_id,
-         |          row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, cb_id) AS rn
-         |        FROM x$i) WHERE rn = 1),
+         |a$i AS (SELECT m.vec_id, e.vec, CAST(-m.mx.ncb AS INTEGER) AS cell
+         |        FROM (SELECT vec_id, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
+         |              FROM x$i GROUP BY vec_id) m JOIN e USING (vec_id)),
          |g$i AS (SELECT cell, CAST(i AS INTEGER) AS dim, vec[CAST(i AS INTEGER)] AS v
          |        FROM a$i CROSS JOIN unnest(generate_series(1, ${Extensions.EmbeddingDim})) AS t(i)),
          |u$i AS (SELECT cell, dim,
@@ -114,15 +122,15 @@ object Oracles {
   }
 
   /** Trained-cell assignment of every `e` row against `cb`:
-    * `cells(vec_id, vec, cell, dd)` — argmax dot, lowest cb_id on ties.
+    * `cells(vec_id, vec, cell, dd)` — argmax dot, lowest cb_id on ties
+    * (same streaming struct-max shape as [[kmeansCtes]]).
     */
   private val kmeansAssignCte: String =
-    s"""tx AS (SELECT e.vec_id, e.vec, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
+    s"""tx AS (SELECT e.vec_id, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
        |       FROM e CROSS JOIN cb c),
-       |cells AS (SELECT vec_id, vec, cb_id AS cell, dd FROM (
-       |       SELECT vec_id, vec, cb_id, dd,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, cb_id) AS rn
-       |       FROM tx) WHERE rn = 1)""".stripMargin
+       |cells AS (SELECT m.vec_id, e.vec, CAST(-m.mx.ncb AS INTEGER) AS cell, m.mx.dd AS dd
+       |       FROM (SELECT vec_id, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
+       |             FROM tx GROUP BY vec_id) m JOIN e USING (vec_id))""".stripMargin
 
   /** q18's banded-LSH pair CTEs + final select, shared with the q61
     * connected-components oracle (which wraps them in WITH RECURSIVE).
@@ -771,11 +779,10 @@ object Oracles {
          |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
          |                         list_slice(cb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS d
          |      FROM e CROSS JOIN cb CROSS JOIN sub),
-         |b AS (SELECT vec_id, s, cb_id, d,
-         |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cb_id) AS rn
-         |      FROM x)
-         |SELECT vec_id, s AS subspace, CAST(cb_id AS INTEGER) AS code, ${r("d", 4)} AS score
-         |FROM b WHERE rn = 1""".stripMargin
+         |b AS (SELECT vec_id, s, max(struct_pack(d := d, ncb := -cb_id)) AS mx
+         |      FROM x GROUP BY vec_id, s)
+         |SELECT vec_id, s AS subspace, CAST(-b.mx.ncb AS INTEGER) AS code, ${r("b.mx.d", 4)} AS score
+         |FROM b""".stripMargin
     },
 
     "q64_ivfpq_search" -> {
@@ -793,10 +800,9 @@ object Oracles {
          |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
          |                         list_slice(pqcb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS dd
          |      FROM e CROSS JOIN pqcb CROSS JOIN sub),
-         |codes AS (SELECT vec_id, s, cb_id AS code FROM (
-         |        SELECT vec_id, s, cb_id,
-         |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dd DESC, cb_id) AS rn
-         |        FROM x) WHERE rn = 1),
+         |codes AS (SELECT vec_id, s, CAST(-b.mx.ncb AS INTEGER) AS code FROM (
+         |        SELECT vec_id, s, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
+         |        FROM x GROUP BY vec_id, s) b),
          |qd AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, c.cb_id AS pcell,
          |         list_dot_product(e.vec, c.cb_vec) AS dd
          |       FROM e CROSS JOIN cb c WHERE e.vec_id < 10),
