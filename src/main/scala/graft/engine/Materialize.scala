@@ -26,6 +26,7 @@ object Materialize {
   /** Chain syntax: `df.transform(...).pinned`. */
   implicit final class PinOps(private val df: DataFrame) extends AnyVal {
     def pinned: DataFrame = Materialize.pin(df)
+    def pinnedResetStats: DataFrame = Materialize.pinResetStats(df)
   }
 
   /** (conf dir we installed, the qualified dir Spark REPORTED after the
@@ -65,5 +66,32 @@ object Materialize {
         finally if (!callerCached) df.unpersist()
       case None => df.localCheckpoint(eager = true)
     }
+  }
+
+  /** [[pin]] + a STATS FIREWALL — for frames re-pinned inside an
+    * iterative loop, not for one-shot pins.
+    *
+    * checkpoint/localCheckpoint truncate the plan but PRESERVE the origin
+    * plan's `Statistics`. A loop whose round joins the previous round's
+    * pin with itself (connected components' pointer jump) then compounds
+    * the size-only join estimate — the product of the children's
+    * `sizeInBytes` — so the BigInt's bit length DOUBLES every round:
+    * measured at sf10, round 22's "join" of two 226 k-row in-memory
+    * frames spent 70 s in driver-side `BigInteger.multiply` on
+    * ~100-megabit stats while the executors were idle (Q61Diag prints
+    * the bit length per round).
+    *
+    * Rebuilding the frame over the checkpointed blocks through the public
+    * Row seam drops the inherited stats to `defaultSizeInBytes` — constant
+    * bit length, and no planning-quality loss because AQE picks the
+    * physical join from RUNTIME shuffle sizes (the loop's joins all sit
+    * below exchanges). Cost: one Row encode/decode per downstream read of
+    * the pinned frame — fine for small iterated label frames, wrong for
+    * bulk one-shot pins (those keep [[pin]]'s zero-copy path and their
+    * real stats).
+    */
+  def pinResetStats(df: DataFrame): DataFrame = {
+    val cp = pin(df)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 }

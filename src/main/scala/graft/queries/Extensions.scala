@@ -1102,9 +1102,15 @@ object Extensions {
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("rep"),
           lit(null).cast("bigint").as("prev"))
+      // pinnedResetStats, not pinned: the round plan joins this frame with
+      // itself (the jump below), and checkpointing PRESERVES origin-plan
+      // stats — the size-only join estimate would square per round until
+      // the driver spends its time multiplying megabit BigInts
+      // (measured: 70 s/round by round 22 at sf10; see Materialize
+      // .pinResetStats and Q61Diag's statsBits column).
       val next = labels.withColumn("prev", col("rep")).unionByName(prop)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
-        .pinned
+        .pinnedResetStats
       // Pointer jump (path halving): l(v) := l(l(v)). Every rep is itself
       // a node id present in `next` (reps only ever flow from node ids),
       // so the lookup is an equi self-join of the pinned round frame; the
@@ -1115,7 +1121,7 @@ object Extensions {
       val jumped = next
         .join(next.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
         .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("prev"))
-        .pinned
+        .pinnedResetStats
       changed = jumped.filter(col("rep") =!= col("prev")).count()
       labels = jumped.drop("prev")
       rounds += 1
