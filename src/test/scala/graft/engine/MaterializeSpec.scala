@@ -34,6 +34,38 @@ class MaterializeSpec extends SparkSpec {
     } finally spark.conf.unset(Materialize.ReliableDirConf)
   }
 
+  test("pinResetStats firewalls origin-plan stats in an iterative self-join loop") {
+    import org.apache.spark.sql.functions._
+    // The q61 shape: each round self-joins the previous round's pin. With
+    // plain pin, checkpoint PRESERVES origin stats and the size-only join
+    // estimate is the product of the children's sizeInBytes, so the
+    // BigInt's bit length DOUBLES per round (measured driver-side
+    // BigInteger.multiply blowup at sf10 — SCALING.md round-11). The
+    // firewall must keep it constant.
+    var plain = spark.range(100).select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    var reset = Materialize.pinResetStats(
+      spark.range(100).select(col("id"), col("id").as("rep")))
+    def round(df: org.apache.spark.sql.DataFrame) = df
+      .join(df.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+    def bits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.bigInteger.bitLength()
+    val plainBits = (1 to 4).map { _ =>
+      plain = round(plain).localCheckpoint(true); bits(plain)
+    }
+    val resetBits = (1 to 4).map { _ =>
+      reset = Materialize.pinResetStats(round(reset)); bits(reset)
+    }
+    assert(plainBits.last > 2 * plainBits.head,
+      s"expected the un-firewalled loop to compound stats (got $plainBits) — " +
+        "if Spark stopped preserving checkpoint stats, pinResetStats may be droppable")
+    assert(resetBits.distinct.size == 1 && resetBits.head <= 128,
+      s"pinResetStats must keep stats bit length constant and small, got $resetBits")
+    // and the data itself is unharmed
+    assert(reset.count() == 100)
+  }
+
   test("pin leaves a caller-created cache in place") {
     val dir = Files.createTempDirectory("mat_callercache").toString
     spark.conf.set(Materialize.ReliableDirConf, dir)
