@@ -74,10 +74,17 @@ object Q61Diag {
           .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
           .pinnedResetStats
         val t1 = System.nanoTime()
-        val preJump = next
-          .join(next.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        // Q61_JUMPS=2 was measured at sf10: a SECOND jump per round does
+        // NOT reduce the 22-round count — convergence is bound by the
+        // min-label needing to PROPAGATE through the edges, not by rep
+        // chains needing compression. Kept configurable for re-testing.
+        def jump(df: org.apache.spark.sql.DataFrame) = df
+          .join(df.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
           .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("prev"))
-        val jumped = preJump.pinnedResetStats
+        val jumps = sys.env.getOrElse("Q61_JUMPS", "1").toInt
+        val preJump = jump(next)
+        var jumped = preJump.pinnedResetStats
+        for (_ <- 2 to jumps) jumped = jump(jumped).pinnedResetStats
         val t2 = System.nanoTime()
         if ((t2 - t1) / 1e9 > 3.0)
           println(s"[q61diag] slow jump plan round ${round + 1}:\n" +
