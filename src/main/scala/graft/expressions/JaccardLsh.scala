@@ -18,14 +18,103 @@ import org.apache.spark.unsafe.types.UTF8String
   * (odd multipliers < 2³¹) from one seeded generator.
   */
 object JaccardLsh {
-  val Bands = 48
+  /** 64 bands × 2 rows since round 12 (48 × 2 before): the signature
+    * shingle widened to [[SigShingle]] words, which shifts a pair's
+    * signature Jaccard DOWN by O(w/|doc|) relative to its verified
+    * bigram Jaccard; 16 extra bands lift the candidate-recall curve back
+    * over LshRecallSpec's original floors (theory at the planted levels:
+    * 0.89 / 0.97 / 0.9995 / ~1) at +33 % map-only signature cost, while
+    * the background candidate rate stays ~3,500× below the bigram
+    * signature's (E[1−(1−J₄²)⁶⁴] ≈ 1.3e-5 per pair, measured sf0.1).
+    */
+  val Bands = 64
   val Rows = 2
+
+  /** Word-shingle width of the CANDIDATE signature (round 12). The verify
+    * predicate is unchanged — exact word-BIGRAM Jaccard ≥ τ — but the
+    * minhash signature runs over [[SigShingle]]-word shingles. Rationale,
+    * measured on the bench corpus (SCALING.md round-12): the corpus has a
+    * 31-word closed vocabulary, so the BIGRAM universe is ≤ 961 grams and
+    * two unrelated docs share common bigrams at background J ≈ 0.05–0.1 —
+    * at r = 2, b = 48 that passes ~26 % of ALL pairs as candidates, the
+    * measured Θ(N²·c) slot term (179 M slots at sf10). Widening the
+    * signature shingle grows the gram universe geometrically (31⁴) and
+    * background J collapses ~4,700× (measured E[1−(1−J₄²)⁴⁸] = 1e-5 vs
+    * 4.7e-2 for bigrams) while TRUE near-dups — which share contiguous
+    * token runs, not scattered vocabulary coincidences — keep shingle-J
+    * within O(w/|doc|) of their bigram J. This is the standard production
+    * dedup choice (MinHash over 4–13-word shingles). The miss class
+    * becomes "no band collision on the 4-shingle minhash": a pair with
+    * bigram-J ≥ τ but NO shared 4-token run is (by design) not a
+    * candidate; LshRecallSpec pins the recall floors for run-sharing
+    * near-dups at the τ = 0.2 threshold, and the DuckDB oracle replays
+    * the identical 4-shingle signature, so the contract is mirrored.
+    * Docs with < [[SigShingle]] tokens emit no signature and cannot pair.
+    */
+  val SigShingle = 4
+
   val (a, c): (Array[Long], Array[Long]) = {
     val r = new java.util.Random(2020L)
     val a = Array.fill(Bands * Rows)((r.nextInt(Int.MaxValue) | 1).toLong)
     val c = Array.fill(Bands * Rows)(r.nextInt(Int.MaxValue).toLong * 2)
     (a, c)
   }
+
+  /** Shared core of [[BigramH60s]] / [[NgramH60s]]: the DISTINCT 60-bit
+    * md5-prefix hashes of a text's `w`-word shingles, one pass over the
+    * raw UTF-8 bytes. A shingle's digest input is the w tokens joined by
+    * a single 0x20 byte (2w−1 md5 updates, no concat allocation); h60 is
+    * the digest's first 8 bytes big-endian shifted right 4; distinctness
+    * is by h60 with first-occurrence order.
+    */
+  private[expressions] def ngramH60s(
+      bytes: Array[Byte], w: Int, md: java.security.MessageDigest): Array[Long] = {
+    val n = bytes.length
+    var nTok = 0
+    var b = 0
+    while (b < n) {
+      if (bytes(b) != 0x20) {
+        nTok += 1
+        while (b < n && bytes(b) != 0x20) b += 1
+      } else b += 1
+    }
+    if (nTok < w) return Array.emptyLongArray
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var ti = 0
+    b = 0
+    while (b < n) {
+      if (bytes(b) != 0x20) {
+        starts(ti) = b
+        while (b < n && bytes(b) != 0x20) b += 1
+        ends(ti) = b
+        ti += 1
+      } else b += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
+    val out = new Array[Long](nTok - w + 1)
+    var m = 0
+    var i = 0
+    while (i <= nTok - w) {
+      md.reset()
+      var t = 0
+      while (t < w) {
+        if (t > 0) md.update(SpaceByte, 0, 1)
+        md.update(bytes, starts(i + t), ends(i + t) - starts(i + t))
+        t += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      val h60 = h >>> 4
+      if (seen.add(h60)) { out(m) = h60; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  private val SpaceByte = Array[Byte](0x20)
 }
 
 /** `bigram_h60s(text)` → array<long> of the DISTINCT 60-bit md5-prefix
@@ -58,59 +147,65 @@ case class BigramH60s(child: Expression)
 
   @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
-  private val Space = Array[Byte](0x20)
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
     if (t == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val bytes = t.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length
-    // non-empty token spans (starts, ends), skipping runs of spaces
-    var nTok = 0
-    var b = 0
-    while (b < n) {
-      if (bytes(b) != 0x20) {
-        nTok += 1
-        while (b < n && bytes(b) != 0x20) b += 1
-      } else b += 1
-    }
-    if (nTok < 2) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val starts = new Array[Int](nTok)
-    val ends = new Array[Int](nTok)
-    var ti = 0
-    b = 0
-    while (b < n) {
-      if (bytes(b) != 0x20) {
-        starts(ti) = b
-        while (b < n && bytes(b) != 0x20) b += 1
-        ends(ti) = b
-        ti += 1
-      } else b += 1
-    }
-    val md = mdTL.get()
-    val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
-    val out = new Array[Long](nTok - 1)
-    var m = 0
-    var i = 0
-    while (i < nTok - 1) {
-      md.reset()
-      md.update(bytes, starts(i), ends(i) - starts(i))
-      md.update(Space, 0, 1)
-      md.update(bytes, starts(i + 1), ends(i + 1) - starts(i + 1))
-      val d = md.digest()
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-      val h60 = h >>> 4
-      if (seen.add(h60)) { out(m) = h60; m += 1 }
-      i += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+    UnsafeArrayData.fromPrimitiveArray(
+      JaccardLsh.ngramH60s(t.asInstanceOf[UTF8String].getBytes, 2, mdTL.get()))
   }
 
   override def prettyName: String = "bigram_h60s"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `ngram_h60s(text, w)` → array<long> of the DISTINCT 60-bit md5-prefix
+  * hashes of the text's `w`-word shingles — [[BigramH60s]] generalized to
+  * any shingle width. q20's candidate signature runs this at
+  * [[JaccardLsh.SigShingle]] (see that constant's scaladoc for why the
+  * signature shingle is WIDER than the verified bigram predicate).
+  * `w` must be a foldable positive integer; a doc with fewer than `w`
+  * tokens yields an empty array. Exact-parity twin of the composable
+  * `transform(array_distinct(shingles_w(tokens(text))),
+  *            g -> conv(substr(md5(g), 1, 15), 16, 10))` chain, where a
+  * shingle's digest input is its w tokens joined by single spaces.
+  * CodegenFallback for the ArgmaxDot reason; JaccardLshSpec pins parity.
+  */
+case class NgramH60s(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ngram_h60s expects (string, int), got ${left.dataType.simpleString} first")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "ngram_h60s expects a foldable integer shingle width")
+    else if (right.eval() == null || right.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"ngram_h60s width must be a positive integer, got ${right.eval()}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val w: Int = right.eval().asInstanceOf[Int]
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    UnsafeArrayData.fromPrimitiveArray(
+      JaccardLsh.ngramH60s(t.asInstanceOf[UTF8String].getBytes, w, mdTL.get()))
+  }
+
+  override def prettyName: String = "ngram_h60s"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `jac_band_keys(ghs)` → array<long> of the [[JaccardLsh.Bands]] LSH

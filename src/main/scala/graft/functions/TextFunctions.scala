@@ -46,6 +46,21 @@ object TextFunctions {
          |  i -> concat($tokCol[i - 1], ' ', $tokCol[i]))
          |END""".stripMargin)
 
+  /** Word `w`-shingles over a PRE-SPLIT token array column ("a b c d",
+    * w=3 -> ["a b c","b c d"]) — [[wordBigramsExpr]] generalized; the
+    * composable twin of the native `ngram_h60s` shingle walk (before its
+    * md5 step). Docs with < w tokens yield an empty array.
+    */
+  def wordShinglesExpr(tokCol: String, w: Int): Column = {
+    val parts = (0 until w).map(j => s"$tokCol[i - 1 + $j]").mkString(", ' ', ")
+    expr(
+      s"""CASE WHEN size($tokCol) < $w THEN array()
+         |ELSE transform(
+         |  sequence(1, size($tokCol) - ${w - 1}),
+         |  i -> concat($parts))
+         |END""".stripMargin)
+  }
+
   /** Distinct-stopword hit count: |tokens ∩ stopwords|. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
     size(array_intersect(toks, array(stopwords.map(lit): _*)))

@@ -347,8 +347,13 @@ object Extensions {
     * bounds the pair space; at scale the block key would be an LSH bucket).
     */
   /** q20's LSH banding parameters: [[JacBands]] bands of [[JacRows]]
-    * minhashes ⇒ candidate recall 1 − (1 − j^rows)^bands — ~0.86 at the
-    * τ = 0.2 floor, ≥ 0.99 from j ≈ 0.3, ~1 for real near-dups. The
+    * minhashes over word-[[JacShingle]]-shingles (round 12 — see
+    * JaccardLsh.SigShingle for why the signature shingle is wider than
+    * the verified bigram predicate) ⇒ candidate recall
+    * 1 − (1 − j_w^rows)^bands in the pair's SHINGLE Jaccard j_w — for
+    * run-sharing near-dups j_w tracks bigram J within O(w/|doc|), so the
+    * curve is ~0.81 at the τ = 0.2 floor, ≥ 0.99 from j ≈ 0.3, ~1 for
+    * real near-dups (LshRecallSpec pins measured floors). The
     * permutation family is multiply-add mod 2³¹ over a 32-bit md5-prefix
     * gram hash — exact in 64-bit integer arithmetic on BOTH engines
     * (products < 2⁶³, no overflow), so the DuckDB oracle replays the
@@ -357,6 +362,7 @@ object Extensions {
     */
   val JacBands: Int = graft.expressions.JaccardLsh.Bands
   val JacRows: Int = graft.expressions.JaccardLsh.Rows
+  val JacShingle: Int = graft.expressions.JaccardLsh.SigShingle
   val jacA: Array[Long] = graft.expressions.JaccardLsh.a
   val jacC: Array[Long] = graft.expressions.JaccardLsh.c
 
@@ -372,34 +378,72 @@ object Extensions {
     // sf1 — qualifying pairs share only common grams. So q20 now does
     // what production near-dup does at scale (MinHash blocking + exact
     // verification): candidates come from banded minhash collisions over
-    // the gram set ([[JacBands]]×[[JacRows]], recall curve above), and
-    // every candidate is verified with an EXACT Jaccard over the full
-    // gram arrays — reported values are exact; the only miss class is a
-    // pair colliding in no band, the same documented contract as
-    // q18/q90. Cost: signatures are one md5 + 2·bands·rows multiply-adds
+    // the word-[[JacShingle]]-SHINGLE set ([[JacBands]]×[[JacRows]],
+    // recall curve above; round 12 widened the signature shingle from 2
+    // to 4 words after Q20Diag measured the bigram signature's background
+    // collisions at Θ(N²·c) on the closed vocabulary — see
+    // JaccardLsh.SigShingle), and every candidate is verified with an
+    // EXACT Jaccard over the full BIGRAM arrays — reported values are
+    // exact; the miss class is a pair colliding in no band of the
+    // shingle minhash, the same documented contract as q18/q90. Cost: signatures are one md5 + 2·bands·rows multiply-adds
     // per gram posting (one hash aggregate), buckets are equi-grouped
     // with the [[HotBucketCap]] flood cap, and verification touches only
     // actual candidates — every stage linear in the corpus.
-    // Compact per-doc arrays of 60-bit md5-prefix gram hashes, pinned
-    // once: the signature pass AND both verify sides read this one
-    // materialization (|hashed ∩| = |string ∩| absent collisions,
-    // P ≈ 2⁻⁶⁰ per pair — the string-based oracle still matches).
-    // Native fused `bigram_h60s` when registered (one pass over the raw
-    // bytes, zero string allocations); the composable twin otherwise.
-    // Sorted ONCE PER DOC: every consumer is order-independent (min over
-    // grams, set intersection size, cardinality), and the ascending order
-    // lets the per-PAIR verify run as a merge walk (`sorted_inter_size`)
-    // instead of a per-call hash set.
-    val hashed = (if (s.catalog.functionExists("bigram_h60s"))
+    // Compact per-doc arrays of 60-bit md5-prefix gram hashes. TWO gram
+    // families since round 12 (see JaccardLsh.SigShingle):
+    //   ghs — word-BIGRAM hashes, the VERIFY set (the reported predicate
+    //         is exact bigram Jaccard ≥ 0.2, unchanged);
+    //   sgs — word-[[JacShingle]]-SHINGLE hashes, the SIGNATURE set. On
+    //         the closed 31-word vocabulary the bigram universe is ≤ 961,
+    //         so bigram minhashes collide for ~26 % of ALL pairs
+    //         (background J ≈ 0.05–0.1 — the measured Θ(N²·c) slot term,
+    //         179 M slots at sf10); 4-shingle background J is ~0
+    //         (universe 31⁴) while true near-dups share contiguous runs
+    //         and keep shingle-J high. Measured (Q20Diag): slots drop
+    //         2.8 M → 1,687 at sf1 and 179 M → 114,651 at sf10, with the
+    //         sf10 remainder dominated by TRUE pairs × band multiplicity.
+    // |hashed ∩| = |string ∩| absent collisions, P ≈ 2⁻⁶⁰ per pair — the
+    // string-based oracle still matches. Native fused `bigram_h60s` /
+    // `ngram_h60s` when registered (one pass over the raw bytes, zero
+    // string allocations); the composable twins otherwise. ghs is sorted
+    // ONCE PER DOC: its consumers are order-independent (set intersection
+    // size, cardinality), and the ascending order lets the per-PAIR
+    // verify run as a merge walk (`sorted_inter_size`) instead of a
+    // per-call hash set.
+    // ONE pinned gram frame (r11's shape, round-12 payload): per doc the
+    // sorted verify bigrams (ghs) plus the PRE-COMPUTED band keys (bks)
+    // of the shingle signature — `jac_band_keys(ngram_h60s(...))` folds
+    // the shingle md5 + 2·bands·rows multiply-adds into the pin build,
+    // so the signature math runs ONCE and the pin carries [[JacBands]]
+    // longs per doc instead of the ~|doc| shingle hashes. Three
+    // consumers read the pin: the band posting explode TWICE (bucket
+    // count + join-back — those two cannot share an exchange, the count
+    // side's exchange carries partial-agg state while the join side's
+    // carries raw postings, so without the pin the signature pass runs
+    // twice) and the verify join's array side once. Round-12 A/B at
+    // sf10: unpinned dual-stream 39–65 s (erratic, signature ×2), pin of
+    // the 64·N exploded postings 69–102 s (checkpoint too fat), this
+    // shape 24 s.
+    // A doc with < JacShingle tokens has an empty shingle set, hence
+    // empty bks, and emits no band postings — it can never be a
+    // candidate (the documented sub-w miss class; the oracle's unnest
+    // replays the same drop).
+    val native = s.catalog.functionExists("bigram_h60s") &&
+      s.catalog.functionExists("jac_band_keys")
+    val hashed = (if (native)
       docs(s, dir).select(col("source"), col("doc_id"),
-        array_sort(expr("bigram_h60s(text)")).as("ghs"))
+        array_sort(expr("bigram_h60s(text)")).as("ghs"),
+        expr(s"jac_band_keys(ngram_h60s(text, $JacShingle))").as("bks"))
     else
       docs(s, dir)
         .withColumn("tk", Txt.tokens(col("text")))
         .withColumn("grams", array_distinct(Txt.wordBigramsExpr("tk")))
+        .withColumn("shingles", array_distinct(Txt.wordShinglesExpr("tk", JacShingle)))
         .select(col("source"), col("doc_id"),
           array_sort(transform(col("grams"),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("ghs")))
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("ghs"),
+          transform(col("shingles"),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("sgs")))
       .withColumn("gsz", size(col("ghs")))
       .filter(col("gsz") > 0)
       .pinned
@@ -416,13 +460,12 @@ object Extensions {
     // collapse — measured 43 s of task time at sf0.1). The exploded
     // 96-way packed-long min aggregate is the composable parity twin.
     val bands =
-      if (s.catalog.functionExists("jac_band_keys"))
-        hashed.select(col("source"), col("doc_id"),
-          posexplode(expr("jac_band_keys(ghs)")))
+      if (native)
+        hashed.select(col("source"), col("doc_id"), posexplode(col("bks")))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "k"))
       else {
         val post = hashed.select(
-          col("source"), col("doc_id"), explode(col("ghs")).as("h60"))
+          col("source"), col("doc_id"), explode(col("sgs")).as("h60"))
           // h32 = first 8 hex = h60 >> 28 (integer `div` — a double `/`
           // would round h60 past 53 bits first)
           .withColumn("h32", expr("h60 div 268435456"))
@@ -450,10 +493,22 @@ object Extensions {
     // any group count; (2) keep buckets with 2 ≤ members ≤ cap (a
     // FLOODED bucket is dropped whole — an adversarial dup flood
     // contributes zero pairs instead of a truncated sample; the oracle
-    // mirrors the same rule); (3) join the surviving keys back (AQE
-    // broadcasts the small survivor set locally; at scale it hash-joins
-    // on the same key) and collect members — the list aggregate now
-    // touches only real buckets.
+    // mirrors the same rule); (3) join the surviving keys back and
+    // collect members — the list aggregate now touches only real
+    // buckets. The join-back is an EXPLICIT broadcast of the survivor
+    // set: AQE alone plans a shuffle join (the count exchange and the
+    // join's posting exchange cannot be one — partial-agg state vs raw
+    // rows), which re-shuffles AND re-sorts all 64·N postings (measured
+    // the dominant q20 stage at sf10: 1.3 GB shuffle, 400–1100 s task
+    // time, SMJ sort of 32 M rows); broadcasting instead probes the
+    // postings MAP-SIDE straight off the pin — no posting exchange, no
+    // sort (sf10 wall 27 s → 23 s, and the 2× run-to-run variance from
+    // that sort's GC goes with it). Scale bound: survivors are capped
+    // buckets, so |live| ∝ true near-dup pairs + background collisions
+    // — ~100 k rows / ~3 MB at sf10, growing ~linearly with corpus dup
+    // mass; a corpus whose dup mass makes the survivor set
+    // driver-hostile can set spark.graft.q20.broadcastLive=false and
+    // take the shuffle join.
     val live = bands
       .groupBy(col("source"), col("band"), col("k"))
       .agg(count(lit(1)).as("n"))
@@ -475,8 +530,12 @@ object Extensions {
     // membership (boundedSortedList orders by the struct's leading
     // doc_id), same flood cap, same exact Jaccard — identical result,
     // oracle unchanged.
+    val liveSide =
+      if (s.conf.get("spark.graft.q20.broadcastLive", "true").toBoolean)
+        broadcast(live)
+      else live
     bands
-      .join(live, Seq("source", "band", "k"))
+      .join(liveSide, Seq("source", "band", "k"))
       .join(hashed.select(col("source"), col("doc_id"), col("gsz"), col("ghs")),
         Seq("source", "doc_id"))
       .select(col("source"), col("band"), col("k"),

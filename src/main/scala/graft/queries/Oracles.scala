@@ -335,8 +335,16 @@ object Oracles {
       // md5-prefix gram hashes, same multiply-add-mod-2³² permutations
       // (identical constants interpolated from Extensions.jacA/jacC),
       // same banded argmin keys, same HotBucketCap smallest-ids bucket
-      // cap, then exact Jaccard over the full hashed-gram sets.
+      // cap, then exact Jaccard over the full hashed-BIGRAM sets. Since
+      // round 12 the SIGNATURE runs over word-JacShingle-shingles (the
+      // closed-vocabulary slot fix — JaccardLsh.SigShingle); the verify
+      // predicate stays exact bigram Jaccard, so the sig CTEs below read
+      // `shg` (shingle hashes) while `hg` (bigram hashes) feeds verify.
       val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
+      val w = Extensions.JacShingle
+      val shingleBody = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+      val shingles =
+        s"list_distinct([$shingleBody for i in range(1, len(tk) - ${w - 2})])"
       // (perm, h32) packed into ONE BIGINT (perm·2³² + h32, perm mod
       // 2³¹ — bit-identical to the engine's packed-long min; list- or
       // struct-valued min states are unspillable in DuckDB and off the
@@ -355,10 +363,12 @@ object Oracles {
           s"(m${Extensions.JacRows * b + 1} % 4294967296) AS k FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH tok AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
-         |g AS (SELECT doc_id, source, $bigrams AS grams FROM tok),
+         |g AS (SELECT doc_id, source, $bigrams AS grams, $shingles AS shingles FROM tok),
          |hg AS (SELECT doc_id, source, len(grams) AS gsz,
          |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in grams] AS ghs FROM g),
-         |post AS (SELECT doc_id, source, unnest(ghs) AS h60 FROM hg),
+         |shg AS (SELECT doc_id, source,
+         |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in shingles] AS sgs FROM g),
+         |post AS (SELECT doc_id, source, unnest(sgs) AS h60 FROM shg),
          |ph AS (SELECT doc_id, source, h60, h60 // 268435456 AS h32 FROM post),
          |sig AS (
          |  SELECT source, doc_id,

@@ -28,15 +28,19 @@ object Q20Diag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Mirrors q20's round-12 split: ghs (bigram hashes) is the VERIFY
+    // set, sgs (JacShingle-word shingle hashes) is the SIGNATURE set.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("source"), col("doc_id"),
-        expr("bigram_h60s(coalesce(text, ''))").as("ghs"))
+        expr("bigram_h60s(coalesce(text, ''))").as("ghs"),
+        expr(s"ngram_h60s(coalesce(text, ''), ${graft.queries.Extensions.JacShingle})")
+          .as("sgs"))
       .filter(size(col("ghs")) > 0)
     val n = docs.count()
-    println(s"docs=$n")
+    println(s"docs=$n sig_shingle=${graft.queries.Extensions.JacShingle}")
 
     val bands = docs.select(col("source"), col("doc_id"),
-        posexplode(expr("jac_band_keys(ghs)")))
+        posexplode(expr("jac_band_keys(sgs)")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "k"))
 
     val sizes = bands.groupBy("source", "band", "k").agg(count(lit(1)).as("n"))

@@ -46,6 +46,28 @@ class JaccardLshSpec extends SparkSpec {
     }
   }
 
+  test("ngram_h60s equals the composable wordShinglesExpr md5-prefix chain") {
+    // Parity at w = 2 (must equal bigram_h60s exactly) and at the q20
+    // signature width w = SigShingle, including the < w-token empty case.
+    for (w <- Seq(2, JaccardLsh.SigShingle)) {
+      val fold = {
+        val toked = docs.withColumn("tk", expr("filter(split(text, ' '), t -> t != '')"))
+        toked.select(col("doc_id"),
+          transform(array_distinct(graft.functions.TextFunctions.wordShinglesExpr("tk", w)),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("fold"))
+      }
+      val rows = docs.select(col("doc_id"), expr(s"ngram_h60s(text, $w)").as("native"))
+        .join(fold, "doc_id").collect()
+      for (r <- rows) {
+        val native = r.getSeq[Long](1)
+        val folded = Option(r.getSeq[Long](2)).getOrElse(Seq.empty)
+        assert(native === folded, s"doc ${r.getLong(0)} w=$w")
+      }
+    }
+    val w2 = docs.select(expr("ngram_h60s(text, 2)"), expr("bigram_h60s(text)")).collect()
+    for (r <- w2) assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+  }
+
   test("jac_band_keys equals the exploded packed-min aggregate") {
     val hashed = docs.select(col("doc_id"), expr("bigram_h60s(text)").as("ghs"))
       .filter(size(col("ghs")) > 0)

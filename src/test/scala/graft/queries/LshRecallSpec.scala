@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   *      per level with pair-private vocabularies (cross-pair J = 0), so
   *      exact ground truth is the plant itself. The banded pipeline's
   *      per-level recall is pinned against floors derived from the
-  *      theoretical candidate curve 1 − (1 − j²)^48 (≈ 0.87 / 0.96 /
-  *      0.998 / ~1), with slack for binomial sampling noise. PRECISION
+  *      theoretical candidate curve 1 − (1 − j_w^2)^64 in the pair's
+  *      SIGNATURE (4-shingle) Jaccard — for these contiguous-prefix
+  *      plants j_4 = (k−3)/(2(M−3)−(k−3)), giving ≈ 0.89 / 0.97 /
+  *      0.9995 / ~1 — with slack for binomial sampling noise. (The
+  *      floors predate the round-12 shingle widening and are unchanged:
+  *      the 64-band constant was chosen so the wider-shingle curve still
+  *      clears them — see JaccardLsh.Bands.) PRECISION
   *      is exact by construction (every candidate is verified with exact
   *      Jaccard), so emitted ⊆ planted is asserted as equality-of-values
   *      too: a banding-parameter change that craters recall, or a verify
@@ -72,10 +77,11 @@ class LshRecallSpec extends SparkSpec {
   private def jacOf(k: Int): Double = (k - 1).toDouble / (2 * (M - 1) - (k - 1))
 
   test("q20 near-threshold recall: pinned floors at J ≈ 0.20/0.25/0.35/0.61; precision exact") {
-    // (prefix length, recall floor): theory 1−(1−j²)^48 gives
-    // 0.872 / 0.955 / 0.998 / ~1.0; floors leave ~3σ of binomial room
-    // on 100 draws. A banding change (bands/rows/hash) that craters
-    // near-threshold recall fails the first floor immediately.
+    // (prefix length, recall floor): theory 1−(1−j₄²)^64 over the
+    // 4-shingle signature gives 0.89 / 0.97 / 0.9995 / ~1.0; floors
+    // leave ≥3σ of binomial room on 100 draws. A banding or shingle
+    // change (bands/rows/width/hash) that craters near-threshold recall
+    // fails the first floor immediately.
     val levels = Seq((18, 0.75), (21, 0.88), (27, 0.95), (39, 1.00))
     val perLevel = 100
     val rows = for {
