@@ -1177,11 +1177,23 @@ object Extensions {
       // Monotone (l(l(v)) <= l(v)), so the fixpoint and its loud
       // non-convergence guard are unchanged; changed-count still compares
       // against the pre-round label via the riding prev tag.
+      // The convergence count RIDES the pin job via observe():
+      // Dataset.checkpoint runs through withAction, which fires the
+      // QueryExecutionListener that Observation awaits, so the metric is
+      // ready the moment the eager localCheckpoint returns — one job
+      // per pin and ZERO extra jobs for the count (r11 ran a separate
+      // filter-count over the pinned frame each round; at 22 rounds ×
+      // 32 near-empty tasks the fixed job overhead, not data, dominated
+      // the sf10 CC wall — see SCALING.md). coalesce: sum() over an
+      // empty frame observes null.
+      val obs = org.apache.spark.sql.Observation(s"q61_round_$rounds")
       val jumped = next
         .join(next.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
         .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("prev"))
+        .observe(obs, coalesce(sum(when(col("rep") =!= col("prev"), 1L)), lit(0L))
+          .as("changed"))
         .pinnedResetStats
-      changed = jumped.filter(col("rep") =!= col("prev")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = jumped.drop("prev")
       rounds += 1
     }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * super-linear query of the sf10 sweep) and this separates "the pair
   * graph grew 94×" from "the loop got slow".
   *
-  * Usage: `runMain graft.tools.Q61Diag <sfDir>`.
+  * Usage: `runMain graft.queries.Q61Diag <sfDir>` (the FILE lives under
+  * tools/ but the object is declared in graft.queries — see the package
+  * note above; the tools-qualified name does not resolve).
   */
 object Q61Diag {
   def main(args: Array[String]): Unit = {
@@ -81,7 +83,11 @@ object Q61Diag {
         def jump(df: org.apache.spark.sql.DataFrame) = df
           .join(df.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
           .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("prev"))
-        val jumps = sys.env.getOrElse("Q61_JUMPS", "1").toInt
+        // ≥ 1 enforced: the first jump is structural (the loop below adds
+        // jumps 2..n), so Q61_JUMPS=0 would silently still jump once — a
+        // no-jump propagate-only baseline needs the jump() call removed,
+        // not a knob value.
+        val jumps = math.max(1, sys.env.getOrElse("Q61_JUMPS", "1").toInt)
         val preJump = jump(next)
         var jumped = preJump.pinnedResetStats
         for (_ <- 2 to jumps) jumped = jump(jumped).pinnedResetStats
