@@ -90,11 +90,19 @@ object Oracles {
     * min cb_id (via negation). The N×K stream also drops `vec`
     * (~550 B/row → ~20 B/row); the winner's vector is joined back by
     * vec_id afterwards.
+    *
+    * NULL guard: struct-max DIVERGES from the old row_number ORDER BY
+    * dd DESC form when dd is NULL (DuckDB's struct compare sorts NULL
+    * HIGH, so the struct max would prefer a NULL-dd row the window form
+    * put last) — the x/tx CTEs therefore filter `dd IS NOT NULL`. Today
+    * the filter never drops a row (GenScale emits dense non-null
+    * vectors, list_dot_product over them is non-null), but a future
+    * nullable-vec source would flip argmax winners silently without it.
     */
   private val kmeansCtes: String = {
     def one(i: Int, prev: String): String =
       s"""x$i AS (SELECT e.vec_id, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
-         |        FROM e CROSS JOIN $prev c),
+         |        FROM e CROSS JOIN $prev c WHERE list_dot_product(e.vec, c.cb_vec) IS NOT NULL),
          |a$i AS (SELECT m.vec_id, e.vec, CAST(-m.mx.ncb AS INTEGER) AS cell
          |        FROM (SELECT vec_id, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
          |              FROM x$i GROUP BY vec_id) m JOIN e USING (vec_id)),
@@ -127,7 +135,7 @@ object Oracles {
     */
   private val kmeansAssignCte: String =
     s"""tx AS (SELECT e.vec_id, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
-       |       FROM e CROSS JOIN cb c),
+       |       FROM e CROSS JOIN cb c WHERE list_dot_product(e.vec, c.cb_vec) IS NOT NULL),
        |cells AS (SELECT m.vec_id, e.vec, CAST(-m.mx.ncb AS INTEGER) AS cell, m.mx.dd AS dd
        |       FROM (SELECT vec_id, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
        |             FROM tx GROUP BY vec_id) m JOIN e USING (vec_id))""".stripMargin
