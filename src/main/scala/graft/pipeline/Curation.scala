@@ -3,22 +3,26 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => Txt}
+import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 
 /** The composed corpus-curation workflow — quality gate → exact dedup →
-  * decontamination → fold assignment — run as ONE plan over the raw
-  * documents. Each stage exists (and is oracle-checked) as an individual
-  * query-surface operator (q24 quality, q16 dedup, q67 decontaminate,
-  * q89 split); this module is the proof they COMPOSE the way a training
-  * -data team actually runs them, and the template for wiring more
-  * stages (near-dup, PII, length clip) into the same shape.
+  * near-dup collapse → decontamination → fold assignment — run as ONE
+  * plan over the raw documents. Each stage exists (and is
+  * oracle-checked) as an individual query-surface operator (q24
+  * quality, q16 dedup, q18's signature family for near-dup, q67
+  * decontaminate, q89 split); this module is the proof they COMPOSE the
+  * way a training-data team actually runs them, and the template for
+  * wiring more stages (PII, length clip) into the same shape.
   *
   * Scale design — stage decisions are COLUMNS, not materialized frames:
   * every per-row gate is a boolean flag, dedup's keeper choice is one
-  * digest-keyed window, decontamination is one broadcast anti-flag
-  * (left join + isnull against the held-out digest set), and the whole
-  * funnel report is ONE aggregation of prefix-conjunction sums — so the
-  * pipeline costs one scan, one digest shuffle, one broadcast, two
+  * digest-keyed window, the near-dup keeper is a bucket-min aggregate
+  * joined back by doc_id ([[neardupFlags]] — the one stage that needs
+  * its own shuffles, both digest-keyed), decontamination is one
+  * broadcast anti-flag (left join + isnull against the held-out digest
+  * set), and the whole funnel report is ONE aggregation of
+  * prefix-conjunction sums — so the pipeline costs one scan, the
+  * near-dup signature pass, a digest shuffle, one broadcast, two
   * actions (funnel + output), no matter how many stages it grows. The
   * naive per-stage `df = stage(df); df.count()` chain would scan the
   * corpus once PER STAGE.
@@ -30,6 +34,69 @@ import graft.functions.{TextFunctions => Txt}
 object Curation {
 
   final case class Result(corpus: DataFrame, funnel: DataFrame)
+
+  /** Near-duplicate COLLAPSE flags: (doc_id, neardup_ok) where a doc is
+    * dropped when ANY of its MinHash band buckets contains a smaller
+    * doc_id (that smaller doc is the keeper). Same signature family as
+    * q18 (8-char shingles, [[graft.queries.Extensions.MinhashK]] hashes,
+    * [[graft.queries.Extensions.BandRows]]-row bands, native
+    * `minhash_sigs` with the bit-identical composable fallback) — but
+    * the decision is a BUCKET-MIN AGGREGATE, not a pair expansion, and
+    * that inverts the flood story: q18/q20 cap or drop flooded buckets
+    * (bounded pair output is their contract, recall on the flood is the
+    * documented miss), while here a 300-doc — or 300-million-doc —
+    * boilerplate flood is one bucket whose min survives and whose every
+    * other member is dropped, with O(members) work and O(1) aggregate
+    * state. No cap, no truncation, flood recall 1.0 by construction
+    * (CurationPipelineSpec pins it on the LshRecallSpec flood corpus).
+    *
+    * Scale shape: bucket minima by partial-aggregating groupBy (a flood
+    * bucket compresses to one row per map partition before the
+    * exchange), then a join-back on the bucket key — AQE's skew-join
+    * split handles an adversarial mega-bucket, which a window over the
+    * same key would pin to one reducer. Miss classes, both documented:
+    * pairs colliding in no band (the q18 recall curve — catches
+    * shingle-J ≳ 0.7), and docs shorter than the shingle width (no
+    * signature, flagged keep). False drops need all
+    * [[graft.queries.Extensions.BandRows]] sampled minhashes equal for
+    * unrelated docs — P ≈ J_background⁴ ≈ 3e-6 at the measured 0.04
+    * background shingle-J.
+    */
+  private def neardupFlags(docs: DataFrame): DataFrame = {
+    import graft.queries.Extensions.{MinhashK, ShingleN, BandRows}
+    val s = docs.sparkSession
+    val base = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= ShingleN)
+    val sig =
+      if (s.catalog.functionExists("minhash_sigs"))
+        base.withColumn("ms", expr(s"minhash_sigs(text, $ShingleN, $MinhashK)"))
+          .select(col("doc_id") +: (0 until MinhashK).map(j =>
+            element_at(col("ms"), j + 1).as(s"sig_$j")): _*)
+      else {
+        val sampled = filter(Txt.charShinglesExpr("text", ShingleN),
+          sh => pmod(ascii(substring(sh, 1, 1)), lit(2)) === 0)
+        base
+          .withColumn("digests", Sim.shingleDigests(sampled))
+          .select(col("doc_id") +: Sim.minhashFromDigests(col("digests"), MinhashK): _*)
+      }
+    val nBands = MinhashK / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val slice = (b * BandRows until (b + 1) * BandRows).map(j => col(s"sig_$j"))
+      struct(lit(b).as("band"), Sim.bandHash(slice).as("h"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      // null h = every sampled shingle slice empty (possible only when
+      // the content-sampling predicate rejects ALL shingles) — no
+      // signature, not one shared bucket
+      .filter(col("h").isNotNull)
+    val bucketMin = bands.groupBy(col("band"), col("h"))
+      .agg(min(col("doc_id")).as("k"))
+    bands.join(bucketMin, Seq("band", "h"))
+      .groupBy(col("doc_id"))
+      .agg((min(col("k")) === col("doc_id")).as("neardup_ok"))
+  }
 
   /** `docs` needs (doc_id, text); extra columns ride along. `heldOut` is
     * the eval/benchmark corpus to decontaminate against (exact-digest
@@ -46,13 +113,19 @@ object Curation {
       // dedup keeps the smallest doc_id per digest — deterministic keeper
       .withColumn("dedup_ok", row_number().over(
         Window.partitionBy(col("digest")).orderBy(col("doc_id"))) === 1)
+    // near-dup collapse flag (bucket-min, flood-complete — see
+    // [[neardupFlags]]); left join: docs shorter than the shingle width
+    // have no signature row and keep
+    val nearFlagged = digested
+      .join(neardupFlags(docs), Seq("doc_id"), "left")
+      .withColumn("neardup_ok", coalesce(col("neardup_ok"), lit(true)))
     val flagged = heldOut match {
       case Some(h) =>
         val contaminated = h.select(md5(coalesce(col("text"), lit(""))).as("digest"))
           .distinct().withColumn("__held", lit(true))
-        digested.join(broadcast(contaminated), Seq("digest"), "left")
+        nearFlagged.join(broadcast(contaminated), Seq("digest"), "left")
           .withColumn("decon_ok", col("__held").isNull).drop("__held")
-      case None => digested.withColumn("decon_ok", lit(true))
+      case None => nearFlagged.withColumn("decon_ok", lit(true))
     }
     val withSplit = flagged.withColumn("split", Txt.foldOf(col("doc_id")))
     // ONE aggregation: survivor count after each prefix of the stage list
@@ -60,11 +133,13 @@ object Curation {
       count(lit(1)).as("raw"),
       sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality"),
       sum(when(col("q_ok") && col("dedup_ok"), 1L).otherwise(0L)).as("dedup"),
-      sum(when(col("q_ok") && col("dedup_ok") && col("decon_ok"), 1L).otherwise(0L))
-        .as("decontaminated"))
+      sum(when(col("q_ok") && col("dedup_ok") && col("neardup_ok"), 1L).otherwise(0L))
+        .as("neardup"),
+      sum(when(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("decon_ok"), 1L)
+        .otherwise(0L)).as("decontaminated"))
     val corpus = withSplit
-      .filter(col("q_ok") && col("dedup_ok") && col("decon_ok"))
-      .drop("q_ok", "dedup_ok", "decon_ok")
+      .filter(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("decon_ok"))
+      .drop("q_ok", "dedup_ok", "neardup_ok", "decon_ok")
     Result(corpus, funnel)
   }
 }

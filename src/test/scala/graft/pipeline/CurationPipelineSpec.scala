@@ -36,12 +36,56 @@ class CurationPipelineSpec extends SparkSpec {
     assert(f.getAs[Long]("raw") === 6L)
     assert(f.getAs[Long]("quality") === 4L)        // junky + NaN-scored out
     assert(f.getAs[Long]("dedup") === 3L)          // dup of 1 out
-    assert(f.getAs[Long]("decontaminated") === 2L) // held-out doc out
+    assert(f.getAs[Long]("neardup") === 2L)        // good+" extra" ≈ good: out
+    assert(f.getAs[Long]("decontaminated") === 1L) // held-out doc out
     val kept = r.corpus.select("doc_id").as[Long].collect().toSet
-    assert(kept === Set(1L, 4L)) // keeper of the dup pair is the min id
+    // 2 fell at exact dedup, 4 at near-dup collapse (its text is `good`
+    // plus one word — a true near-duplicate, minhash bands collide), 5
+    // at decontamination; the keeper of each dup family is the min id
+    assert(kept === Set(1L))
     // fold column present and valued
     val splits = r.corpus.select("split").as[String].collect().toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("flood e2e: a 300-doc boilerplate flood is caught by the funnel with recall ~1.0") {
+    // the same adversarial corpus LshRecallSpec feeds q20: 300 docs of
+    // shared 60-token boilerplate + one unique token each (pairwise
+    // J ≈ 0.97, NOT exact duplicates). q20's contract there is to drop
+    // the flooded bucket WHOLE — zero reported pairs, recall 0 on the
+    // flood by policy, with the funnel named as the owner of the class.
+    // This case PROVES that composition: the near-dup collapse stage is
+    // a bucket-min aggregate with no cap, so the flood drains to its
+    // min-id keeper end-to-end.
+    val boiler = (0 until 60).map(i => s"fb$i")
+    val flood = (0 until 300).map { d =>
+      (100000L + d, (boiler :+ s"fu$d").mkString(" "))
+    }
+    // distinct healthy docs — must NOT be dragged down by the flood
+    val normal = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the fox " +
+        "is seen by the dog near the river where the animals often meet"),
+      (2L, "completely different article about the weather today with the " +
+        "sun and the clouds and the wind that blows over the hills again"))
+    val docs = (flood ++ normal).toDF("doc_id", "text")
+    val r = Curation.curate(docs)
+    val kept = r.corpus.select("doc_id").as[Long].collect().toSet
+    val floodKept = kept.filter(_ >= 100000L)
+    val recall = (300 - floodKept.size).toDouble / 299.0
+    assert(recall >= 0.99,
+      s"funnel flood recall $recall: ${floodKept.size} flood docs survived " +
+        s"(want ~1): ${floodKept.take(5).mkString(", ")}")
+    assert(floodKept.contains(100000L), "the flood keeper is the min doc_id")
+    assert(kept.contains(1L) && kept.contains(2L),
+      "distinct docs survive — the flood is contained, not contagious")
+    // the funnel's stage accounting shows WHERE the flood fell: quality
+    // passes all (clean tokens), exact dedup passes all (unique texts),
+    // near-dup collapse is the owner
+    val f = r.funnel.head()
+    assert(f.getAs[Long]("raw") === 302L)
+    assert(f.getAs[Long]("quality") === 302L)
+    assert(f.getAs[Long]("dedup") === 302L)
+    assert(f.getAs[Long]("neardup") === (2L + floodKept.size))
   }
 
   test("rerun-stable: two runs produce identical corpora") {
