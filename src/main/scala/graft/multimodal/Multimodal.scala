@@ -147,19 +147,16 @@ object Multimodal {
     v
   }
 
-  /** Feature-extract a partitioned stream of blobs with the PINNED hash
-    * stub (the q27/q54 oracle contract). For real image bytes prefer
-    * [[extractEmbeddingsReal]], which computes classical features from
-    * the actual decoded pixels and keeps the stub only as the
-    * unrecognized-bytes fallback.
+  /** Feature-extract a partitioned stream of blobs — the DEFAULT media
+    * embedding seam, and since round 12 it routes to the REAL pixel
+    * path: decodable images get luma-grid features from their actual
+    * decoded pixels ([[extractEmbeddingsReal]]), and only bytes no
+    * installed codec recognizes fall back to the deterministic hash
+    * stub ([[embedStub]]). `dim` must be a square (the spatial grid is
+    * √dim × √dim), transitively via [[embedReal]].
     */
-  def extractEmbeddings(blobs: Dataset[MediaBlob], dim: Int): Dataset[MediaEmbedding] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions { iter =>
-      // per-partition encoder init would go here (once, not per row)
-      iter.map(b => MediaEmbedding(b.doc_id, embedStub(b.bytes, dim)))
-    }
-  }
+  def extractEmbeddings(blobs: Dataset[MediaBlob], dim: Int): Dataset[MediaEmbedding] =
+    extractEmbeddingsReal(blobs, dim)
 
   /** REAL feature core (q94): decode the full image via `javax.imageio`
     * and accumulate per-cell luma sums over a fixed `grid`×`grid`

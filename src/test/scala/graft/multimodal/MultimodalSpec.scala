@@ -73,22 +73,35 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractEmbeddings: deterministic unit vectors that feed the IVF family") {
-    val blobs = (0L until 12L).map(i =>
-      Multimodal.MediaBlob(i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8"))).toDS()
-    val emb = Multimodal.extractEmbeddings(blobs, dim = 8).collect().sortBy(_.doc_id)
+    // default seam = REAL path since round 12: mix decodable pngs (real
+    // luma-grid features) with junk payloads (stub fallback) and assert
+    // the combined stream stays deterministic, unit-norm, and composable
+    val blobs = (0L until 12L).map { i =>
+      if (i % 2 == 0)
+        Multimodal.MediaBlob(i, imageBytes(10 + i.toInt, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB, "png"))
+      else
+        Multimodal.MediaBlob(i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8"))
+    }.toDS()
+    val emb = Multimodal.extractEmbeddings(blobs, dim = 16).collect().sortBy(_.doc_id)
     assert(emb.length == 12)
     emb.foreach { e =>
-      assert(e.embedding.length == 8)
+      assert(e.embedding.length == 16)
       val norm = math.sqrt(e.embedding.map(x => x * x).sum)
       assert(math.abs(norm - 1.0) < 1e-9, s"unit-normalized: $norm")
     }
+    // real-pixel rows took the decode path, junk rows the stub fallback
+    assert(emb(0).embedding.toSeq ==
+      Multimodal.embedReal(blobs.collect().minBy(_.doc_id).bytes, 16).toSeq)
+    assert(emb(1).embedding.toSeq ==
+      Multimodal.embedStub(s"payload-1-x".getBytes("UTF-8"), 16).toSeq)
     // distinct payloads -> distinct directions
     assert(emb.map(_.embedding.toSeq).distinct.length == 12)
     // deterministic across runs
-    val again = Multimodal.extractEmbeddings(blobs, 8).collect().sortBy(_.doc_id)
+    val again = Multimodal.extractEmbeddings(blobs, 16).collect().sortBy(_.doc_id)
     assert(emb.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
     // composes end-to-end: blob -> embedding -> trained cells -> assignment
-    val frame = Multimodal.extractEmbeddings(blobs, 8).toDF()
+    val frame = Multimodal.extractEmbeddings(blobs, 16).toDF()
       .select(col("doc_id").as("vec_id"), col("embedding").as("vec"))
     val cells = graft.streaming.StreamAssign.cellsOf(
       graft.engine.KmeansCodebook.train(frame, k = 3, iters = 1))
