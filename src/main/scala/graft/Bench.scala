@@ -50,6 +50,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scale-derived: input-proportional initial width, AQE coalesces
+      // back down for small shuffles (see graft.Sessions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Sessions.initialParts(sfDir, cpus.toInt))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -115,6 +119,16 @@ object Bench {
         fut.get(timeoutSec, TimeUnit.SECONDS)
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) = sec :: samples.getOrElse(name, Nil)
+        // Deterministic inter-query cleanup: pinned frames
+        // (localCheckpoint blocks) otherwise linger until the
+        // ContextCleaner's weak-ref pass happens to run after a driver
+        // GC — at sf100 the accumulated blocks of EARLIER queries pushed
+        // LATER queries' caches to disk and doubled their wall
+        // (measured: q70 second-sample 50 s → 233 s under leftover-block
+        // pressure). Non-blocking: the executor frees blocks async while
+        // the next query starts.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       } catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
@@ -152,7 +166,11 @@ object Bench {
     // under the same load spike — interleaving decorrelates the samples
     // so at least one round of each query usually lands on quiet cores.
     // The min measures the code, not the neighbors.
-    for (_ <- 1 to 3) {
+    // Interleaved-round count: 3 by default (see comment above); big-sf
+    // sweeps with a fixed wall window can drop to 2 (or 1) explicitly —
+    // recorded in BASELINE.md next to the numbers they produce.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    for (_ <- 1 to rounds) {
       ordered.foreach { case (name, fn) =>
         if (!noRetry.contains(name)) {
           if (System.nanoTime() < deadline) runOne(name, fn)

@@ -14,6 +14,8 @@ object RunQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Sessions.initialParts(sfDir, cpus.toInt))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,6 +47,9 @@ object RunQuery {
     val df = SparkEntry.queries(name)(spark, sfDir)
     val n = df.count()
     println(f"[runquery] $name count=$n first_run=${(System.nanoTime() - t0) / 1e9}%.2fs (build+count)")
+    // drop run-1 pins before run 2 (same inter-query cleanup as Bench —
+    // two generations of sf100 pin blocks do not co-fit in memory)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     t0 = System.nanoTime()
     val df2 = SparkEntry.queries(name)(spark, sfDir)
     df2.count()
