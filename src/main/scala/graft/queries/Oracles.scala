@@ -346,8 +346,8 @@ object Oracles {
       // cap, then exact Jaccard over the full hashed-BIGRAM sets. Since
       // round 12 the SIGNATURE runs over word-JacShingle-shingles (the
       // closed-vocabulary slot fix — JaccardLsh.SigShingle); the verify
-      // predicate stays exact bigram Jaccard, so the sig CTEs below read
-      // `shg` (shingle hashes) while `hg` (bigram hashes) feeds verify.
+      // predicate stays exact bigram Jaccard, so the sig chain hashes
+      // SHINGLES while the bgh postings (bigram hashes) feed verify.
       val bigrams = s"list_distinct([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])"
       val w = Extensions.JacShingle
       val shingleBody = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
@@ -370,18 +370,32 @@ object Oracles {
           s"((m${Extensions.JacRows * b} % 4294967296) - 2147483648) * 4294967296 + " +
           s"(m${Extensions.JacRows * b + 1} % 4294967296) AS k FROM sig"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH tok AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
-         |g AS (SELECT doc_id, source, $bigrams AS grams, $shingles AS shingles FROM tok),
-         |hg AS (SELECT doc_id, source, len(grams) AS gsz,
-         |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in grams] AS ghs FROM g),
-         |shg AS (SELECT doc_id, source,
-         |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in shingles] AS sgs FROM g),
-         |post AS (SELECT doc_id, source, unnest(sgs) AS h60 FROM shg),
-         |ph AS (SELECT doc_id, source, h60, h60 // 268435456 AS h32 FROM post),
-         |sig AS (
+      // Streaming restructure (round 12): the original shape built three
+      // multi-referenced LIST CTEs (g: grams+shingles, hg: hashed-bigram
+      // lists joined twice in verify) — DuckDB materializes a CTE per
+      // extra reference, and at sf100 (5 M docs) the resident list columns
+      // blew past the untracked-allocation headroom (bad_alloc at
+      // DUCKDB_MEM=80GB on a 128 GB box). Same finding class as r11's
+      // kmeans-oracle OOM: the oracle has to scale with the engine. Now:
+      //   - the signature chain is SINGLE-reference projections into the
+      //     128-min aggregate (min is duplicate-insensitive, so the
+      //     unnested shingle postings stream straight in; only the 5 M ×
+      //     128-BIGINT group state is resident, and it spills);
+      //   - verify is a POSTINGS JOIN, not list_intersect: bgh = one row
+      //     per (doc, distinct-bigram) — `count(*)` per doc IS len(grams),
+      //     `count(DISTINCT h)` over the pair join IS the dedup'd
+      //     list_intersect length (bit-identical under 60-bit hash
+      //     collisions too). Every blocking state left is a spillable
+      //     aggregate/join/window; no list survives a pipeline breaker.
+      s"""WITH sig AS (
          |  SELECT source, doc_id,
          |    $minsSql
-         |  FROM ph GROUP BY source, doc_id),
+         |  FROM (SELECT doc_id, source,
+         |          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) // 268435456 AS h32
+         |        FROM (SELECT doc_id, source, unnest(shingles) AS s
+         |              FROM (SELECT doc_id, source, $shingles AS shingles
+         |                    FROM (SELECT doc_id, source, $toksSql AS tk FROM documents))))
+         |  GROUP BY source, doc_id),
          |bands AS (
          |  $bandSql),
          |capped AS (SELECT * FROM (
@@ -393,16 +407,26 @@ object Oracles {
          |  FROM capped a JOIN capped b
          |    ON a.source = b.source AND a.band = b.band
          |   AND a.k = b.k AND a.doc_id < b.doc_id),
+         |bgh AS (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, source, unnest(grams) AS g
+         |        FROM (SELECT doc_id, source, $bigrams AS grams
+         |              FROM (SELECT doc_id, source, $toksSql AS tk FROM documents)))),
+         |gsz AS (SELECT doc_id, source, count(*) AS gsz FROM bgh GROUP BY doc_id, source),
          |v AS (
-         |  SELECT cand.source, a_id, b_id,
-         |    len(list_intersect(ha.ghs, hb.ghs)) AS inter, ha.gsz AS asz, hb.gsz AS bsz
+         |  SELECT cand.source, a_id, b_id, count(DISTINCT pa.h) AS inter
          |  FROM cand
-         |  JOIN hg ha ON ha.source = cand.source AND ha.doc_id = cand.a_id
-         |  JOIN hg hb ON hb.source = cand.source AND hb.doc_id = cand.b_id),
+         |  JOIN bgh pa ON pa.source = cand.source AND pa.doc_id = cand.a_id
+         |  JOIN bgh pb ON pb.source = cand.source AND pb.doc_id = cand.b_id
+         |               AND pb.h = pa.h
+         |  GROUP BY cand.source, a_id, b_id),
          |p AS (
-         |  SELECT source, a_id, b_id,
-         |    CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) AS jac
-         |  FROM v)
+         |  SELECT v.source, a_id, b_id,
+         |    CAST(inter AS DOUBLE) / CAST(ga.gsz + gb.gsz - inter AS DOUBLE) AS jac
+         |  FROM v
+         |  JOIN gsz ga ON ga.source = v.source AND ga.doc_id = v.a_id
+         |  JOIN gsz gb ON gb.source = v.source AND gb.doc_id = v.b_id)
          |SELECT source, a_id, b_id, ${r("jac", 4)} AS jaccard FROM p WHERE jac >= 0.2""".stripMargin
     },
 

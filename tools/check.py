@@ -39,6 +39,14 @@ def main(sf_dir, out_dir, only=None):
     # oracle replays (list-heavy CTEs) spill to disk past the limit.
     con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckck')}'")
+    # Big-sf replays die on UNTRACKED allocations (32 threads × in-flight
+    # list vectors), not the tracked cap: q20 at sf100 threw bad_alloc at
+    # DUCKDB_MEM=80GB on a 128 GB box. Fewer threads = fewer concurrent
+    # operator states; insertion order is irrelevant to an order-
+    # independent digest compare and costs memory to preserve.
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver data = one file; GenScale output = a Spark directory
