@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
+  /** Parquet codec for every generated table. Default stays snappy — the
+    * regime all pinned sweeps (BASELINE.md sf1/sf10/sf100) were measured
+    * in. The knob exists for the disk-bound-decade I/O experiments
+    * (SCALING.md round 12): at sf100 the data no longer page-caches
+    * beside the heap, so on-disk bytes ARE the scan wall and
+    * `SPARK_GRAFT_CODEC=zstd` trades decode CPU for ~30–40 % fewer read
+    * bytes. Values: any Spark parquet codec (snappy, zstd, gzip, lz4).
+    */
+  private def codec: String = sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy")
+
   /** Key columns per table, each offset by i·domain on copy i. The domain
     * of a key is max(value)+1 in the SOURCE data — offsets never collide
     * because the driver's keys are dense from 0.
@@ -80,6 +90,7 @@ object GenScale {
       spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
+        .option("compression", codec)
         .parquet(s"$out/$name.parquet")
 
     // Fixed dims: verbatim.
@@ -194,7 +205,8 @@ object GenScale {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
 
     docs.unionByName(extra).repartition(math.max(copies, 4))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      .write.mode("overwrite").option("compression", codec)
+      .parquet(s"$out/documents.parquet")
   }
 
   /** Fresh embeddings from per-(label, dim) Gaussian fits of the source
@@ -240,6 +252,7 @@ object GenScale {
 
     emb.unionByName(extra.withColumn("embedding", col("embedding").cast("array<float>")))
       .repartition(math.max(copies, 4))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      .write.mode("overwrite").option("compression", codec)
+      .parquet(s"$out/embeddings.parquet")
   }
 }
