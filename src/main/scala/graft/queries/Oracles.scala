@@ -809,6 +809,21 @@ object Oracles {
          |FROM g""".stripMargin,
 
     "q63_pq_encode" -> {
+      // Round-12 sf100 finding: the streaming struct-max argmax
+      // (max(struct_pack(d, -cb_id)), the r11 kmeans-family form) is
+      // itself a memory wall when the GROUP count is vec×subspace — at
+      // 16 M groups DuckDB's struct min/max states allocated ~100 GB
+      // OUTSIDE the tracked pool (RSS 112 GB at a 12 GB cap, OOM-killed
+      // in minutes; the ≤ 2 M-group kmeans oracles pass at sf100 but hit
+      // the same wall one decade up). Two-pass argmax instead: a
+      // PRIMITIVE max(d) aggregate (tracked, spillable), then a
+      // join-back on the bit-identical double to pick min(cb_id) — the
+      // same highest-d-then-lowest-code tie-break, row-identical at
+      // sf0.01/sf0.1/sf1, hash-green at sf100 in under 2 min at a 40 GB
+      // cap. x is re-read by the join-back, but it is a CTE referenced
+      // twice → DuckDB materializes ~7 GB of (vec_id, s, cb_id, d)
+      // rows, which spills; nothing per-group survives off the tracked
+      // path.
       val sub = Extensions.PqSubDim
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
@@ -821,9 +836,11 @@ object Oracles {
          |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
          |                         list_slice(cb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS d
          |      FROM e CROSS JOIN cb CROSS JOIN sub),
-         |b AS (SELECT vec_id, s, max(struct_pack(d := d, ncb := -cb_id)) AS mx
-         |      FROM x GROUP BY vec_id, s)
-         |SELECT vec_id, s AS subspace, CAST(-b.mx.ncb AS INTEGER) AS code, ${r("b.mx.d", 4)} AS score
+         |m AS (SELECT vec_id, s, max(d) AS d FROM x GROUP BY vec_id, s),
+         |b AS (SELECT x.vec_id, x.s, min(x.cb_id) AS code, m.d AS d
+         |      FROM x JOIN m ON m.vec_id = x.vec_id AND m.s = x.s AND x.d = m.d
+         |      GROUP BY x.vec_id, x.s, m.d)
+         |SELECT vec_id, s AS subspace, CAST(code AS INTEGER) AS code, ${r("b.d", 4)} AS score
          |FROM b""".stripMargin
     },
 
