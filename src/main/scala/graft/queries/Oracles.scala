@@ -1375,22 +1375,50 @@ object Oracles {
 
     // The IDENTICAL sample (same md5 order, same k) then the same
     // interpolation — an approximate operator with an exact oracle.
-    "q92_sample_quantiles" ->
+    "q92_sample_quantiles" -> {
+      // Round-12 sf100 finding: the bottom-K-by-hash window over the RAW
+      // table sorts all 600 M (flag, 32-char md5, price) rows — DuckDB's
+      // external window spill outran this box's 47 GB disk quota at any
+      // memory cap. The K smallest hashes sit below any threshold ≥ the
+      // K-th order statistic, so pre-filter on the md5's 60-bit prefix
+      // at 32× the expected K-th quantile (prefix order refines the
+      // string order, so the filter can only pass a superset of the
+      // selected rows; P(K-th above 32× its expectation) is Chernoff-
+      // negligible) and sort only the ~32·K survivors per group. The
+      // `chk` guard replays q61's loud-fail convention: if a group's
+      // survivor count ever lands under LEAST(K, n), every output column
+      // poisons to NULL and the compare FAILS rather than silently
+      // sampling from a truncated pool. Row-identical at sf0.01/sf0.1/
+      // sf1; the 600 M-row sf100 sort becomes a ~24 k-row sort.
+      val k = Extensions.SketchSampleK
+      val guard = s"chk.m >= LEAST($k, chk.n)"
       s"""WITH d AS (
          |  SELECT l_returnflag,
          |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h,
          |    l_extendedprice AS v
          |  FROM lineitem),
+         |cnt AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+         |flt AS (
+         |  SELECT d.l_returnflag, d.h, d.v
+         |  FROM d JOIN cnt USING (l_returnflag)
+         |  WHERE CAST(('0x' || substr(d.h, 1, 15)) AS BIGINT)
+         |        < CAST(LEAST(1.8e18, 32.0 * $k * 1152921504606846976.0 / cnt.n) AS BIGINT)),
+         |chk AS (
+         |  SELECT f.l_returnflag, count(*) AS m, any_value(cnt.n) AS n
+         |  FROM flt f JOIN cnt USING (l_returnflag) GROUP BY f.l_returnflag),
          |smp AS (
          |  SELECT l_returnflag, v FROM (
          |    SELECT l_returnflag, v,
          |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rn
-         |    FROM d) WHERE rn <= ${Extensions.SketchSampleK})
-         |SELECT l_returnflag, count(*) AS n_sample,
-         |  ${r("quantile_cont(v, 0.5)", 4)} AS p50,
-         |  ${r("quantile_cont(v, 0.9)", 4)} AS p90,
-         |  ${r("quantile_cont(v, 0.99)", 4)} AS p99
-         |FROM smp GROUP BY l_returnflag""".stripMargin,
+         |    FROM flt) WHERE rn <= $k)
+         |SELECT s.l_returnflag,
+         |  CASE WHEN $guard THEN count(*) END AS n_sample,
+         |  CASE WHEN $guard THEN ${r("quantile_cont(v, 0.5)", 4)} END AS p50,
+         |  CASE WHEN $guard THEN ${r("quantile_cont(v, 0.9)", 4)} END AS p90,
+         |  CASE WHEN $guard THEN ${r("quantile_cont(v, 0.99)", 4)} END AS p99
+         |FROM smp s JOIN chk USING (l_returnflag)
+         |GROUP BY s.l_returnflag, chk.m, chk.n""".stripMargin
+    },
 
     // q93: the Spark side ENCODES a real PNG per doc and DECODES it via
     // javax.imageio; the oracle recomputes the planted dimensions
