@@ -387,7 +387,14 @@ object Oracles {
       //     list_intersect length (bit-identical under 60-bit hash
       //     collisions too). Every blocking state left is a spillable
       //     aggregate/join/window; no list survives a pipeline breaker.
-      s"""WITH sig AS (
+      // AS MATERIALIZED on every multi-referenced CTE is LOAD-BEARING:
+      // DuckDB 1.0 inlines plain CTEs per reference — the 64 band
+      // branches each recomputed the whole signature aggregate (EXPLAIN
+      // showed 64 unnest+md5+min pipelines; ~2 min of signature work ×64
+      // ≈ hours at sf100), and bgh's billion-row posting build would run
+      // 3×. Materialized: sig ≈ 5.5 GB, bgh ≈ 30 GB, capped tiny — all
+      // tracked, all spillable.
+      s"""WITH sig AS MATERIALIZED (
          |  SELECT source, doc_id,
          |    $minsSql
          |  FROM (SELECT doc_id, source,
@@ -398,7 +405,7 @@ object Oracles {
          |  GROUP BY source, doc_id),
          |bands AS (
          |  $bandSql),
-         |capped AS (SELECT * FROM (
+         |capped AS MATERIALIZED (SELECT * FROM (
          |  SELECT source, band, k, doc_id,
          |    count(*) OVER (PARTITION BY source, band, k) AS n
          |  FROM bands) WHERE n > 1 AND n <= ${Extensions.HotBucketCap}),
@@ -407,7 +414,7 @@ object Oracles {
          |  FROM capped a JOIN capped b
          |    ON a.source = b.source AND a.band = b.band
          |   AND a.k = b.k AND a.doc_id < b.doc_id),
-         |bgh AS (
+         |bgh AS MATERIALIZED (
          |  SELECT doc_id, source,
          |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
          |  FROM (SELECT doc_id, source, unnest(grams) AS g
@@ -820,10 +827,11 @@ object Oracles {
       // join-back on the bit-identical double to pick min(cb_id) — the
       // same highest-d-then-lowest-code tie-break, row-identical at
       // sf0.01/sf0.1/sf1, hash-green at sf100 in under 2 min at a 40 GB
-      // cap. x is re-read by the join-back, but it is a CTE referenced
-      // twice → DuckDB materializes ~7 GB of (vec_id, s, cb_id, d)
-      // rows, which spills; nothing per-group survives off the tracked
-      // path.
+      // cap. x is re-read by the join-back and is AS MATERIALIZED
+      // (DuckDB 1.0 INLINES plain multi-referenced CTEs — without the
+      // hint the 256 M dot products compute twice): ~7 GB of
+      // (vec_id, s, cb_id, d) rows, tracked and spillable; nothing
+      // per-group survives off the tracked path.
       val sub = Extensions.PqSubDim
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cb_id,
@@ -832,7 +840,7 @@ object Oracles {
          |              ORDER BY vec_id LIMIT ${Extensions.PqK})),
          |sub AS (SELECT CAST(i AS INTEGER) AS s
          |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
-         |x AS (SELECT e.vec_id, sub.s, cb.cb_id,
+         |x AS MATERIALIZED (SELECT e.vec_id, sub.s, cb.cb_id,
          |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
          |                         list_slice(cb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS d
          |      FROM e CROSS JOIN cb CROSS JOIN sub),
@@ -1397,8 +1405,8 @@ object Oracles {
          |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h,
          |    l_extendedprice AS v
          |  FROM lineitem),
-         |cnt AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
-         |flt AS (
+         |cnt AS MATERIALIZED (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+         |flt AS MATERIALIZED (
          |  SELECT d.l_returnflag, d.h, d.v
          |  FROM d JOIN cnt USING (l_returnflag)
          |  WHERE CAST(('0x' || substr(d.h, 1, 15)) AS BIGINT)
