@@ -119,16 +119,6 @@ object Bench {
         fut.get(timeoutSec, TimeUnit.SECONDS)
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) = sec :: samples.getOrElse(name, Nil)
-        // Deterministic inter-query cleanup: pinned frames
-        // (localCheckpoint blocks) otherwise linger until the
-        // ContextCleaner's weak-ref pass happens to run after a driver
-        // GC — at sf100 the accumulated blocks of EARLIER queries pushed
-        // LATER queries' caches to disk and doubled their wall
-        // (measured: q70 second-sample 50 s → 233 s under leftover-block
-        // pressure). Non-blocking: the executor frees blocks async while
-        // the next query starts.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
       } catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
@@ -146,6 +136,19 @@ object Bench {
         case e: java.util.concurrent.ExecutionException =>
           val cause = Option(e.getCause).getOrElse(e)
           fail(s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(160)}")
+      } finally {
+        // Deterministic inter-query cleanup: pinned frames
+        // (localCheckpoint blocks) otherwise linger until the
+        // ContextCleaner's weak-ref pass happens to run after a driver
+        // GC — at sf100 the accumulated blocks of EARLIER queries pushed
+        // LATER queries' caches to disk and doubled their wall
+        // (measured: q70 second-sample 50 s → 233 s under leftover-block
+        // pressure). In a `finally` so a TIMED-OUT query — typically the
+        // heaviest, leaving the most blocks — also releases its pins
+        // (after cancelJobGroup). Non-blocking: the executor frees
+        // blocks async while the next query starts.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 
@@ -169,7 +172,17 @@ object Bench {
     // Interleaved-round count: 3 by default (see comment above); big-sf
     // sweeps with a fixed wall window can drop to 2 (or 1) explicitly —
     // recorded in BASELINE.md next to the numbers they produce.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // Clamped to >= 1 ('0' would silently produce a run with zero samples
+    // per query); an unparseable value fails FAST with a clear message
+    // instead of a NumberFormatException after session startup.
+    val rounds = sys.env.get("SPARK_GRAFT_BENCH_ROUNDS") match {
+      case None => 3
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption match {
+        case Some(n) => math.max(1, n)
+        case None => sys.error(
+          s"SPARK_GRAFT_BENCH_ROUNDS must be an integer, got '$v'")
+      }
+    }
     for (_ <- 1 to rounds) {
       ordered.foreach { case (name, fn) =>
         if (!noRetry.contains(name)) {

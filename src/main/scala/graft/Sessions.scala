@@ -27,8 +27,12 @@ object Sessions {
     */
   def initialParts(sfDir: String, cpus: Int): Int =
     sys.env.get("SPARK_GRAFT_INIT_PARTS").map(_.toInt).getOrElse {
-      val root = java.nio.file.Paths.get(sfDir)
-      val bytes =
+      // The walk is only a WIDTH HINT: an unreadable subdirectory or a
+      // file deleted mid-walk must not abort the session build, so any
+      // IO failure falls back to the core count (the pre-scaling
+      // behavior) instead of propagating.
+      val bytes = scala.util.Try {
+        val root = java.nio.file.Paths.get(sfDir)
         if (!java.nio.file.Files.isDirectory(root)) 0L
         else {
           val s = java.nio.file.Files.walk(root)
@@ -36,6 +40,12 @@ object Sessions {
             .mapToLong(java.nio.file.Files.size(_)).sum()
           finally s.close()
         }
+      }.recover { case e =>
+        Console.err.println(
+          s"graft.Sessions: sfDir walk failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); initialPartitionNum falls back to cpus=$cpus")
+        0L
+      }.get
       math.max(cpus, math.min(1024L, bytes / (64L << 20)).toInt)
     }
 }

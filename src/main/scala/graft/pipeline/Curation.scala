@@ -101,6 +101,13 @@ object Curation {
   /** `docs` needs (doc_id, text); extra columns ride along. `heldOut` is
     * the eval/benchmark corpus to decontaminate against (exact-digest
     * containment here; q67's n-gram overlap slots into the same flag).
+    *
+    * Stage-order semantics: near-dup keepers are chosen among quality +
+    * exact-dedup SURVIVORS (see nearFlagged below). Decontamination runs
+    * AFTER near-dup, so a held-out keeper drops and its already-collapsed
+    * near-dup family goes with it — near-dups of benchmark docs leaving
+    * the corpus is the fuzzy-decon behavior a training pipeline wants,
+    * and it is the one family-removal path that is intentional.
     */
   def curate(docs: DataFrame, heldOut: Option[DataFrame] = None,
       minQuality: Double = 0.5): Result = {
@@ -114,10 +121,19 @@ object Curation {
       .withColumn("dedup_ok", row_number().over(
         Window.partitionBy(col("digest")).orderBy(col("doc_id"))) === 1)
     // near-dup collapse flag (bucket-min, flood-complete — see
-    // [[neardupFlags]]); left join: docs shorter than the shingle width
-    // have no signature row and keep
+    // [[neardupFlags]]), computed over the SURVIVORS of the preceding
+    // gates (quality + exact dedup), matching the funnel's stage order.
+    // Keeper choice over the raw corpus would let a keeper that itself
+    // fails quality annihilate its whole family: every other member
+    // drops with neardup_ok=false while the only kept representative
+    // drops at q_ok — reference curation pipelines near-dup over quality
+    // survivors and keep one representative. Left join: docs failing
+    // earlier gates or shorter than the shingle width have no signature
+    // row and default keep (they are dropped by their own gate, never by
+    // a phantom near-dup decision).
     val nearFlagged = digested
-      .join(neardupFlags(docs), Seq("doc_id"), "left")
+      .join(neardupFlags(digested.filter(col("q_ok") && col("dedup_ok"))
+        .select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
       .withColumn("neardup_ok", coalesce(col("neardup_ok"), lit(true)))
     val flagged = heldOut match {
       case Some(h) =>

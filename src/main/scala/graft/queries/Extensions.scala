@@ -92,6 +92,17 @@ object Extensions {
     */
   val HotBucketCap = 64
 
+  /** q20's join-back broadcasts the survivor bucket-key set only while
+    * its MEASURED row count stays under this cap (4 M rows ≈ 160 MB of
+    * (source, band, key) — comfortably inside Spark's broadcast limits);
+    * above it the plan falls back to the shuffle join automatically. The
+    * survivor set grows with corpus dup MASS, not corpus size, so real
+    * corpora sit orders of magnitude below the cap (sf10: ~115 k rows) —
+    * the gate exists for the adversarial dup-flood input where forcing
+    * the broadcast would fail the query outright.
+    */
+  val BroadcastLiveMaxRows = 4L << 20
+
   /** Capped bucket-member list for the pair generators: the flood-proof
     * `bounded_sorted_list` aggregate when the session has GraftExtensions
     * registered; on a bare session, `slice(array_sort(collect_list(…)))` —
@@ -506,9 +517,12 @@ object Extensions {
     // that sort's GC goes with it). Scale bound: survivors are capped
     // buckets, so |live| ∝ true near-dup pairs + background collisions
     // — ~100 k rows / ~3 MB at sf10, growing ~linearly with corpus dup
-    // mass; a corpus whose dup mass makes the survivor set
-    // driver-hostile can set spark.graft.q20.broadcastLive=false and
-    // take the shuffle join.
+    // mass. The broadcast is SIZE-GATED at run time (see liveSide below):
+    // the survivor set is pinned and counted, and a dup-heavy corpus
+    // whose survivors exceed [[BroadcastLiveMaxRows]] falls back to the
+    // shuffle join automatically instead of blowing the driver's
+    // broadcast limit; spark.graft.q20.broadcastLive=true|false remains
+    // a hard override in either direction.
     val live = bands
       .groupBy(col("source"), col("band"), col("k"))
       .agg(count(lit(1)).as("n"))
@@ -530,10 +544,19 @@ object Extensions {
     // membership (boundedSortedList orders by the struct's leading
     // doc_id), same flood cap, same exact Jaccard — identical result,
     // oracle unchanged.
-    val liveSide =
-      if (s.conf.get("spark.graft.q20.broadcastLive", "true").toBoolean)
-        broadcast(live)
-      else live
+    // Pin the survivor set (tiny — a capped-bucket key list) so the
+    // size probe and the join-back share ONE execution of the bucket
+    // count aggregate; then gate the broadcast on the MEASURED row
+    // count. "auto" (default) broadcasts iff the count is under the
+    // cap; "true"/"false" are hard overrides.
+    val livePinned = live.pinned
+    val doBroadcastLive =
+      s.conf.get("spark.graft.q20.broadcastLive", "auto").toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case _ => livePinned.count() <= BroadcastLiveMaxRows
+      }
+    val liveSide = if (doBroadcastLive) broadcast(livePinned) else livePinned
     bands
       .join(liveSide, Seq("source", "band", "k"))
       .join(hashed.select(col("source"), col("doc_id"), col("gsz"), col("ghs")),

@@ -88,6 +88,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(f.getAs[Long]("neardup") === (2L + floodKept.size))
   }
 
+  test("a keeper that fails an earlier gate cannot annihilate its near-dup family") {
+    // doc 10 is the min-id member of the near-dup family but FAILS the
+    // quality gate (>1000 tokens — outside the length band, and the
+    // stopword+punct terms alone stay under 0.5). Keeper choice over the
+    // RAW corpus would elect 10, drop 11/12 via neardup_ok=false, and
+    // then drop 10 itself at q_ok — the family vanishes though passing
+    // members existed. Keeper choice over the preceding gates' survivors
+    // elects 11, and exactly one representative reaches the corpus.
+    val docs = Seq(
+      (10L, (good + " ") * 50),
+      (11L, good + " extraone"),
+      (12L, good + " extratwo")
+    ).toDF("doc_id", "text")
+    val r = Curation.curate(docs)
+    val kept = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L),
+      s"want the min PASSING doc as the family's sole representative, got $kept")
+    val f = r.funnel.head()
+    assert(f.getAs[Long]("quality") === 2L, "doc 10 must fail the quality gate")
+    assert(f.getAs[Long]("neardup") === 1L)
+  }
+
   test("rerun-stable: two runs produce identical corpora") {
     val docs = (1L to 300L).map(i =>
       (i, s"document number $i with the usual words and the stopwords " +
