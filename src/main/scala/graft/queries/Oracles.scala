@@ -82,36 +82,50 @@ object Oracles {
     * cb_id ≡ the Spark fold's "strict > keeps first"), so the two
     * engines' codebooks are bit-identical at every iteration.
     *
-    * Argmax shape: a streaming `max(struct_pack(dd, -cb_id))` aggregate,
-    * NOT `row_number() OVER (PARTITION BY vec_id)` — the window form
-    * forces DuckDB to materialize and sort the N×K cross join (2.8 B rows
-    * at sf10 → 48 GB OOM), while the lexicographic struct max streams
-    * through a 2 M-group hash aggregate. Same tie-break: max dd, then
-    * min cb_id (via negation). The N×K stream also drops `vec`
-    * (~550 B/row → ~20 B/row); the winner's vector is joined back by
-    * vec_id afterwards.
+    * Argmax shape (round 13): TWO-PASS PRIMITIVE argmax — `max(dd)` per
+    * vec, then a join-back on the bit-identical double picking
+    * `min(cb_id)` — the q63 shape (round 12, commit 921e22f),
+    * ported here BEFORE the wall it dodges bites this family: the r11
+    * streaming `max(struct_pack(dd, -cb_id))` form keeps struct min/max
+    * states that DuckDB allocates OUTSIDE the tracked pool, fatal at
+    * ~16 M groups (q63 at sf100: RSS 112 GB at a 12 GB cap) — this
+    * family's ≤ 2 M-group queries passed at sf100 but would hit the
+    * identical wall at sf1000. (The still-older row_number window form
+    * sorts the whole N×K cross join: 48 GB OOM at sf10.) Tie-break
+    * unchanged: max dd, then min cb_id.
     *
-    * NULL guard: struct-max DIVERGES from the old row_number ORDER BY
-    * dd DESC form when dd is NULL (DuckDB's struct compare sorts NULL
-    * HIGH, so the struct max would prefer a NULL-dd row the window form
-    * put last) — the x/tx CTEs therefore filter `dd IS NOT NULL`. Today
-    * the filter never drops a row (GenScale emits dense non-null
-    * vectors, list_dot_product over them is non-null), but a future
-    * nullable-vec source would flip argmax winners silently without it.
+    * Memory/compute trade vs q63's oracle: q63 MATERIALIZES its x
+    * (256 M rows / ~7 GB at sf100 — fits the spill quota), but the
+    * kmeans x here is N×K ≈ 2.8 B rows at sf100 (~56 GB, over the box's
+    * ~47 GB spill disk) — so x stays an INLINE CTE evaluated twice
+    * (once under max(dd), once under the join-back; per-row
+    * list_dot_product is deterministic, so both evaluations agree
+    * bit-identically), and only the tiny per-vec max frame `m$i`
+    * (N rows) and the K-row codebooks `cb$i` are MATERIALIZED — the
+    * codebook materialization also stops DuckDB 1.0's multi-reference
+    * CTE inlining from re-deriving the whole previous iteration under
+    * EACH x evaluation (2^iters blowup).
+    *
+    * NULL guard: max(dd) skips NULLs and the dd-equality join-back never
+    * matches one, but the x/tx CTEs keep the `dd IS NOT NULL` filter —
+    * it shrinks x and keeps the semantics explicit for a future
+    * nullable-vec source.
     */
   private val kmeansCtes: String = {
     def one(i: Int, prev: String): String =
       s"""x$i AS (SELECT e.vec_id, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
          |        FROM e CROSS JOIN $prev c WHERE list_dot_product(e.vec, c.cb_vec) IS NOT NULL),
-         |a$i AS (SELECT m.vec_id, e.vec, CAST(-m.mx.ncb AS INTEGER) AS cell
-         |        FROM (SELECT vec_id, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
-         |              FROM x$i GROUP BY vec_id) m JOIN e USING (vec_id)),
+         |m$i AS MATERIALIZED (SELECT vec_id, max(dd) AS dd FROM x$i GROUP BY vec_id),
+         |a$i AS (SELECT w.vec_id, e.vec, CAST(w.cell AS INTEGER) AS cell
+         |        FROM (SELECT x.vec_id, min(x.cb_id) AS cell
+         |              FROM x$i x JOIN m$i m ON m.vec_id = x.vec_id AND x.dd = m.dd
+         |              GROUP BY x.vec_id) w JOIN e USING (vec_id)),
          |g$i AS (SELECT cell, CAST(i AS INTEGER) AS dim, vec[CAST(i AS INTEGER)] AS v
          |        FROM a$i CROSS JOIN unnest(generate_series(1, ${Extensions.EmbeddingDim})) AS t(i)),
          |u$i AS (SELECT cell, dim,
          |          ${r("CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / count(*)", 4)} AS c
          |        FROM g$i GROUP BY cell, dim),
-         |cb$i AS (SELECT cell AS cb_id, list(c ORDER BY dim) AS cb_vec FROM u$i GROUP BY cell)"""
+         |cb$i AS MATERIALIZED (SELECT cell AS cb_id, list(c ORDER BY dim) AS cb_vec FROM u$i GROUP BY cell)"""
         .stripMargin
     val iters = (1 to Extensions.KmeansIters)
       .map(i => one(i, s"cb${i - 1}")).mkString(",\n")
@@ -131,14 +145,16 @@ object Oracles {
 
   /** Trained-cell assignment of every `e` row against `cb`:
     * `cells(vec_id, vec, cell, dd)` — argmax dot, lowest cb_id on ties
-    * (same streaming struct-max shape as [[kmeansCtes]]).
+    * (same two-pass primitive-argmax shape as [[kmeansCtes]]).
     */
   private val kmeansAssignCte: String =
     s"""tx AS (SELECT e.vec_id, c.cb_id, list_dot_product(e.vec, c.cb_vec) AS dd
        |       FROM e CROSS JOIN cb c WHERE list_dot_product(e.vec, c.cb_vec) IS NOT NULL),
-       |cells AS (SELECT m.vec_id, e.vec, CAST(-m.mx.ncb AS INTEGER) AS cell, m.mx.dd AS dd
-       |       FROM (SELECT vec_id, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
-       |             FROM tx GROUP BY vec_id) m JOIN e USING (vec_id))""".stripMargin
+       |tm AS MATERIALIZED (SELECT vec_id, max(dd) AS dd FROM tx GROUP BY vec_id),
+       |cells AS (SELECT w.vec_id, e.vec, CAST(w.cell AS INTEGER) AS cell, w.dd
+       |       FROM (SELECT x.vec_id, min(x.cb_id) AS cell, m.dd
+       |             FROM tx x JOIN tm m ON m.vec_id = x.vec_id AND x.dd = m.dd
+       |             GROUP BY x.vec_id, m.dd) w JOIN e USING (vec_id))""".stripMargin
 
   /** q18's banded-LSH pair CTEs + final select, shared with the q61
     * connected-components oracle (which wraps them in WITH RECURSIVE).
@@ -821,8 +837,9 @@ object Oracles {
       // itself a memory wall when the GROUP count is vec×subspace — at
       // 16 M groups DuckDB's struct min/max states allocated ~100 GB
       // OUTSIDE the tracked pool (RSS 112 GB at a 12 GB cap, OOM-killed
-      // in minutes; the ≤ 2 M-group kmeans oracles pass at sf100 but hit
-      // the same wall one decade up). Two-pass argmax instead: a
+      // in minutes; the ≤ 2 M-group kmeans oracles passed at sf100 but
+      // were one decade from the same wall — ported to this shape in
+      // round 13, see kmeansCtes). Two-pass argmax instead: a
       // PRIMITIVE max(d) aggregate (tracked, spillable), then a
       // join-back on the bit-identical double to pick min(cb_id) — the
       // same highest-d-then-lowest-code tie-break, row-identical at
@@ -863,13 +880,16 @@ object Oracles {
          |               ORDER BY vec_id LIMIT ${Extensions.PqK})),
          |sub AS (SELECT CAST(i AS INTEGER) AS s
          |        FROM unnest(generate_series(0, ${Extensions.PqM - 1})) AS t(i)),
-         |x AS (SELECT e.vec_id, sub.s, pqcb.cb_id,
+         |x AS MATERIALIZED (SELECT e.vec_id, sub.s, pqcb.cb_id,
          |        list_dot_product(list_slice(e.vec, sub.s*$sub+1, sub.s*$sub+$sub),
          |                         list_slice(pqcb.cb_vec, sub.s*$sub+1, sub.s*$sub+$sub)) AS dd
          |      FROM e CROSS JOIN pqcb CROSS JOIN sub),
-         |codes AS (SELECT vec_id, s, CAST(-b.mx.ncb AS INTEGER) AS code FROM (
-         |        SELECT vec_id, s, max(struct_pack(dd := dd, ncb := -cb_id)) AS mx
-         |        FROM x GROUP BY vec_id, s) b),
+         |-- two-pass primitive argmax (q63's shape — struct-max states are
+         |-- an untracked memory wall at the 16 M vec x subspace groups):
+         |xm AS (SELECT vec_id, s, max(dd) AS dd FROM x GROUP BY vec_id, s),
+         |codes AS (SELECT x.vec_id, x.s, CAST(min(x.cb_id) AS INTEGER) AS code
+         |        FROM x JOIN xm ON xm.vec_id = x.vec_id AND xm.s = x.s AND x.dd = xm.dd
+         |        GROUP BY x.vec_id, x.s),
          |qd AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, c.cb_id AS pcell,
          |         list_dot_product(e.vec, c.cb_vec) AS dd
          |       FROM e CROSS JOIN cb c WHERE e.vec_id < 10),
