@@ -1,6 +1,59 @@
 package graft
 import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Cumulative task-metric counters — registered once, snapshotted around
+  * each query so per-query deltas attribute wall time to read vs shuffle
+  * vs spill vs compute (the sf100 I/O-regime experiment: a >10× decade
+  * step whose inputBytes dominates is disk-read-bound; one whose
+  * spill/shuffle deltas dominate is a harness or plan problem). Queries
+  * run serially in Bench, so deltas are per-query exact up to stragglers
+  * of a cancelled predecessor.
+  */
+private final class TaskStatsListener extends SparkListener {
+  val inputBytes, shuffleReadBytes, shuffleWriteBytes,
+    memorySpilled, diskSpilled, cpuTimeNs, runTimeMs, gcTimeMs = new AtomicLong
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      inputBytes.addAndGet(m.inputMetrics.bytesRead)
+      shuffleReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      memorySpilled.addAndGet(m.memoryBytesSpilled)
+      diskSpilled.addAndGet(m.diskBytesSpilled)
+      cpuTimeNs.addAndGet(m.executorCpuTime)
+      runTimeMs.addAndGet(m.executorRunTime)
+      gcTimeMs.addAndGet(m.jvmGCTime)
+    }
+  }
+  /** /proc/self/io — OS truth for the I/O-regime question. local-mode
+    * Spark is ONE process, so these are exact per-JVM:
+    * `proc_disk_read_bytes` counts ACTUAL block-device reads (page-cache
+    * misses — Spark's own inputMetrics under-reports local-fs scans and
+    * counts cache hits the same as cold reads), `proc_rchar` the logical
+    * read volume, `proc_disk_write_bytes` shuffle/spill/cache-to-disk
+    * writes reaching the device.
+    */
+  private def procIo: Map[String, Long] =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/io"))
+        .asScala.map(_.split(":\\s*")).collect {
+          case Array("rchar", v) => "proc_rchar" -> v.trim.toLong
+          case Array("read_bytes", v) => "proc_disk_read_bytes" -> v.trim.toLong
+          case Array("write_bytes", v) => "proc_disk_write_bytes" -> v.trim.toLong
+        }.toMap
+    }.getOrElse(Map.empty[String, Long])
+
+  def snapshot: Map[String, Long] = Map(
+    "input_bytes" -> inputBytes.get, "shuffle_read_bytes" -> shuffleReadBytes.get,
+    "shuffle_write_bytes" -> shuffleWriteBytes.get,
+    "memory_spilled_bytes" -> memorySpilled.get, "disk_spilled_bytes" -> diskSpilled.get,
+    "cpu_time_ms" -> cpuTimeNs.get / 1000000L, "run_time_ms" -> runTimeMs.get,
+    "gc_time_ms" -> gcTimeMs.get) ++ procIo
+}
 
 /** Benchmark main: every `SparkEntry.queries` entry at
   * `SPARK_GRAFT_SF_DIR`, one compact JSON line on stdout (the driver
@@ -72,7 +125,28 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // Subset filter for targeted sweeps (same comma-separated exact-name
+    // contract as Verify's SPARK_GRAFT_ONLY; bare qNN prefixes accepted).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) =>
+        only.forall(o => o.contains(k) || o.contains(k.takeWhile(_ != '_'))) }
+
+    // Opt-in per-query task-metric deltas (SPARK_GRAFT_STATS_JSON=<path>):
+    // every attempt — timeouts included — appends one row of cumulative-
+    // counter deltas, flushed alongside bench_full.json each round.
+    val statsPath = sys.env.get("SPARK_GRAFT_STATS_JSON")
+    val statsListener = statsPath.map { _ =>
+      val l = new TaskStatsListener
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
+    val statsRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flushStats(): Unit = statsPath.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        statsRows.mkString("[\n", ",\n", "\n]\n"))
+    }
     def newPool() = Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "bench-query"); t.setDaemon(true); t
     }
@@ -115,15 +189,31 @@ object Bench {
         noRetry += name
         if (!samples.contains(name)) errors(name) = msg
       }
+      val statsBefore = statsListener.map(_.snapshot)
+      def recordStats(outcome: String): Unit =
+        for (l <- statsListener; b <- statsBefore) {
+          // Listener events drain asynchronously (and the bus has no
+          // public waitUntilEmpty) — give it a moment so the finished
+          // query's last task events are counted under it, not under the
+          // next one. 500 ms against 10–100 s sf100 walls is noise.
+          Thread.sleep(500)
+          val d = l.snapshot.map { case (k, v) => k -> (v - b.getOrElse(k, 0L)) }
+          val wall = (System.nanoTime() - t0) / 1e9
+          statsRows += (s"""{"query":${jsonStr(name)},"outcome":${jsonStr(outcome)},""" +
+            s""""wall_sec":${math.round(wall * 1000) / 1000.0},""" +
+            d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}")
+        }
       try {
         fut.get(timeoutSec, TimeUnit.SECONDS)
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) = sec :: samples.getOrElse(name, Nil)
+        recordStats("ok")
       } catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
           fut.cancel(true)
           fail(s"timeout>${timeoutSec}s")
+          recordStats("timeout")
           // If the cancel doesn't actually free the worker (task pinned in
           // non-interruptible code), the single-thread pool would wedge and
           // every LATER query would time out in line — replace the pool so
@@ -136,6 +226,7 @@ object Bench {
         case e: java.util.concurrent.ExecutionException =>
           val cause = Option(e.getCause).getOrElse(e)
           fail(s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(160)}")
+          recordStats("error")
       } finally {
         // Deterministic inter-query cleanup: pinned frames
         // (localCheckpoint blocks) otherwise linger until the
@@ -192,6 +283,7 @@ object Bench {
         }
       }
       flush()
+      flushStats()
     }
 
     // Compact stdout line: qNN short keys + millisecond precision
