@@ -544,19 +544,21 @@ object Extensions {
     // membership (boundedSortedList orders by the struct's leading
     // doc_id), same flood cap, same exact Jaccard — identical result,
     // oracle unchanged.
-    // Pin the survivor set (tiny — a capped-bucket key list) so the
-    // size probe and the join-back share ONE execution of the bucket
-    // count aggregate; then gate the broadcast on the MEASURED row
-    // count. "auto" (default) broadcasts iff the count is under the
-    // cap; "true"/"false" are hard overrides.
-    val livePinned = live.pinned
-    val doBroadcastLive =
+    // "auto" (default) gates the broadcast on the MEASURED survivor
+    // count: pin the survivor set (tiny — a capped-bucket key list) so
+    // the size probe and the join-back share ONE execution of the
+    // bucket count aggregate, then broadcast iff the count is under the
+    // cap. "true"/"false" are hard overrides that skip the pin+count
+    // entirely (zero probe overhead when the caller already knows).
+    val liveSide =
       s.conf.get("spark.graft.q20.broadcastLive", "auto").toLowerCase match {
-        case "true" => true
-        case "false" => false
-        case _ => livePinned.count() <= BroadcastLiveMaxRows
+        case "true" => broadcast(live)
+        case "false" => live
+        case _ =>
+          val livePinned = live.pinned
+          if (livePinned.count() <= BroadcastLiveMaxRows) broadcast(livePinned)
+          else livePinned
       }
-    val liveSide = if (doBroadcastLive) broadcast(livePinned) else livePinned
     bands
       .join(liveSide, Seq("source", "band", "k"))
       .join(hashed.select(col("source"), col("doc_id"), col("gsz"), col("ghs")),
