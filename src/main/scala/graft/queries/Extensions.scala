@@ -103,6 +103,13 @@ object Extensions {
     */
   val BroadcastLiveMaxRows = 4L << 20
 
+  /** Directed-edge count above which connectedComponents switches to
+    * per-round edge contraction (see connectedComponentsWithRounds).
+    * 1 M sits between sf1's ~0.7 M (classic wins — job-count-dominated)
+    * and sf10's 6.8 M (contraction measured 2× faster).
+    */
+  val ContractMinEdges = 1000000L
+
   /** Capped bucket-member list for the pair generators: the flood-proof
     * `bounded_sorted_list` aggregate when the session has GraftExtensions
     * registered; on a bare session, `slice(array_sort(collect_list(…)))` —
@@ -1168,11 +1175,48 @@ object Extensions {
     * Q61RoundsSpec can pin the O(log diameter) convergence guarantee as a
     * regression gate (a future edit that drops the jump step would pass the
     * small-clique oracles but blow the chain spec's round budget).
+    *
+    * Two per-round propagation strategies, same labels/jump/convergence
+    * machinery and IDENTICAL output (ClusterSpec/ClusterPropsSpec/
+    * Q61RoundsSpec run both):
+    *
+    *   - STATIC EDGES (default): every round joins the full pinned edge
+    *     frame against the labels. Per-round cost ∝ |E| forever — at
+    *     sf100 that is a 68 M-row join × 12 rounds, and round-13 stage
+    *     accounting shows q61 is SHUFFLE-bound there (14.6 GB shuffle
+    *     writes, zero disk reads — tools/sweeps/r13_sf100_x110_stats).
+    *   - CONTRACTION: after each round, edge endpoints are rewritten to
+    *     their current reps, self-loops dropped, duplicates collapsed —
+    *     the rep-graph preserves component structure (contraction of a
+    *     connected graph is connected; the component min is its own rep,
+    *     so min labels keep flowing), while the edge frame COLLAPSES as
+    *     components converge (a giant component becomes one rep with
+    *     zero internal edges). Round 1 pays ~2 extra |E|-wide joins for
+    *     the rewrite; every later round's propagate+rewrite runs on the
+    *     shrunken frame. Non-rep nodes keep converging through the
+    *     pointer jump exactly as before (the labels frame always covers
+    *     all N nodes, and the fixpoint guard is unchanged). Measured
+    *     (round 13, 64 GB-heap regime): sf10 24.0 → 12.4 s, sf100
+    *     123.5 → 61.7 s — 2× at both decades, identical label frames.
+    *
+    * `spark.graft.q61.contract` = `auto` (default) | `true` | `false`.
+    * Auto contracts when the directed edge frame exceeds
+    * [[ContractMinEdges]]: below it the per-round rewrite's fixed job
+    * overhead (2 joins + a distinct + a pin × rounds) outweighs the
+    * shuffle it saves — the r11 lesson that small-scale CC cost is job
+    * COUNT, not data. The edge frame is already pinned, so the gate's
+    * count() reads materialized blocks — no extra plan execution.
     */
   private[queries] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .pinned
+    val contract = pairs.sparkSession.conf
+      .get("spark.graft.q61.contract", "auto").toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case _ => edges.count() >= ContractMinEdges
+      }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")).pinned
     var changed = 1L
@@ -1220,6 +1264,21 @@ object Extensions {
         .pinnedResetStats
       changed = obs.get("changed").asInstanceOf[Long]
       labels = jumped.drop("prev")
+      if (contract && changed > 0) {
+        // Rewrite edge endpoints to their current reps; drop the edges
+        // that became internal to a converged (sub)component. distinct
+        // keeps the frame ∝ live inter-rep adjacency instead of raw
+        // multiplicity. pinnedResetStats: iterated self-feeding frame —
+        // same stats-firewall discipline as the labels (a plain pin
+        // would compound the join cardinality estimate per round).
+        edges = edges
+          .join(labels.select(col("id").as("src"), col("rep").as("csrc")), "src")
+          .join(labels.select(col("id").as("dst"), col("rep").as("cdst")), "dst")
+          .select(col("csrc").as("src"), col("cdst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .pinnedResetStats
+      }
       rounds += 1
     }
     // Fail LOUD on non-convergence: returning partially-propagated labels
