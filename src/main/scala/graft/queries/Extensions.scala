@@ -1636,8 +1636,14 @@ object Extensions {
     // time at sf0.1 down to the raw hashing); the composable chain is
     // the bit-identical no-extensions fallback (WordBigramMd5sSpec).
     val wide = widen(s, docs)
+    // The digest rides the pin, the 500 M-row distinct, and the score
+    // join as BINARY(16) (unhex of the md5 hex), not the 32-char hex
+    // string — same 2^128 exactness, ~35 % less aggregate/pin state.
+    // At sf100 the hex form's distinct state outgrew a right-sized
+    // heap's execution memory (13.5 GB spill at -Xmx64g, r13).
     val grams = (if (s.catalog.functionExists("word_bigram_md5s"))
-      wide.select(col("doc_id"), explode(expr("word_bigram_md5s(text)")).as("h"))
+      wide.select(col("doc_id"), explode(expr("word_bigram_md5s(text)")).as("hx"))
+        .select(col("doc_id"), unhex(col("hx")).as("h"))
     else wide
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -1645,7 +1651,7 @@ object Extensions {
           "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(toks[i - 1], ' ', toks[i])) " +
           "else array() end")).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h")))
+      .select(col("doc_id"), unhex(md5(col("g"))).as("h")))
       .pinned // feeds the corpus count AND the score join once
     val df = grams.select("doc_id", "h").distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("bdf"))
