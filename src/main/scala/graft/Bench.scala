@@ -125,13 +125,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    // Subset filter for targeted sweeps (same comma-separated exact-name
-    // contract as Verify's SPARK_GRAFT_ONLY; bare qNN prefixes accepted).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (k, _) =>
-        only.forall(o => o.contains(k) || o.contains(k.takeWhile(_ != '_'))) }
+    // Subset filter for targeted sweeps — the contract (full names or
+    // bare qNN prefixes; unknown tokens fail loudly) is Sessions
+    // .subsetFilter, shared verbatim with Verify.
+    val names = Sessions.subsetFilter(
+      sys.env.get("SPARK_GRAFT_ONLY"), SparkEntry.queries.keys.toSeq.sorted)
+    val ordered = names.map(k => k -> SparkEntry.queries(k))
 
     // Opt-in per-query task-metric deltas (SPARK_GRAFT_STATS_JSON=<path>):
     // every attempt — timeouts included — appends one row of cumulative-
@@ -192,13 +191,16 @@ object Bench {
       val statsBefore = statsListener.map(_.snapshot)
       def recordStats(outcome: String): Unit =
         for (l <- statsListener; b <- statsBefore) {
+          // Wall stops HERE — only the counter snapshot waits for the
+          // listener drain below; charging the drain sleep to wall_sec
+          // overstated sub-second queries by ~0.5 s (r13 ADVICE).
+          val wall = (System.nanoTime() - t0) / 1e9
           // Listener events drain asynchronously (and the bus has no
           // public waitUntilEmpty) — give it a moment so the finished
           // query's last task events are counted under it, not under the
           // next one. 500 ms against 10–100 s sf100 walls is noise.
           Thread.sleep(500)
           val d = l.snapshot.map { case (k, v) => k -> (v - b.getOrElse(k, 0L)) }
-          val wall = (System.nanoTime() - t0) / 1e9
           statsRows += (s"""{"query":${jsonStr(name)},"outcome":${jsonStr(outcome)},""" +
             s""""wall_sec":${math.round(wall * 1000) / 1000.0},""" +
             d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}")

@@ -48,4 +48,26 @@ object Sessions {
       }.get
       math.max(cpus, math.min(1024L, bytes / (64L << 20)).toInt)
     }
+
+  /** The SPARK_GRAFT_ONLY subset contract, shared by Bench and Verify so
+    * the two tools cannot drift (r13 ADVICE: Verify was exact-name-only
+    * while Bench accepted bare qNN prefixes). A token matches a query by
+    * full name OR by its bare qNN prefix; a token that matches NOTHING is
+    * a sweep-script typo, and silently producing an empty (or thinner)
+    * run corrupts the round's artifacts — fail loudly instead.
+    */
+  def subsetFilter(
+      onlyEnv: Option[String], names: Seq[String]): Seq[String] = {
+    onlyEnv.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case None => names
+      case Some(tokens) =>
+        val unmatched = tokens.filterNot(t =>
+          names.exists(n => n == t || n.takeWhile(_ != '_') == t))
+        require(unmatched.isEmpty,
+          s"SPARK_GRAFT_ONLY tokens match no query: ${unmatched.toSeq.sorted.mkString(",")} " +
+            s"(valid: full names or bare qNN prefixes of ${names.size} queries)")
+        names.filter(n =>
+          tokens.contains(n) || tokens.contains(n.takeWhile(_ != '_')))
+    }
+  }
 }

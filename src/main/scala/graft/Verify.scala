@@ -19,9 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Local-iteration subset (comma-separated names); the driver leaves it
-    // unset → full run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Local-iteration subset; the driver leaves it unset → full run. Same
+    // contract as Bench (Sessions.subsetFilter: full names or bare qNN
+    // prefixes, unknown tokens fail loudly).
+    val subset = Sessions.subsetFilter(
+      sys.env.get("SPARK_GRAFT_ONLY"), SparkEntry.queries.keys.toSeq.sorted)
+      .toSet
     // Output file count: 1 (default — the driver's sf0.01 scale, single
     // tidy file per query). At big local scale factors coalesce(1)
     // single-tasks the FINAL STAGE — for map-only queries that is the
@@ -30,7 +33,7 @@ object Verify {
     // <name>/*.parquet).
     val outParts = sys.env.get("SPARK_GRAFT_OUT_PARTS").map(_.toInt).getOrElse(1)
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => subset.contains(name) }
       .foreach { case (name, fn) =>
 
       val t0 = System.nanoTime()

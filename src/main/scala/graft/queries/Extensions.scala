@@ -1622,11 +1622,24 @@ object Extensions {
     * computed in ONE double division (IEEE correctly-rounded, so
     * bit-identical in Spark and DuckDB — the q68 pattern), then
     * floor-rounded for display.
-    * 100 TB shape: bigrams shuffle as 16-byte md5 digests for both the
-    * frequency aggregation and the score join (text never shuffles); the
-    * digest equi-join is plan-of-record for train+score two-pass scoring —
-    * the bigram vocabulary grows with the corpus, so no broadcast side
-    * exists, and both sides arrive hash-partitioned on the digest.
+    * 100 TB shape: text never shuffles — bigrams ride as 16-byte md5
+    * digests, and BOTH exchanges the r13 plan paid on the 500 M-row
+    * exploded frame are gone. (1) Document frequency needs distinct
+    * (doc, bigram) pairs; a corpus-wide `distinct()` on the exploded
+    * frame keyed its hash aggregate on the PAIR, so partial state grew
+    * with the corpus slice per task and spilled 7–13 GB map-side under a
+    * right-sized 64 GB heap (r13's one `weak`). But pair-distinctness is
+    * a PER-DOCUMENT property: `array_distinct` on the per-doc digest
+    * array collapses it map-side inside the row, so the only aggregate
+    * keyed frame the df pass ever builds is vocabulary-sized. (2) The
+    * score join's build side IS that df table; it is pinned, counted,
+    * and broadcast while measured rows stay under
+    * [[BroadcastLiveMaxRows]] (the q20 auto gate) — the bigram
+    * vocabulary grows far sublinearly in the corpus, so the broadcast
+    * normally holds and the 500 M-row probe side never shuffles; an
+    * open-vocabulary corpus above the cap falls back to the digest
+    * equi-join, both sides hash-partitioned, which was r13's
+    * plan-of-record.
     */
   def q70BigramFluency(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -1636,26 +1649,29 @@ object Extensions {
     // time at sf0.1 down to the raw hashing); the composable chain is
     // the bit-identical no-extensions fallback (WordBigramMd5sSpec).
     val wide = widen(s, docs)
-    // The digest rides the pin, the 500 M-row distinct, and the score
-    // join as BINARY(16) (unhex of the md5 hex), not the 32-char hex
-    // string — same 2^128 exactness, ~35 % less aggregate/pin state.
-    // At sf100 the hex form's distinct state outgrew a right-sized
-    // heap's execution memory (13.5 GB spill at -Xmx64g, r13).
-    val grams = (if (s.catalog.functionExists("word_bigram_md5s"))
-      wide.select(col("doc_id"), explode(expr("word_bigram_md5s(text)")).as("hx"))
-        .select(col("doc_id"), unhex(col("hx")).as("h"))
+    // The pin holds the per-doc BINARY(16) digest ARRAY, not exploded
+    // rows: same information, one row-overhead per document instead of
+    // per bigram, and it feeds the df pass and the score pass once.
+    val arr = (if (s.catalog.functionExists("word_bigram_md5s"))
+      wide.select(col("doc_id"),
+        expr("transform(word_bigram_md5s(text), x -> unhex(x))").as("hs"))
     else wide
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         "case when size(toks) >= 2 then " +
           "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(toks[i - 1], ' ', toks[i])) " +
-          "else array() end")).as("g"))
-      .select(col("doc_id"), unhex(md5(col("g"))).as("h")))
-      .pinned // feeds the corpus count AND the score join once
-    val df = grams.select("doc_id", "h").distinct()
+          "i -> unhex(md5(concat(toks[i - 1], ' ', toks[i])))) " +
+          "else array() end").as("hs")))
+      .pinned
+    // bdf = number of documents containing the bigram: within-doc dups
+    // die in `array_distinct` (map-side, no keyed state), so the count
+    // aggregate's partial maps hold at most the vocabulary.
+    val df = arr.select(explode(array_distinct(col("hs"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("bdf"))
-    grams.join(df, Seq("h"))
+      .pinned
+    val dfSide = if (df.count() <= BroadcastLiveMaxRows) broadcast(df) else df
+    val grams = arr.select(col("doc_id"), explode(col("hs")).as("h"))
+    grams.join(dfSide, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

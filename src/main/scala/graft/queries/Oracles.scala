@@ -938,14 +938,30 @@ object Oracles {
       // NULL if any edge is label-inconsistent or any label is not a
       // fixpoint — an under-iterated oracle FAILS the compare instead of
       // silently passing.
+      // r14: STAGED EDGE CONTRACTION, the SQL analogue of the engine's
+      // per-round contraction loop (Extensions.connectedComponentsWithRounds,
+      // measured 2× at sf10 and sf100): each stage rewrites the edge set
+      // to current reps, drops self-loops, and dedups, so edge-width work
+      // decays geometrically (Σ|e_k| ≈ 2|E|) instead of all 24 stages
+      // propagating over the FULL edge frame (24·|E| — the term that made
+      // the sf100 replay a 31-min/45-GB solo-protocol job and the named
+      // sf1000 blocker, SCALING.md round 13). The per-stage node-width
+      // passes (min-propagate + pointer jump over lab) stay — they ARE
+      // the mapping composition — and the convergence guard below still
+      // poisons the output on any non-fixpoint, so under-iteration fails
+      // the compare loudly, exactly as before.
       val stages = (1 to 24).map { k =>
-        val prev = if (k == 1) "lab0" else s"j${k - 1}"
+        val pl = if (k == 1) "lab0" else s"j${k - 1}"
+        val pe = if (k == 1) "edges" else s"e${k - 1}"
         s"""p$k AS MATERIALIZED (SELECT id, min(rep) AS rep FROM (
-           |  SELECT id, rep FROM $prev
+           |  SELECT id, rep FROM $pl
            |  UNION ALL
-           |  SELECT e.dst AS id, l.rep FROM edges e JOIN $prev l ON l.id = e.src
+           |  SELECT e.dst AS id, l.rep FROM $pe e JOIN $pl l ON l.id = e.src
            |) GROUP BY id),
-           |j$k AS MATERIALIZED (SELECT a.id, b.rep FROM p$k a JOIN p$k b ON b.id = a.rep)""".stripMargin
+           |j$k AS MATERIALIZED (SELECT a.id, b.rep FROM p$k a JOIN p$k b ON b.id = a.rep),
+           |e$k AS MATERIALIZED (SELECT DISTINCT la.rep AS src, lb.rep AS dst
+           |  FROM $pe e JOIN j$k la ON la.id = e.src JOIN j$k lb ON lb.id = e.dst
+           |  WHERE la.rep <> lb.rep)""".stripMargin
       }.mkString(",\n")
       s"""WITH $lshPairCtes,
          |pairs AS (

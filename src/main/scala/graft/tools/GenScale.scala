@@ -32,15 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  /** Parquet codec for every generated table. Default stays snappy — the
-    * regime all pinned sweeps (BASELINE.md sf1/sf10/sf100) were measured
-    * in. The knob exists for the disk-bound-decade I/O experiments
-    * (SCALING.md round 12): at sf100 the data no longer page-caches
-    * beside the heap, so on-disk bytes ARE the scan wall and
-    * `SPARK_GRAFT_CODEC=zstd` trades decode CPU for ~30–40 % fewer read
-    * bytes. Values: any Spark parquet codec (snappy, zstd, gzip, lz4).
+  /** Parquet codec, PER TABLE. The r13 I/O-regime A/B (SCALING.md round
+    * 13) measured where each codec wins: at sf100 the scan-heavy fact
+    * tables (lineitem/orders/events) no longer page-cache beside a
+    * right-sized heap, so on-disk bytes ARE their scan wall — zstd's
+    * ~30–40 % fewer read bytes bought 3.3× on the one read-bound query
+    * (q49) for a decode tax that is noise against the read. The
+    * documents/embeddings scans are CPU-bound (hashing, HOFs, vector
+    * arithmetic dominate decode), so they keep snappy's cheaper decode.
+    * That mixed policy is the DEFAULT from round 14 (the canonical
+    * testdata_sf100 regime); `SPARK_GRAFT_CODEC=<codec>` forces one
+    * codec uniformly for A/B sweeps (any Spark parquet codec: snappy,
+    * zstd, gzip, lz4).
     */
-  private def codec: String = sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy")
+  private val ZstdTables = Set("lineitem", "orders", "events")
+  private def codecFor(table: String): String =
+    sys.env.get("SPARK_GRAFT_CODEC").filter(_.nonEmpty).getOrElse(
+      if (ZstdTables(table)) "zstd" else "snappy")
 
   /** Key columns per table, each offset by i·domain on copy i. The domain
     * of a key is max(value)+1 in the SOURCE data — offsets never collide
@@ -90,7 +98,7 @@ object GenScale {
       spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
-        .option("compression", codec)
+        .option("compression", codecFor(name))
         .parquet(s"$out/$name.parquet")
 
     // Fixed dims: verbatim.
@@ -205,7 +213,7 @@ object GenScale {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
 
     docs.unionByName(extra).repartition(math.max(copies, 4))
-      .write.mode("overwrite").option("compression", codec)
+      .write.mode("overwrite").option("compression", codecFor("documents"))
       .parquet(s"$out/documents.parquet")
   }
 
@@ -252,7 +260,7 @@ object GenScale {
 
     emb.unionByName(extra.withColumn("embedding", col("embedding").cast("array<float>")))
       .repartition(math.max(copies, 4))
-      .write.mode("overwrite").option("compression", codec)
+      .write.mode("overwrite").option("compression", codecFor("embeddings"))
       .parquet(s"$out/embeddings.parquet")
   }
 }

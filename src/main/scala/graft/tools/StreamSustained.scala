@@ -42,6 +42,20 @@ object StreamSustained {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
     val batches = if (args.length > 1) args(1).toInt else 20
+    // The id packing is batch*1e6+i: a row rate at or above the stride
+    // would silently collide ids across batches and corrupt the very
+    // mislabel/recall accounting this tool measures — fail loudly
+    // (r13 ADVICE). A >=1M-row rate needs a wider stride AND new
+    // closed-form plant rules, not a quiet wraparound.
+    require(n > 0 && n < 1000000,
+      s"rowsPerBatch=$n out of range: id stride is 1,000,000 (see id())")
+    // Plant rules (old plants at batches 5/7), the three mid-stream
+    // compaction points (4/9/14), and the folded>=9 / dirs<=8 invariant
+    // are closed-form for a >=15-batch run; a shorter run would fail
+    // the compaction check spuriously instead of testing a weaker
+    // bound (r13 ADVICE).
+    require(batches >= 15, s"batches=$batches < 15: the plant/compaction " +
+      "invariants are closed-form for >= 15 batches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     def target(b: Int, i: Int): Option[(Int, Int)] =

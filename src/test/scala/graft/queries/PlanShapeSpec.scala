@@ -128,6 +128,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct|BroadcastNestedLoop") == 0, p)
     assert(count(p, "Scan parquet") == 0, p)
     assert(count(p, "Window") == 0, p)
+    // The closed-vocab df side passes the size gate, so the 500 M-row
+    // (at sf100) probe side must NOT shuffle for the score join — the
+    // r14 fix for r13's one `weak` (map-side spill of the pair distinct).
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the vocab-sized df side lost its broadcast: " + p)
   }
 
   test("q72 interval overlap: binning turns BETWEEN into a hash equi-join") {
