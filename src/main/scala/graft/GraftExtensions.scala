@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, NgramH60s, PqCodes, RollingHash31, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s}
+import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, NgramH60s, PqCodes, RollingHash31, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s, WordNgramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -53,6 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ArgmaxDot(c(0), c(1)))
     fn(ext, "word_bigram_md5s", 1, classOf[WordBigramMd5s])(c =>
       WordBigramMd5s(c(0)))
+    fn(ext, "word_ngram_md5s", 2, classOf[WordNgramMd5s])(c =>
+      WordNgramMd5s(c(0), c(1)))
     fn(ext, "bigram_h60s", 1, classOf[BigramH60s])(c =>
       BigramH60s(c(0)))
     fn(ext, "ngram_h60s", 2, classOf[NgramH60s])(c =>

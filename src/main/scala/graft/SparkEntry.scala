@@ -111,6 +111,8 @@ object SparkEntry {
     "q92_sample_quantiles" -> (Extensions.q92SampleQuantiles _),
     "q93_real_decode" -> (Extensions.q93RealDecode _),
     "q94_real_features" -> (Extensions.q94RealFeatures _),
+    "q95_dup_passages" -> (Extensions.q95DupPassages _),
+    "q96_ngram_novelty" -> (Extensions.q96NgramNovelty _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2391,4 +2391,100 @@ object Extensions {
   def q94RealFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.lumaAnchorAssign(Multimodal.syntheticPngBlobs(s,
       t(s, dir, "documents").where(col("doc_id") < 48)))
+
+  /** q95/q96: sliding passage-shingle width (tokens). Wider than q66's
+    * non-overlapping 3-token chunks and q20's 4-word signature shingles:
+    * 8 consecutive tokens is the exact-substring-dedup granularity
+    * (Lee et al. 2022 use 50-token suffix runs; on the ~40–80-token
+    * synthetic docs, 8 plays the same "long enough that chance repeats
+    * are negligible" role — the closed 31-word vocabulary still gives a
+    * 31^8 ≈ 8.5e11 shingle universe, so any cross-document repeat is
+    * copied content, not coincidence).
+    */
+  val PassageW = 8
+  /** q95: a shingle counts as a duplicated passage at >= this many docs. */
+  val PassageMinDocs = 2
+
+  /** Per-doc array of full-md5 BINARY(16) digests of every SLIDING
+    * PassageW-token window — the shared frame under q95/q96. Full md5,
+    * not the 60-bit prefixes of `ngram_h60s`: these digests feed GLOBAL
+    * df counting (birthday regime — ~3×10⁸ distinct shingles at sf100
+    * would already expect dozens of 60-bit collisions, each a wrong df),
+    * and they ride the shuffle as BINARY(16), the q70 lesson (half the
+    * bytes of hex strings). Docs shorter than the window yield an empty
+    * array (explode drops them) — same guard shape as q70's bigrams.
+    */
+  private def passageDigests(s: SparkSession, dir: String): DataFrame = {
+    val wide = docs(s, dir)
+    // Native `word_ngram_md5s` hashes each window as a contiguous byte
+    // range of the raw text — no token array, no per-window concat string,
+    // no HOF interpreter (see the expression's scaladoc); the composable
+    // chain is the bit-identical no-extensions fallback
+    // (WordNgramMd5sSpec pins parity on both paths).
+    if (s.catalog.functionExists("word_ngram_md5s"))
+      wide.select(col("doc_id"),
+        expr(s"word_ngram_md5s(text, $PassageW)").as("hs"))
+    else wide
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        s"case when size(toks) >= $PassageW then " +
+          s"transform(sequence(1, size(toks) - ${PassageW - 1}), " +
+          s"i -> unhex(md5(concat_ws(' ', slice(toks, i, $PassageW))))) " +
+          "else array() end").as("hs"))
+  }
+
+  /** Exact duplicated-passage detection (the sliding-window complement of
+    * q66's chunk-aligned boilerplate removal): every PassageW-token window
+    * that appears verbatim in >= PassageMinDocs DISTINCT documents, with
+    * its document frequency and the smallest containing doc_id as the
+    * exemplar. Chunk-aligned dedup misses copies that straddle a chunk
+    * boundary; sliding windows catch a copied passage at every offset.
+    *
+    * 100 TB shape: within-doc repeats die in `array_distinct` map-side
+    * (zero keyed state, the q70 move), so the single hash aggregate
+    * shuffles one BINARY(16) digest + one doc_id per distinct
+    * (doc, window) — never window text — and its partial maps collapse
+    * duplicated content before the exchange. Output is bounded by
+    * actually-duplicated content, not the corpus.
+    */
+  def q95DupPassages(s: SparkSession, dir: String): DataFrame =
+    passageDigests(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= PassageMinDocs)
+      .select(lower(hex(col("h"))).as("h"), col("df"), col("first_doc"))
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * PassageW-token windows that appear in NO other document — the
+    * memorization/duplication risk score a pretraining curation pass
+    * ranks documents by (novelty 1.0 = all-original text, 0.0 = every
+    * passage exists elsewhere in the corpus).
+    *
+    * The plan exploits df = 1 ⇒ the owning document is identifiable
+    * INSIDE the frequency aggregate: `min(doc_id)` over a
+    * single-document group IS that document, so novel-window counts come
+    * straight out of the df pass — no corpus-sized join-back of the df
+    * table onto 10⁸ exploded windows (the naive plan's second shuffle at
+    * full corpus width). What remains after the digest aggregate is two
+    * doc_id-keyed frames of ~|corpus| rows (per-doc window counts,
+    * per-doc novel counts) whose join is trivial at any scale.
+    */
+  def q96NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val arr = passageDigests(s, dir).pinned // feeds both passes once
+    val perDoc = arr
+      .select(col("doc_id"), size(array_distinct(col("hs"))).as("n_windows"))
+      .filter(col("n_windows") > 0)
+    val novel = arr
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d"))
+      .filter(col("df") === 1)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, perDoc("doc_id") === novel("d"), "left")
+      .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        r4(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_windows")).as("novelty"))
+  }
 }

@@ -1555,5 +1555,43 @@ object Oracles {
         |  FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.vsec <= p.psec
         |    AND v.vsec >= p.psec - 3600) q
         |WHERE rn = 1""".stripMargin,
+
+    // q95/q96 shingle CTE: string_split keeps empty tokens exactly like
+    // Spark's split(text, ' '), and array_to_string(list_slice(...), ' ')
+    // reproduces concat_ws over the same slice — md5 therefore matches the
+    // engine digest byte-for-byte. SELECT DISTINCT (doc_id, h) is the twin
+    // of the engine's per-doc array_distinct.
+    "q95_dup_passages" -> {
+      val w = Extensions.PassageW
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS h
+         |  FROM tok, unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
+         |  WHERE len(toks) >= $w)
+         |SELECT h, count(*) AS df, min(doc_id) AS first_doc
+         |FROM sh GROUP BY h
+         |HAVING count(*) >= ${Extensions.PassageMinDocs}""".stripMargin
+    },
+
+    "q96_ngram_novelty" -> {
+      val w = Extensions.PassageW
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS h
+         |  FROM tok, unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
+         |  WHERE len(toks) >= $w),
+         |per AS (SELECT doc_id, count(*) AS n_windows FROM sh GROUP BY doc_id),
+         |u AS (
+         |  SELECT min(doc_id) AS d FROM sh GROUP BY h HAVING count(*) = 1),
+         |nv AS (SELECT d AS doc_id, count(*) AS n_novel FROM u GROUP BY d)
+         |SELECT per.doc_id, per.n_windows,
+         |  coalesce(nv.n_novel, 0) AS n_novel,
+         |  ${r("CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / per.n_windows", 4)} AS novelty
+         |FROM per LEFT JOIN nv ON per.doc_id = nv.doc_id""".stripMargin
+    },
   )
 }

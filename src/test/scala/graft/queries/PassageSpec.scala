@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q95 (duplicated sliding-window passages) and q96 (per-doc n-gram
+  * novelty) against a from-scratch Scala recomputation of the same
+  * semantics on sf0.001 — independent tokenizer, windowing, and md5, so a
+  * digest/windowing/off-by-one regression in the engine plan cannot agree
+  * with the recomputation by construction.
+  */
+class PassageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val W = Extensions.PassageW
+
+  /** Independent reference: doc_id -> distinct window digests (hex). */
+  private lazy val reference: Map[Long, Set[String]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    graft.io.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        // split(text, ' ') keeps empty tokens — mirror exactly
+        val toks = text.split(" ", -1)
+        val wins =
+          if (toks.length < W) Set.empty[String]
+          else (0 to toks.length - W).map { i =>
+            hex(md.digest(toks.slice(i, i + W).mkString(" ").getBytes("UTF-8")))
+          }.toSet
+        id -> wins
+      }.toMap
+  }
+
+  test("q95: duplicated passages match an independent recomputation exactly") {
+    val expected = reference.toSeq
+      .flatMap { case (id, ws) => ws.map(h => (h, id)) }
+      .groupBy(_._1)
+      .map { case (h, rows) => (h, rows.map(_._2).distinct.size.toLong, rows.map(_._2).min) }
+      .filter(_._2 >= Extensions.PassageMinDocs)
+      .toSet
+    val got = Extensions.q95DupPassages(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "testdata should contain injected near-dup passages")
+  }
+
+  test("q96: novelty matches the recomputation and the q95 cross-invariant") {
+    val dfByWin = reference.toSeq
+      .flatMap { case (id, ws) => ws.map(h => (h, id)) }
+      .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).distinct.size }
+    val expected = reference.collect { case (id, ws) if ws.nonEmpty =>
+      val novel = ws.count(h => dfByWin(h) == 1).toLong
+      val novelty = math.floor(novel.toDouble / ws.size * 1e4 + 0.5) / 1e4
+      (id, ws.size.toLong, novel, novelty)
+    }.toSet
+    val got = Extensions.q96NgramNovelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // cross-query conservation: every non-novel distinct window of every
+    // doc is one unit of some duplicated shingle's df in q95.
+    val sharedSum = Extensions.q96NgramNovelty(spark, dir)
+      .agg(sum(col("n_windows") - col("n_novel"))).as[Long].head()
+    val dfSum = Extensions.q95DupPassages(spark, dir)
+      .agg(sum(col("df"))).as[Long].head()
+    assert(sharedSum == dfSum)
+  }
+}
