@@ -113,6 +113,7 @@ object SparkEntry {
     "q94_real_features" -> (Extensions.q94RealFeatures _),
     "q95_dup_passages" -> (Extensions.q95DupPassages _),
     "q96_ngram_novelty" -> (Extensions.q96NgramNovelty _),
+    "q97_containment" -> (Extensions.q97Containment _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2487,4 +2487,64 @@ object Extensions {
         r4(coalesce(col("n_novel"), lit(0L)).cast("double") /
           col("n_windows")).as("novelty"))
   }
+
+  /** q97: windows with df above this are boilerplate, not evidence of one
+    * doc containing another — they are excluded from the pair join, which
+    * also caps per-window pair fan-out at cap²/2 (the flood gate; the
+    * documented miss class is a pair related ONLY through corpus-common
+    * windows, q66's territory).
+    */
+  val ContainCap = 16
+  /** q97: minimum shared rare windows for a reported pair. */
+  val ContainMinShared = 3
+
+  /** Asymmetric containment pairs — the subsumption detector symmetric
+    * Jaccard misses: a short doc quoted whole inside a long one has
+    * J = |A|/|B| ≈ 0 but containment C(A→B) = |W_A ∩ W_B| / |W_A| ≈ 1.
+    * Reports doc pairs sharing >= ContainMinShared rare windows with both
+    * window counts and the smaller side's containment.
+    *
+    * 100 TB shape: candidates can only arise from windows that are
+    * actually duplicated (df >= 2 — df = 1 windows cannot produce a pair)
+    * and not boilerplate (df <= ContainCap), so the self-join runs over
+    * the RARE-window posting list — sized by duplicated content, not the
+    * corpus — with per-window fan-out bounded by the cap. The df table
+    * broadcast is runtime-size-gated like q70's (equi-join fallback above
+    * the gate). Exact counting join, no minhash estimate: the report is
+    * the true shared-window count.
+    */
+  def q97Containment(s: SparkSession, dir: String): DataFrame = {
+    // Pin the per-doc ARRAY frame, not the exploded postings: one
+    // row-overhead per document instead of per window (the q70/q20 pin
+    // lesson), and per-doc window counts come out of the array map-side —
+    // the exploded-frame formulation paid a full corpus-width doc_id
+    // shuffle just to count windows per doc (measured at sf100: 69.4 s
+    // vs 46.9 s for this plan — the residual is the inherent second
+    // pass over the postings for the live-window probe).
+    val arr = passageDigests(s, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .pinned // feeds per-doc counts, the df pass, and the posting join
+    val perDoc = arr
+      .select(col("doc_id"), size(col("hs")).cast("long").as("nw"))
+      .filter(col("nw") > 0)
+    val sh = arr.select(col("doc_id"), explode(col("hs")).as("h"))
+    val live = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= PassageMinDocs && col("df") <= ContainCap)
+      .select("h")
+      .pinned
+    val liveSide = if (live.count() <= BroadcastLiveMaxRows) broadcast(live) else live
+    val posting = sh.join(liveSide, Seq("h"))
+    val pairs = posting.select(col("h"), col("doc_id").as("a_id"))
+      .join(posting.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+    pairs
+      .join(perDoc.select(col("doc_id").as("a_id"), col("nw").as("nw_a")), Seq("a_id"))
+      .join(perDoc.select(col("doc_id").as("b_id"), col("nw").as("nw_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared"), col("nw_a"), col("nw_b"),
+        r4(col("shared").cast("double") / least(col("nw_a"), col("nw_b")))
+          .as("containment"))
+  }
 }

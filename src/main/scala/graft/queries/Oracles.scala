@@ -1593,5 +1593,39 @@ object Oracles {
          |  ${r("CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / per.n_windows", 4)} AS novelty
          |FROM per LEFT JOIN nv ON per.doc_id = nv.doc_id""".stripMargin
     },
+
+    "q97_containment" -> {
+      val w = Extensions.PassageW
+      // sh AS MATERIALIZED is LOAD-BEARING at sf100: it is referenced
+      // four times (per, live, and both sides of pr), and DuckDB
+      // re-inlines plain CTEs per reference — four replays of the
+      // 500 M-window DISTINCT build spilled past a 63 GB disk budget
+      // even at DUCKDB_MEM=100GB. Materialized, the build runs once.
+      // The posting sides join live BEFORE pairing so the pair join's
+      // inputs are the ~10⁶-row rare-window postings, not the corpus.
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS h
+         |  FROM tok, unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
+         |  WHERE len(toks) >= $w),
+         |per AS (SELECT doc_id, count(*) AS nw FROM sh GROUP BY doc_id),
+         |live AS (
+         |  SELECT h FROM sh GROUP BY h
+         |  HAVING count(*) BETWEEN ${Extensions.PassageMinDocs}
+         |    AND ${Extensions.ContainCap}),
+         |po AS MATERIALIZED (
+         |  SELECT doc_id, h FROM sh JOIN live USING (h)),
+         |pr AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |  FROM po a JOIN po b USING (h)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= ${Extensions.ContainMinShared})
+         |SELECT pr.a_id, pr.b_id, pr.shared, pa.nw AS nw_a, pb.nw AS nw_b,
+         |  ${r("CAST(pr.shared AS DOUBLE) / least(pa.nw, pb.nw)", 4)} AS containment
+         |FROM pr JOIN per pa ON pr.a_id = pa.doc_id
+         |JOIN per pb ON pr.b_id = pb.doc_id""".stripMargin
+    },
   )
 }

@@ -183,6 +183,21 @@ class ExpressionThroughputSpec extends SparkSpec {
     assertFloor("word_bigram_md5s", rows, sec, 10000)
   }
 
+  test("word_ngram_md5s: 16-token docs at w=8 ≥ 10k rows/s") {
+    val rows = 100000L
+    val input = spark.range(rows).repartition(4)
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 16), j -> concat('w', cast(id * 7 + j as string))))"))
+      .cache()
+    input.count()
+    val sec = timeRun(input.select(expr("word_ngram_md5s(text, 8)").as("b"))
+      .filter(expr("length(b[0]) = 99")))
+    input.unpersist()
+    // 9 windowed md5s per doc (each ~8 tokens of bytes); healthy is
+    // >150k rows/s here — the floor catches a per-window allocation storm
+    assertFloor("word_ngram_md5s", rows, sec, 10000)
+  }
+
   test("bloom_agg: build-side update ≥ 100k rows/s") {
     val rows = 1000000L
     val input = spark.range(rows).repartition(4).toDF().cache()

@@ -66,4 +66,33 @@ class PassageSpec extends SparkSpec {
       .agg(sum(col("df"))).as[Long].head()
     assert(sharedSum == dfSum)
   }
+
+  test("q97: containment pairs match the recomputation exactly") {
+    val dfByWin = reference.toSeq
+      .flatMap { case (id, ws) => ws.map(h => (h, id)) }
+      .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).distinct }
+    val live = dfByWin.filter { case (_, ds) =>
+      ds.size >= Extensions.PassageMinDocs && ds.size <= Extensions.ContainCap
+    }
+    val expected = live.toSeq
+      .flatMap { case (_, ds) =>
+        for (a <- ds; b <- ds if a < b) yield (a, b)
+      }
+      .groupBy(identity).map { case ((a, b), hits) => (a, b, hits.size.toLong) }
+      .filter(_._3 >= Extensions.ContainMinShared)
+      .map { case (a, b, shared) =>
+        val nwA = reference(a).size.toLong
+        val nwB = reference(b).size.toLong
+        val c = math.floor(shared.toDouble / math.min(nwA, nwB) * 1e4 + 0.5) / 1e4
+        (a, b, shared, nwA, nwB, c)
+      }.toSet
+    val got = Extensions.q97Containment(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "testdata should contain injected containment pairs")
+    // every reported containment is a valid ratio over the smaller side
+    assert(got.forall { case (_, _, sh, na, nb, c) =>
+      c > 0 && c <= 1.0 && sh <= math.min(na, nb)
+    })
+  }
 }

@@ -38,7 +38,14 @@ def main(sf_dir, out_dir, only=None):
     # Bound DuckDB instead of letting the box's OOM killer do it: big-sf
     # oracle replays (list-heavy CTEs) spill to disk past the limit.
     con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckck')}'")
+    # The spill dir must die with the process: DuckDB does not always
+    # reap temp storage from heavy replays, and leaked spill from ONE
+    # passing sf100 check (~60 GB for q97) filled the volume and crashed
+    # the NEXT run's verify with ENOSPC.
+    import atexit, shutil
+    spill = tempfile.mkdtemp(prefix='duckck')
+    atexit.register(shutil.rmtree, spill, True)
+    con.execute(f"SET temp_directory='{spill}'")
     # Big-sf replays die on UNTRACKED allocations (32 threads × in-flight
     # list vectors), not the tracked cap: q20 at sf100 threw bad_alloc at
     # DUCKDB_MEM=80GB on a 128 GB box. Fewer threads = fewer concurrent
