@@ -1065,8 +1065,18 @@ object Extensions {
     * reasoning as q55's Simpson-over-entropy choice).
     *
     * Plan: explode → two hash aggregates (tf, df) → term equi-join →
-    * per-doc top-k window. The window partitions by doc_id (cardinality
-    * scales with the corpus, so no q21-style few-key sort ceiling).
+    * per-doc top-k via the O(k)-state `bounded_sorted_list` heap keyed
+    * on struct(-score, term) — smallest negated score first IS
+    * (score DESC, term ASC), the window's exact order, and the IEEE sign
+    * flip is lossless so the recovered score r4-matches the oracle's.
+    * The round-14 rework: the original `row_number` window repartitioned
+    * AND SORTED the full (doc, term) frame (~155 M rows at sf100 —
+    * measured 83.8 s, the worst undocumented per-decade row of the r14
+    * sweep); the heap aggregate keeps ≤ 3 structs per doc with no sort
+    * of the data (sf100: 83.8 → 60.3 s, and the 60.3 was measured while
+    * a sustained-streaming run shared the box — a quiet-box upper
+    * bound). Group cardinality scales with the corpus, so no q21-style
+    * few-key parallelism ceiling either way.
     */
   def q58TfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
@@ -1077,10 +1087,13 @@ object Extensions {
     val scored = tf.join(df_, "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("term"), col("rank"), r4(col("score")).as("score"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(boundedSortedList(s, 3, "struct(-score as ns, term)").as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("doc_id"), col("t.term").as("term"),
+        (col("p") + 1).cast("int").as("rank"),
+        r4(-col("t.ns")).as("score"))
   }
 
   /** Percentile-clip curation: per source, keep only documents whose text

@@ -94,15 +94,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window") == 0, p)
   }
 
-  test("q58 tfidf top-k: the only cross is the one-row corpus count; top-k window is per-doc") {
+  test("q58 tfidf top-k: the only cross is the one-row corpus count; no rank window") {
     val p = planOf(Extensions.q58TfidfTopk(spark, dir))
     assert(count(p, "CartesianProduct") == 0, p)
     assert(count(p, "BroadcastNestedLoop") == 1,
       "exactly the one-row doc-count broadcast: " + p)
-    // the rank window must keep its per-key partition spec — an
-    // unpartitioned window would serialize the corpus through one task
-    assert("(?m)^.*Window.*windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined
-      || count(p, "Window") == 0, "q58's top-k window lost its doc_id partitioning:\n" + p)
+    // round-14 rework: per-doc top-k is the O(k)-state bounded heap
+    // aggregate — a Window node means the row_number formulation (which
+    // repartitions AND SORTS the full (doc, term) frame) regressed back
+    assert(count(p, "Window") == 0,
+      "q58's top-k must be the heap aggregate, not a rank window:\n" + p)
   }
 
   test("q61 dedup clusters: iterative equi-joins, no cartesian, lineage truncated") {
