@@ -95,4 +95,33 @@ class PassageSpec extends SparkSpec {
       c > 0 && c <= 1.0 && sh <= math.min(na, nb)
     })
   }
+
+  test("q97: boilerplate windows above the df cap produce no pairs") {
+    // The testdata never exercises the flood cap (max df = 4 at every
+    // scale), so build a corpus where it BINDS: one 8-token boilerplate
+    // window shared by ContainCap + 1 docs (above the cap -> excluded),
+    // plus two docs sharing a rare 10-token run (3 windows, in-cap).
+    val boiler = (1 to Extensions.PassageW).map(i => s"b$i").mkString(" ")
+    val rare = (1 to Extensions.PassageW + 2).map(i => s"r$i").mkString(" ")
+    val docsDf = {
+      val flood = (0 until Extensions.ContainCap + 1).map { i =>
+        (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+      }
+      val pair = Seq(
+        (100L, s"$rare p1a p1b p1c p1d p1e"),
+        (101L, s"$rare p2a p2b p2c p2d p2e"))
+      (flood ++ pair).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q97cap").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Extensions.q97Containment(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // the flood docs share ONLY the boilerplate window (df = 17 > cap)
+    // -> zero pairs among them; the rare run yields exactly (100, 101)
+    // with its 3 sliding windows shared
+    assert(out.map(p => (p._1, p._2)) == Set((100L, 101L)), out.toString)
+    assert(out.head._3 == 3L, s"expected 3 shared windows: ${out.head}")
+  }
 }
