@@ -81,6 +81,26 @@ private final class TaskStatsListener extends SparkListener {
   */
 object Bench {
 
+  /** The measured action. Default is the NOOP SINK — full result
+    * computation, rows iterated, nothing written — because `count()`
+    * MIS-MEASURES any query whose final operators are prunable under a
+    * zero-column aggregate (round-15 finding): Catalyst eliminates a
+    * final LEFT join with unique build keys when no column of it is
+    * referenced (q96's whole novelty subtree — its 4.85 GB digest
+    * exchange never ran under count()), and column-prunes final computed
+    * projections down to a zero-column parquet rowcount scan (q23/q24/
+    * q25/q26/q52 "benched" 0.5 s at sf100 — the language-ID/PII/regex
+    * work never executed; Verify always ran the full plans, so
+    * correctness was never affected). `SPARK_GRAFT_BENCH_ACTION=count`
+    * reproduces the pre-r15 action for cross-round A/B.
+    */
+  private val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
+  private def benchAction(df: org.apache.spark.sql.DataFrame): Unit = action match {
+    case "noop" => df.write.mode("overwrite").format("noop").save()
+    case "count" => df.count(): Unit
+    case other => sys.error(s"SPARK_GRAFT_BENCH_ACTION must be noop|count, got '$other'")
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -174,10 +194,10 @@ object Bench {
       // the worker thread is still stuck in the callable. The latch only
       // opens when the callable's finally actually runs.
       val done = new java.util.concurrent.CountDownLatch(1)
-      val fut = pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
+      val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          try fn(spark, sfDir).count()
+          try benchAction(fn(spark, sfDir))
           finally {
             spark.sparkContext.clearJobGroup()
             done.countDown()

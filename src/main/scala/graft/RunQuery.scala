@@ -36,24 +36,36 @@ object RunQuery {
           f"spill=${m.memoryBytesSpilled / 1e6}%6.1fMB  ${i.name.take(60)}")
       }
     })
-    // Time BUILD + count, like Bench: iterative queries (q61's Lloyd-style
-    // loop, BudgetCut's stats pass) execute jobs during DataFrame
-    // CONSTRUCTION, so timing only the count would hide most of their
-    // cost (it once read q61 as 0.34 s when the bench-true cost was ~1.4 s).
+    // Time BUILD + the NOOP SINK, like Bench: iterative queries (q61's
+    // Lloyd-style loop, BudgetCut's stats pass) execute jobs during
+    // DataFrame CONSTRUCTION, so timing only the action would hide most
+    // of their cost (it once read q61 as 0.34 s when the bench-true cost
+    // was ~1.4 s) — and the action must be the noop sink, not count():
+    // count() lets Catalyst eliminate prunable final operators (q96's
+    // whole novelty subtree; the map-only scorers' projections — see
+    // Bench.benchAction), so a count-timed run can measure a fraction of
+    // the real plan. The row count rides along via observe() — one
+    // metric at the plan ROOT, so it prunes nothing below it.
     // explain FIRST: the runner's main use is investigating misbehaving
     // queries, so the plan must print even when execution later throws
     if (doExplain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    def noopRun(): Long = {
+      val obs = new org.apache.spark.sql.Observation()
+      SparkEntry.queries(name)(spark, sfDir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      obs.get("count(1)").asInstanceOf[Long]
+    }
     var t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val n = df.count()
-    println(f"[runquery] $name count=$n first_run=${(System.nanoTime() - t0) / 1e9}%.2fs (build+count)")
+    val n = noopRun()
+    println(f"[runquery] $name count=$n first_run=${(System.nanoTime() - t0) / 1e9}%.2fs (build+noop)")
     // drop run-1 pins before run 2 (same inter-query cleanup as Bench —
     // two generations of sf100 pin blocks do not co-fit in memory)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     t0 = System.nanoTime()
-    val df2 = SparkEntry.queries(name)(spark, sfDir)
-    df2.count()
-    println(f"[runquery] $name second_run=${(System.nanoTime() - t0) / 1e9}%.2fs (rebuild+count)")
+    noopRun()
+    println(f"[runquery] $name second_run=${(System.nanoTime() - t0) / 1e9}%.2fs (rebuild+noop)")
     Thread.sleep(500) // let listener drain
     stages.forEach(s => println(s))
     spark.stop()

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 
 /** The composed corpus-curation workflow — quality gate → exact dedup →
-  * near-dup collapse → decontamination → fold assignment — run as ONE
-  * plan over the raw documents. Each stage exists (and is
+  * near-dup collapse → optional containment collapse → decontamination →
+  * fold assignment — run as ONE plan over the raw documents. Each stage exists (and is
   * oracle-checked) as an individual query-surface operator (q24
   * quality, q16 dedup, q18's signature family for near-dup, q67
   * decontaminate, q89 split); this module is the proof they COMPOSE the
@@ -98,19 +98,52 @@ object Curation {
       .agg((min(col("k")) === col("doc_id")).as("neardup_ok"))
   }
 
+  /** Containment-collapse flags over the near-dup survivors: the
+    * SUBSUMPTION case symmetric near-dup misses — a short doc quoted
+    * whole inside a long one has Jaccard ≈ |A|/|B| ≈ 0 against every
+    * band, but containment |W_A ∩ W_B| / |W_A| ≈ 1. Reuses q97's exact
+    * rare-window pair plan ([[graft.queries.Extensions.containmentPairs]]
+    * — same flood cap, same runtime-gated broadcast), then drops the
+    * CONTAINED side of every pair at or above `thr`: the doc with fewer
+    * windows (ties break to the larger doc_id, so reruns agree). The
+    * kept side carries the shared text, so no content leaves the corpus
+    * — only its redundant quotation.
+    *
+    * Scale shape: pair volume is bounded by actual duplication (df ∈
+    * [2, ContainCap] windows only), the drop set by the pair count, and
+    * the flag join-back is doc_id-keyed — the corpus-width frame never
+    * re-shuffles for this stage. Miss classes inherited from q97, both
+    * documented there: pairs sharing fewer than ContainMinShared rare
+    * windows, and pairs related only through above-cap boilerplate
+    * windows (q66's territory).
+    */
+  private def containmentFlags(survivors: DataFrame, thr: Double): DataFrame =
+    graft.queries.Extensions.containmentPairs(
+      graft.queries.Extensions.widenIfNarrow(survivors.sparkSession, survivors))
+      .filter(col("containment") >= thr)
+      .select(when(col("nw_a") < col("nw_b"), col("a_id"))
+        .when(col("nw_b") < col("nw_a"), col("b_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .withColumn("contain_ok", lit(false))
+
   /** `docs` needs (doc_id, text); extra columns ride along. `heldOut` is
     * the eval/benchmark corpus to decontaminate against (exact-digest
     * containment here; q67's n-gram overlap slots into the same flag).
     *
     * Stage-order semantics: near-dup keepers are chosen among quality +
-    * exact-dedup SURVIVORS (see nearFlagged below). Decontamination runs
-    * AFTER near-dup, so a held-out keeper drops and its already-collapsed
-    * near-dup family goes with it — near-dups of benchmark docs leaving
-    * the corpus is the fuzzy-decon behavior a training pipeline wants,
-    * and it is the one family-removal path that is intentional.
+    * exact-dedup SURVIVORS (see nearFlagged below). The optional
+    * containment collapse (`containment = Some(thr)`) runs over NEAR-DUP
+    * survivors — near-dup already collapsed the mutual-containment
+    * families, so this stage only sees the asymmetric quoted-document
+    * cases it exists for. Decontamination runs AFTER both, so a held-out
+    * keeper drops and its already-collapsed family goes with it —
+    * near-dups of benchmark docs leaving the corpus is the fuzzy-decon
+    * behavior a training pipeline wants, and it is the one
+    * family-removal path that is intentional.
     */
   def curate(docs: DataFrame, heldOut: Option[DataFrame] = None,
-      minQuality: Double = 0.5): Result = {
+      minQuality: Double = 0.5, containment: Option[Double] = None): Result = {
     val digested = docs
       .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("digest", md5(col("text")))
@@ -135,27 +168,41 @@ object Curation {
       .join(neardupFlags(digested.filter(col("q_ok") && col("dedup_ok"))
         .select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
       .withColumn("neardup_ok", coalesce(col("neardup_ok"), lit(true)))
+    // optional containment collapse over near-dup survivors; docs never
+    // reaching the pair plan (or with the stage off) default keep
+    val containFlagged = containment match {
+      case Some(thr) => nearFlagged
+        .join(containmentFlags(
+          nearFlagged.filter(col("q_ok") && col("dedup_ok") && col("neardup_ok"))
+            .select(col("doc_id"), col("text")), thr), Seq("doc_id"), "left")
+        .withColumn("contain_ok", coalesce(col("contain_ok"), lit(true)))
+      case None => nearFlagged.withColumn("contain_ok", lit(true))
+    }
     val flagged = heldOut match {
       case Some(h) =>
         val contaminated = h.select(md5(coalesce(col("text"), lit(""))).as("digest"))
           .distinct().withColumn("__held", lit(true))
-        nearFlagged.join(broadcast(contaminated), Seq("digest"), "left")
+        containFlagged.join(broadcast(contaminated), Seq("digest"), "left")
           .withColumn("decon_ok", col("__held").isNull).drop("__held")
-      case None => nearFlagged.withColumn("decon_ok", lit(true))
+      case None => containFlagged.withColumn("decon_ok", lit(true))
     }
     val withSplit = flagged.withColumn("split", Txt.foldOf(col("doc_id")))
     // ONE aggregation: survivor count after each prefix of the stage list
+    // ("contained" == "neardup" whenever the containment stage is off)
     val funnel = withSplit.agg(
       count(lit(1)).as("raw"),
       sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality"),
       sum(when(col("q_ok") && col("dedup_ok"), 1L).otherwise(0L)).as("dedup"),
       sum(when(col("q_ok") && col("dedup_ok") && col("neardup_ok"), 1L).otherwise(0L))
         .as("neardup"),
-      sum(when(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("decon_ok"), 1L)
-        .otherwise(0L)).as("decontaminated"))
+      sum(when(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("contain_ok"), 1L)
+        .otherwise(0L)).as("contained"),
+      sum(when(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("contain_ok")
+        && col("decon_ok"), 1L).otherwise(0L)).as("decontaminated"))
     val corpus = withSplit
-      .filter(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("decon_ok"))
-      .drop("q_ok", "dedup_ok", "neardup_ok", "decon_ok")
+      .filter(col("q_ok") && col("dedup_ok") && col("neardup_ok") && col("contain_ok")
+        && col("decon_ok"))
+      .drop("q_ok", "dedup_ok", "neardup_ok", "contain_ok", "decon_ok")
     Result(corpus, funnel)
   }
 }

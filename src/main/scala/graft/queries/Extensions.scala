@@ -103,6 +103,42 @@ object Extensions {
     */
   val BroadcastLiveMaxRows = 4L << 20
 
+  /** Byte companion to [[BroadcastLiveMaxRows]] (r14 ADVICE): a row cap
+    * alone under-gates wide rows — 4 M BINARY(16) digests plus per-row
+    * overhead is already ~100+ MB driver-side, and a build side with a
+    * long string payload could pass the row gate while blowing the
+    * driver. 256 MB stays comfortably inside Spark's broadcast limits
+    * (8 GB hard cap; executors hold one copy each) while admitting every
+    * legitimate vocabulary/survivor table the gate exists for.
+    */
+  val BroadcastLiveMaxBytes = 256L << 20
+
+  /** The shared runtime broadcast gate (q20 join-back, q70 df table, q97
+    * rare-window set): measure the PINNED build side — one count+bytes
+    * aggregate over already-materialized blocks — and broadcast only
+    * while both the row count and the estimated serialized payload stay
+    * under the caps; above either, return the frame unchanged so the
+    * caller's equi-join falls back to the hash-partitioned shuffle plan.
+    * Payload bytes are exact for binary/string columns (`octet_length`)
+    * plus fixed widths for the rest and 16 B/row overhead — the frames
+    * gated here are digest/key tables, not nested payloads.
+    */
+  private[graft] def gatedBroadcast(df: DataFrame): DataFrame = {
+    val rowBytes = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.BinaryType |
+             org.apache.spark.sql.types.StringType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduceLeft(_ + _) + lit(16L)
+    val m = df.select(count(lit(1)).as("n"), sum(rowBytes).as("b")).head()
+    val (rows, bytes) = (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+    if (rows <= BroadcastLiveMaxRows && bytes <= BroadcastLiveMaxBytes)
+      broadcast(df)
+    else df
+  }
+
   /** Directed-edge count above which connectedComponents switches to
     * per-round edge contraction (see connectedComponentsWithRounds).
     * 1 M sits between sf1's ~0.7 M (classic wins — job-count-dominated)
@@ -562,9 +598,7 @@ object Extensions {
         case "true" => broadcast(live)
         case "false" => live
         case _ =>
-          val livePinned = live.pinned
-          if (livePinned.count() <= BroadcastLiveMaxRows) broadcast(livePinned)
-          else livePinned
+          gatedBroadcast(live.pinned)
       }
     bands
       .join(liveSide, Seq("source", "band", "k"))
@@ -1682,7 +1716,7 @@ object Extensions {
     val df = arr.select(explode(array_distinct(col("hs"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("bdf"))
       .pinned
-    val dfSide = if (df.count() <= BroadcastLiveMaxRows) broadcast(df) else df
+    val dfSide = gatedBroadcast(df)
     val grams = arr.select(col("doc_id"), explode(col("hs")).as("h"))
     grams.join(dfSide, Seq("h"))
       .groupBy(col("doc_id"))
@@ -2427,8 +2461,17 @@ object Extensions {
     * bytes of hex strings). Docs shorter than the window yield an empty
     * array (explode drops them) — same guard shape as q70's bigrams.
     */
-  private def passageDigests(s: SparkSession, dir: String): DataFrame = {
-    val wide = docs(s, dir)
+  private def passageDigests(s: SparkSession, dir: String): DataFrame =
+    passageDigestsOf(docs(s, dir))
+
+  /** [[passageDigests]] over an arbitrary (doc_id, text) frame — the seam
+    * that lets pipeline.Curation's containment-collapse stage run the
+    * same windowing over its quality/dedup/near-dup SURVIVORS instead of
+    * the raw table. Caller contract: `text` is non-null (both entry
+    * points coalesce) and the frame is already width-adjusted.
+    */
+  private[graft] def passageDigestsOf(wide: DataFrame): DataFrame = {
+    val s = wide.sparkSession
     // Native `word_ngram_md5s` hashes each window as a contiguous byte
     // range of the raw text — no token array, no per-window concat string,
     // no HOF interpreter (see the expression's scaladoc); the composable
@@ -2526,7 +2569,17 @@ object Extensions {
     * the gate). Exact counting join, no minhash estimate: the report is
     * the true shared-window count.
     */
-  def q97Containment(s: SparkSession, dir: String): DataFrame = {
+  def q97Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(docs(s, dir))
+      .select(col("a_id"), col("b_id"), col("shared"), col("nw_a"), col("nw_b"),
+        r4(col("containment")).as("containment"))
+
+  /** The q97 pair plan over an arbitrary (doc_id, text) frame, raw
+    * (unrounded) containment — shared by the q97 query surface and
+    * pipeline.Curation's containment-collapse stage, so the funnel's
+    * drop decisions and the oracle-checked query cannot drift.
+    */
+  private[graft] def containmentPairs(docsWide: DataFrame): DataFrame = {
     // Pin the per-doc ARRAY frame, not the exploded postings: one
     // row-overhead per document instead of per window (the q70/q20 pin
     // lesson), and per-doc window counts come out of the array map-side —
@@ -2534,7 +2587,7 @@ object Extensions {
     // shuffle just to count windows per doc (measured at sf100: 69.4 s
     // vs 46.9 s for this plan — the residual is the inherent second
     // pass over the postings for the live-window probe).
-    val arr = passageDigests(s, dir)
+    val arr = passageDigestsOf(docsWide)
       .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
       .pinned // feeds per-doc counts, the df pass, and the posting join
     val perDoc = arr
@@ -2545,7 +2598,7 @@ object Extensions {
       .filter(col("df") >= PassageMinDocs && col("df") <= ContainCap)
       .select("h")
       .pinned
-    val liveSide = if (live.count() <= BroadcastLiveMaxRows) broadcast(live) else live
+    val liveSide = gatedBroadcast(live)
     val posting = sh.join(liveSide, Seq("h"))
     val pairs = posting.select(col("h"), col("doc_id").as("a_id"))
       .join(posting.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
@@ -2557,7 +2610,7 @@ object Extensions {
       .join(perDoc.select(col("doc_id").as("a_id"), col("nw").as("nw_a")), Seq("a_id"))
       .join(perDoc.select(col("doc_id").as("b_id"), col("nw").as("nw_b")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("shared"), col("nw_a"), col("nw_b"),
-        r4(col("shared").cast("double") / least(col("nw_a"), col("nw_b")))
+        (col("shared").cast("double") / least(col("nw_a"), col("nw_b")))
           .as("containment"))
   }
 }

@@ -110,6 +110,42 @@ class CurationPipelineSpec extends SparkSpec {
     assert(f.getAs[Long]("neardup") === 1L)
   }
 
+  test("containment collapse: a short doc quoted whole inside a long one is dropped") {
+    // The adversarial subsumption case symmetric near-dup MISSES by
+    // construction: doc 1 (27 tokens) is quoted verbatim inside doc 2
+    // (~75 tokens), so their shingle Jaccard is ≈ |W1|/|W2| ≪ the band
+    // collision threshold — but every sliding 8-token window of doc 1
+    // appears in doc 2, so containment(1→2) = 1.0.
+    val long1 = "completely different article about the weather today with " +
+      "the sun and the clouds and the wind that blows over the hills again " +
+      good + " and after the meeting the animals return while the sun sets " +
+      "slowly behind the green hills and the river keeps flowing to the sea"
+    val docs = Seq(
+      (1L, good),  // quoted whole inside 2 → contained, dropped when ON
+      (2L, long1), // the quoting doc — always kept
+      (3L, "completely unrelated piece about the ocean and the ships that " +
+        "sail across the waves while the wind is strong and the sailors " +
+        "are brave near the shore")
+    ).toDF("doc_id", "text")
+    // stage off (default): the quotation is invisible to every symmetric
+    // stage, and the funnel's contained column degenerates to neardup
+    val off = Curation.curate(docs)
+    assert(off.corpus.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    val offF = off.funnel.head()
+    assert(offF.getAs[Long]("contained") === offF.getAs[Long]("neardup"))
+    // stage on: the contained (fewer-windows) side drops; the quoting doc
+    // keeps the shared text, the unrelated doc is untouched (precision:
+    // no pair without >= ContainMinShared shared rare windows exists)
+    val on = Curation.curate(docs, containment = Some(0.9))
+    assert(on.corpus.select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+    val f = on.funnel.head()
+    assert(f.getAs[Long]("raw") === 3L)
+    assert(f.getAs[Long]("neardup") === 3L,
+      "near-dup must NOT catch the quotation — this stage owns it")
+    assert(f.getAs[Long]("contained") === 2L)
+    assert(f.getAs[Long]("decontaminated") === 2L)
+  }
+
   test("rerun-stable: two runs produce identical corpora") {
     val docs = (1L to 300L).map(i =>
       (i, s"document number $i with the usual words and the stopwords " +

@@ -114,14 +114,21 @@ class PassageSpec extends SparkSpec {
         .withColumn("lang", lit("en")).withColumn("source", lit("s"))
         .withColumn("n_chars", length(col("text")))
     }
-    val dir = java.nio.file.Files.createTempDirectory("q97cap").toString
-    docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = Extensions.q97Containment(spark, dir)
-      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
-    // the flood docs share ONLY the boilerplate window (df = 17 > cap)
-    // -> zero pairs among them; the rare run yields exactly (100, 101)
-    // with its 3 sliding windows shared
-    assert(out.map(p => (p._1, p._2)) == Set((100L, 101L)), out.toString)
-    assert(out.head._3 == 3L, s"expected 3 shared windows: ${out.head}")
+    val tmp = java.nio.file.Files.createTempDirectory("q97cap")
+    try {
+      docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Extensions.q97Containment(spark, tmp.toString)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      // the flood docs share ONLY the boilerplate window (df = 17 > cap)
+      // -> zero pairs among them; the rare run yields exactly (100, 101)
+      // with its 3 sliding windows shared
+      assert(out.map(p => (p._1, p._2)) == Set((100L, 101L)), out.toString)
+      assert(out.head._3 == 3L, s"expected 3 shared windows: ${out.head}")
+    } finally {
+      // repeated runs must not accumulate /tmp dirs (r14 ADVICE)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
   }
 }
