@@ -114,6 +114,8 @@ object SparkEntry {
     "q95_dup_passages" -> (Extensions.q95DupPassages _),
     "q96_ngram_novelty" -> (Extensions.q96NgramNovelty _),
     "q97_containment" -> (Extensions.q97Containment _),
+    "q99_contamination_pairs" -> (Extensions.q99ContaminationPairs _),
+    "q100_context_chunks" -> (Extensions.q100ContextChunks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2613,4 +2613,93 @@ object Extensions {
         (col("shared").cast("double") / least(col("nw_a"), col("nw_b")))
           .as("containment"))
   }
+
+  /** q99: docs with doc_id % this == 0 form the held-out benchmark side
+    * of the contamination-attribution pairs. Deliberately WIDER than
+    * q67's 1-in-97 flag set (1-in-11): attribution is a pair surface,
+    * and a 1 % held-out share leaves it empty at the small verify scales
+    * — production passes the real benchmark list, the modulus only
+    * stands in for it in the testdata.
+    */
+  val ContamBenchMod = 11
+
+  /** Cross-corpus contamination ATTRIBUTION — the pair-level complement
+    * of q67's per-doc flag: q67 says "this training doc overlaps the
+    * held-out set somewhere"; this says WHICH benchmark doc, how many
+    * shared rare PassageW-token windows, and what fraction of the
+    * training doc is benchmark content (the decontamination-forensics
+    * report a pipeline needs before deciding drop-vs-trim).
+    *
+    * 100 TB shape: identical skeleton to q97 — pairs can only arise from
+    * windows that are duplicated (df >= 2) and not boilerplate
+    * (df <= ContainCap), so the cross join runs over the rare-window
+    * postings sized by actual duplication; the benchmark posting side is
+    * further 1/ContamBenchMod of that. The df table broadcast is
+    * runtime-gated with the shuffle fallback; the miss class (pairs
+    * related only through above-cap boilerplate) is q66's territory,
+    * same as q97.
+    */
+  def q99ContaminationPairs(s: SparkSession, dir: String): DataFrame = {
+    val arr = passageDigests(s, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .pinned // feeds per-doc counts, the df pass, and both posting sides
+    val perDoc = arr
+      .select(col("doc_id"), size(col("hs")).cast("long").as("nw"))
+      .filter(col("nw") > 0)
+    val sh = arr.select(col("doc_id"), explode(col("hs")).as("h"))
+    val live = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= PassageMinDocs && col("df") <= ContainCap)
+      .select("h")
+      .pinned
+    val posting = sh.join(gatedBroadcast(live), Seq("h"))
+    val bench = posting.filter(col("doc_id") % ContamBenchMod === 0)
+      .select(col("h"), col("doc_id").as("bench_id"))
+    val train = posting.filter(col("doc_id") % ContamBenchMod =!= 0)
+      .select(col("h"), col("doc_id").as("train_id"))
+    val pairs = train.join(bench, Seq("h"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+    pairs
+      .join(perDoc.select(col("doc_id").as("train_id"), col("nw").as("nw_train")),
+        Seq("train_id"))
+      .select(col("train_id"), col("bench_id"), col("shared"), col("nw_train"),
+        r4(col("shared").cast("double") / col("nw_train")).as("contamination"))
+  }
+
+  /** q100: context-window chunking — tokens per chunk and the stride
+    * between chunk starts (overlap = ChunkWin - ChunkStride = 32).
+    */
+  val ChunkWin = 128
+  val ChunkStride = 96
+
+  /** Sliding context-window chunking (the SPLITTING complement of q62's
+    * sequence packing, which handles the short side): every document is
+    * cut into ChunkWin-token chunks whose starts step by ChunkStride, so
+    * consecutive chunks overlap by 32 tokens — the standard long-document
+    * preparation for embedding models and fixed-context pretraining
+    * (no token is ever more than one chunk away from ChunkWin-32 tokens
+    * of its context). Documents at or under the window yield exactly one
+    * chunk; the final chunk is the short tail plus nothing (starts never
+    * step past the text). Chunks ride as md5 digests + offsets — the
+    * downstream shuffle (if any) never carries chunk text.
+    *
+    * 100 TB shape: pure map-side — split, transform, posexplode; no
+    * exchange at all. Output rows ≈ corpus tokens / ChunkStride.
+    */
+  def q100ContextChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    widen(s, docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil((n - $ChunkWin) / $ChunkStride.0) as int), 0)), " +
+          s"k -> md5(concat_ws(' ', slice(toks, k * $ChunkStride + 1, $ChunkWin))))"))
+        .as(Seq("k", "chunk_md5")))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        (col("k") * ChunkStride + 1).cast("long").as("start_tok"),
+        least(lit(ChunkWin), col("n") - col("k") * ChunkStride).cast("long")
+          .as("n_toks"),
+        col("chunk_md5"))
+  }
 }

@@ -1627,5 +1627,52 @@ object Oracles {
          |FROM pr JOIN per pa ON pr.a_id = pa.doc_id
          |JOIN per pb ON pr.b_id = pb.doc_id""".stripMargin
     },
+
+    "q99_contamination_pairs" -> {
+      val w = Extensions.PassageW
+      val m = Extensions.ContamBenchMod
+      // Same materialized-shingle discipline as q97 (sh referenced by
+      // per, live, and both posting sides — DuckDB re-inlines plain CTEs
+      // per reference).
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS h
+         |  FROM tok, unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
+         |  WHERE len(toks) >= $w),
+         |per AS (SELECT doc_id, count(*) AS nw FROM sh GROUP BY doc_id),
+         |live AS (
+         |  SELECT h FROM sh GROUP BY h
+         |  HAVING count(*) BETWEEN ${Extensions.PassageMinDocs}
+         |    AND ${Extensions.ContainCap}),
+         |po AS MATERIALIZED (
+         |  SELECT doc_id, h FROM sh JOIN live USING (h)),
+         |pr AS (
+         |  SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+         |    count(*) AS shared
+         |  FROM (SELECT doc_id, h FROM po WHERE doc_id % $m <> 0) tr
+         |  JOIN (SELECT doc_id, h FROM po WHERE doc_id % $m = 0) be
+         |  USING (h)
+         |  GROUP BY 1, 2 HAVING count(*) >= ${Extensions.ContainMinShared})
+         |SELECT pr.train_id, pr.bench_id, pr.shared, per.nw AS nw_train,
+         |  ${r("CAST(pr.shared AS DOUBLE) / per.nw", 4)} AS contamination
+         |FROM pr JOIN per ON pr.train_id = per.doc_id""".stripMargin
+    },
+
+    "q100_context_chunks" -> {
+      val w = Extensions.ChunkWin
+      val st = Extensions.ChunkStride
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks) AS n, toks FROM d),
+         |k AS (SELECT doc_id, n, toks, i FROM c,
+         |  unnest(generate_series(0,
+         |    GREATEST(CAST(ceil((n - $w) / $st.0) AS BIGINT), 0))) AS t(i))
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(i * $st + 1 AS BIGINT) AS start_tok,
+         |  CAST(LEAST($w, n - i * $st) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(list_slice(toks, i * $st + 1, i * $st + $w), ' ')) AS chunk_md5
+         |FROM k""".stripMargin
+    },
   )
 }

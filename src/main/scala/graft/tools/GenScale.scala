@@ -94,10 +94,23 @@ object GenScale {
     */
   def run(spark: SparkSession, src: String, out: String, copies: Int,
       slices: Option[Int] = None): Unit = {
+    // zstd effort level for the zstd tables (parquet-hadoop default 3).
+    // SPARK_GRAFT_ZSTD_LEVEL=1 generates the cheaper-decode twin for the
+    // warm-scan decode-tax A/B (SCALING.md round 15): same policy, same
+    // tables, only the codec's internal effort changes.
+    sys.env.get("SPARK_GRAFT_ZSTD_LEVEL").filter(_.nonEmpty).foreach(lvl =>
+      spark.sparkContext.hadoopConfiguration
+        .set("parquet.compression.codec.zstd.level", lvl))
+    // SPARK_GRAFT_GEN_TABLES=lineitem,orders regenerates only the named
+    // tables — for codec A/B twins where the rest of the directory is
+    // shared (symlinked) with the canonical generation.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_GEN_TABLES")
+      .filter(_.nonEmpty).map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     def rd(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
+      if (wanted(name)) df.repartition(parts).write.mode("overwrite")
         .option("compression", codecFor(name))
         .parquet(s"$out/$name.parquet")
 
@@ -112,7 +125,7 @@ object GenScale {
         ref -> (rd(t).agg(max(col(c)).cast("long")).head.getLong(0) + 1L)
       }.toMap
 
-    for ((table, keys) <- keyDomains) {
+    for ((table, keys) <- keyDomains if wanted(table)) {
       val base = rd(table)
       val scaled = (0 until copies).map { i =>
         keys.foldLeft(base) { case (df, (k, ref)) =>
@@ -126,8 +139,10 @@ object GenScale {
       wr(scaled, table, math.max(copies, 4))
     }
 
-    synthDocuments(spark, rd("documents"), out, copies, slices)
-    synthEmbeddings(spark, rd("embeddings"), out, copies, slices)
+    if (wanted("documents"))
+      synthDocuments(spark, rd("documents"), out, copies, slices)
+    if (wanted("embeddings"))
+      synthEmbeddings(spark, rd("embeddings"), out, copies, slices)
   }
 
   private def rangeIds(spark: SparkSession, start: Long, end: Long,

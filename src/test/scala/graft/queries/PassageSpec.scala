@@ -96,6 +96,58 @@ class PassageSpec extends SparkSpec {
     })
   }
 
+  test("q99: contamination pairs match an independent recomputation on sf0.001") {
+    val dfByWin = reference.toSeq
+      .flatMap { case (id, ws) => ws.map(h => (h, id)) }
+      .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).distinct }
+    val live = dfByWin.filter { case (_, ds) =>
+      ds.size >= Extensions.PassageMinDocs && ds.size <= Extensions.ContainCap
+    }
+    val m = Extensions.ContamBenchMod
+    val expected = live.toSeq
+      .flatMap { case (_, ds) =>
+        for (tr <- ds if tr % m != 0; be <- ds if be % m == 0) yield (tr, be)
+      }
+      .groupBy(identity).map { case ((tr, be), hits) => (tr, be, hits.size.toLong) }
+      .filter(_._3 >= Extensions.ContainMinShared)
+      .map { case (tr, be, shared) =>
+        val nw = reference(tr).size.toLong
+        val c = math.floor(shared.toDouble / nw * 1e4 + 0.5) / 1e4
+        (tr, be, shared, nw, c)
+      }.toSet
+    val got = Extensions.q99ContaminationPairs(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q99: a planted benchmark quotation is attributed to its bench doc") {
+    // bench doc 22 (22 % 11 == 0) carries a rare 10-token run; train docs
+    // 1 and 2 quote it (3 shared sliding windows each, df = 3 <= cap);
+    // train doc 3 shares nothing.
+    val run = (1 to Extensions.PassageW + 2).map(i => s"c$i").mkString(" ")
+    val docsDf = Seq(
+      (22L, s"$run b1a b1b b1c b1d b1e"),
+      (1L, s"$run t1a t1b t1c t1d t1e"),
+      (2L, s"t2x t2y $run t2a t2b"),
+      (3L, "nothing shared here at all with anyone in this tiny corpus x y z")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("q99plant")
+    try {
+      docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Extensions.q99ContaminationPairs(spark, tmp.toString)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // doc 1: 15 tokens -> 8 distinct windows; doc 2: 14 tokens -> 7;
+      // each shares the quoted run's 3 windows with bench doc 22
+      assert(got == Set((1L, 22L, 3L, 8L, 0.375), (2L, 22L, 3L, 7L, 0.4286)), got)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("q97: boilerplate windows above the df cap produce no pairs") {
     // The testdata never exercises the flood cap (max df = 4 at every
     // scale), so build a corpus where it BINDS: one 8-token boilerplate
