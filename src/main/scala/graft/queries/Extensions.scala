@@ -2527,12 +2527,17 @@ object Extensions {
     * per-doc novel counts) whose join is trivial at any scale.
     */
   def q96NgramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val arr = passageDigests(s, dir).pinned // feeds both passes once
+    // Pin the DISTINCT'd per-doc arrays (the q97 shape): within-doc dups
+    // die once before the pin, so the pinned bytes are smaller and
+    // neither downstream pass re-runs array_distinct on pin-read.
+    val arr = passageDigests(s, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .pinned // feeds both passes once
     val perDoc = arr
-      .select(col("doc_id"), size(array_distinct(col("hs"))).as("n_windows"))
+      .select(col("doc_id"), size(col("hs")).as("n_windows"))
       .filter(col("n_windows") > 0)
     val novel = arr
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d"))
       .filter(col("df") === 1)
