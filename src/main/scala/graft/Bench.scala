@@ -150,7 +150,13 @@ object Bench {
     // .subsetFilter, shared verbatim with Verify.
     val names = Sessions.subsetFilter(
       sys.env.get("SPARK_GRAFT_ONLY"), SparkEntry.queries.keys.toSeq.sorted)
-    val ordered = names.map(k => k -> SparkEntry.queries(k))
+    // Bench times the PRODUCTION plan where one exists (the sketch
+    // queries whose `queries` entry is an oracle-verification envelope —
+    // see SparkEntry.benchVariants); the swapped names ride in the JSON
+    // as `"variants"` so the numbers are self-describing.
+    val ordered = names.map(k =>
+      k -> SparkEntry.benchVariants.getOrElse(k, SparkEntry.queries(k)))
+    val variantNames = names.filter(SparkEntry.benchVariants.contains)
 
     // Opt-in per-query task-metric deltas (SPARK_GRAFT_STATS_JSON=<path>):
     // every attempt — timeouts included — appends one row of cumulative-
@@ -265,14 +271,25 @@ object Bench {
       }
     }
 
-    def flush(): Unit = {
+    // Run conditions IN the JSON (round-15 verdict: the r14→r15 action
+    // change made raw BENCH files non-comparable and nothing in the files
+    // said so) — action, round count, heap, and any production-variant
+    // swaps are part of every metric line, so a future reader diffing two
+    // BENCH JSONs sees the ruler, not just the numbers.
+    def describe(rounds: Int): String = {
+      val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+      val vs = variantNames.map(jsonStr).mkString("[", ",", "]")
+      s""""action":${jsonStr(action)},"rounds":$rounds,"heap_gb":$heapGb,"variants":$vs"""
+    }
+
+    def flush(rounds: Int): Unit = {
       val mins = ordered.flatMap { case (k, _) => samples.get(k).map(k -> _.min) }
       val total = mins.map(_._2).sum
       val full = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => s"\"$k\":${jsonStr(v)}" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"errors":$errs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec",${describe(rounds)},"queries":$full,"errors":$errs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}""")
     }
 
     // Three timed runs per query in INTERLEAVED rounds (q1..qN, q1..qN,
@@ -304,7 +321,7 @@ object Bench {
             errors(name) = s"skipped: bench budget ${budgetSec}s exhausted"
         }
       }
-      flush()
+      flush(rounds)
       flushStats()
     }
 
@@ -321,7 +338,7 @@ object Bench {
     // detect coverage drift (a NEW failure shrinks the total — without
     // the ok count that reads as a speedup).
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",${describe(rounds)},"queries":$qs,"ok":${mins.size},"failed":${errors.size},"wedged":$wedged,"sf":"$sfDir"}"""
     // The driver parses the process's stdout tail; sbt's in-process run
     // wraps System.out with its `[info]`-prefixing logger, which through
     // round 10 echoed a SECOND `[info] {...}` copy of the metric line

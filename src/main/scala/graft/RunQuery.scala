@@ -46,12 +46,22 @@ object RunQuery {
     // Bench.benchAction), so a count-timed run can measure a fraction of
     // the real plan. The row count rides along via observe() — one
     // metric at the plan ROOT, so it prunes nothing below it.
+    // Same plan selection as Bench: the production variant where one
+    // exists (SparkEntry.benchVariants — the sketch queries whose
+    // `queries` entry is a verification envelope). `verify:<name>` forces
+    // the envelope plan for runs that investigate the Verify surface.
+    val (qname, fn) =
+      if (name.startsWith("verify:")) {
+        val n = name.stripPrefix("verify:"); (n, SparkEntry.queries(n))
+      } else (name, SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name)))
+    if (SparkEntry.benchVariants.contains(qname) && !name.startsWith("verify:"))
+      println(s"[runquery] $qname: production variant (verify:$qname for the envelope plan)")
     // explain FIRST: the runner's main use is investigating misbehaving
     // queries, so the plan must print even when execution later throws
-    if (doExplain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (doExplain) fn(spark, sfDir).explain("formatted")
     def noopRun(): Long = {
       val obs = new org.apache.spark.sql.Observation()
-      SparkEntry.queries(name)(spark, sfDir)
+      fn(spark, sfDir)
         .observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)))
         .write.mode("overwrite").format("noop").save()

@@ -122,4 +122,21 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Oracles.all
+
+  /** Production/bench variants for the sketch queries whose `queries`
+    * entry is an oracle-verification ENVELOPE: the envelope computes the
+    * exact twin beside the sketch so DuckDB can hash-check it, but the
+    * exact arm is the very cost the sketch exists to avoid (q43's exact
+    * `percentile` was 385 s at sf100 — the suite's worst row — against a
+    * fixed-state sketch). Verify keeps running the envelope from
+    * `queries` (correctness evidence unchanged, hash-green at sf0.01);
+    * Bench times THESE plans — the ones a production job would submit —
+    * and records which names were swapped in its JSON (`"variants"`), so
+    * a BENCH row is never silently a different plan than the reader
+    * assumes. Keys must be a subset of `queries` keys.
+    */
+  def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_approx_distinct" -> (Parity.q30ProductionSketch _),
+    "q43_approx_percentiles" -> (Parity.q43ProductionSketch _),
+  )
 }
