@@ -121,9 +121,24 @@ object Extensions {
     * caller's equi-join falls back to the hash-partitioned shuffle plan.
     * Payload bytes are exact for binary/string columns (`octet_length`)
     * plus fixed widths for the rest and 16 B/row overhead — the frames
-    * gated here are digest/key tables, not nested payloads.
+    * gated here are digest/key tables, not nested payloads. That flat
+    * shape is ENFORCED, not assumed (r15 ADVICE): a complex-typed column
+    * (array/map/struct) would be priced at `defaultSize` and could admit
+    * an oversized broadcast, so such a frame skips the broadcast hint
+    * entirely — the shuffle fallback is always correct, just slower, and
+    * the one legitimate complex-payload broadcast in the engine (the
+    * one-row IVF codebook) never routes through this gate.
     */
   private[graft] def gatedBroadcast(df: DataFrame): DataFrame = {
+    val complex = df.schema.fields.exists { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      }
+    }
+    if (complex) return df
     val rowBytes = df.schema.fields.map { f =>
       f.dataType match {
         case org.apache.spark.sql.types.BinaryType |
@@ -2464,29 +2479,34 @@ object Extensions {
   private def passageDigests(s: SparkSession, dir: String): DataFrame =
     passageDigestsOf(docs(s, dir))
 
-  /** [[passageDigests]] over an arbitrary (doc_id, text) frame — the seam
-    * that lets pipeline.Curation's containment-collapse stage run the
-    * same windowing over its quality/dedup/near-dup SURVIVORS instead of
-    * the raw table. Caller contract: `text` is non-null (both entry
-    * points coalesce) and the frame is already width-adjusted.
+  /** [[passageDigests]] over an arbitrary (doc_id, text, ...) frame — the
+    * seam that lets pipeline.Curation's containment-collapse stage run
+    * the same windowing over its quality/dedup/near-dup SURVIVORS instead
+    * of the raw table. Caller contract: `text` is non-null (both entry
+    * points coalesce) and the frame is already width-adjusted. Columns
+    * other than `text` ride through unchanged (`text` is replaced by the
+    * `hs` digest array) — [[contaminationPairs]] needs its `is_bench` tag
+    * beside the digests; every caller selects its columns before pinning,
+    * so unused passengers are pruned, never materialized.
     */
   private[graft] def passageDigestsOf(wide: DataFrame): DataFrame = {
     val s = wide.sparkSession
+    val keep = wide.columns.filter(_ != "text").map(col).toSeq
     // Native `word_ngram_md5s` hashes each window as a contiguous byte
     // range of the raw text — no token array, no per-window concat string,
     // no HOF interpreter (see the expression's scaladoc); the composable
     // chain is the bit-identical no-extensions fallback
     // (WordNgramMd5sSpec pins parity on both paths).
     if (s.catalog.functionExists("word_ngram_md5s"))
-      wide.select(col("doc_id"),
-        expr(s"word_ngram_md5s(text, $PassageW)").as("hs"))
+      wide.select(keep :+
+        expr(s"word_ngram_md5s(text, $PassageW)").as("hs"): _*)
     else wide
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(
+      .select(keep :+ split(col("text"), " ").as("toks"): _*)
+      .select(keep :+ expr(
         s"case when size(toks) >= $PassageW then " +
           s"transform(sequence(1, size(toks) - ${PassageW - 1}), " +
           s"i -> unhex(md5(concat_ws(' ', slice(toks, i, $PassageW))))) " +
-          "else array() end").as("hs"))
+          "else array() end").as("hs"): _*)
   }
 
   /** Exact duplicated-passage detection (the sliding-window complement of
@@ -2644,22 +2664,47 @@ object Extensions {
     * related only through above-cap boilerplate) is q66's territory,
     * same as q97.
     */
-  def q99ContaminationPairs(s: SparkSession, dir: String): DataFrame = {
-    val arr = passageDigests(s, dir)
-      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+  def q99ContaminationPairs(s: SparkSession, dir: String): DataFrame =
+    contaminationPairs(docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % ContamBenchMod === 0).as("is_bench")))
+      .select(col("train_id"), col("bench_id"), col("shared"), col("nw_train"),
+        r4(col("contamination")).as("contamination"))
+
+  /** The q99 pair plan over an arbitrary TAGGED corpus — the production
+    * seam (mirroring [[containmentPairs]] and Curation.curate's heldOut
+    * parameter): `docsTagged` needs (doc_id, text, is_bench), where
+    * production builds the tag from the real held-out benchmark list
+    * (`train.withColumn("is_bench", lit(false)).unionByName(bench
+    * .withColumn("is_bench", lit(true)))` — doc_id spaces may even
+    * overlap, pair keys are (train_id, bench_id)), and q99 stands in
+    * with the doc_id-modulus split over the testdata. ONE pass: window
+    * document frequency is computed over the whole tagged corpus —
+    * "rare" must mean rare across train AND bench, or boilerplate that
+    * happens to be benchmark-only floods the pair join — and the tag
+    * rides beside the digests through a single pinned array frame, so
+    * the seam costs no second scan over the modulus wrapper it replaced.
+    */
+  private[graft] def contaminationPairs(docsTagged: DataFrame): DataFrame = {
+    val arr = passageDigestsOf(
+      widenIfNarrow(docsTagged.sparkSession, docsTagged))
+      .select(col("doc_id"), col("is_bench"), array_distinct(col("hs")).as("hs"))
       .pinned // feeds per-doc counts, the df pass, and both posting sides
+    // nw_train comes from the TRAIN side only: with overlapping doc_id
+    // spaces a same-id bench doc would otherwise duplicate the join row
     val perDoc = arr
+      .filter(!col("is_bench"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("nw"))
       .filter(col("nw") > 0)
-    val sh = arr.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sh = arr.select(col("doc_id"), col("is_bench"), explode(col("hs")).as("h"))
     val live = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= PassageMinDocs && col("df") <= ContainCap)
       .select("h")
       .pinned
     val posting = sh.join(gatedBroadcast(live), Seq("h"))
-    val bench = posting.filter(col("doc_id") % ContamBenchMod === 0)
+    val bench = posting.filter(col("is_bench"))
       .select(col("h"), col("doc_id").as("bench_id"))
-    val train = posting.filter(col("doc_id") % ContamBenchMod =!= 0)
+    val train = posting.filter(!col("is_bench"))
       .select(col("h"), col("doc_id").as("train_id"))
     val pairs = train.join(bench, Seq("h"))
       .groupBy(col("train_id"), col("bench_id"))
@@ -2669,7 +2714,7 @@ object Extensions {
       .join(perDoc.select(col("doc_id").as("train_id"), col("nw").as("nw_train")),
         Seq("train_id"))
       .select(col("train_id"), col("bench_id"), col("shared"), col("nw_train"),
-        r4(col("shared").cast("double") / col("nw_train")).as("contamination"))
+        (col("shared").cast("double") / col("nw_train")).as("contamination"))
   }
 
   /** q100: context-window chunking — tokens per chunk and the stride
@@ -2693,7 +2738,13 @@ object Extensions {
     * exchange at all. Output rows ≈ corpus tokens / ChunkStride.
     */
   def q100ContextChunks(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+    // coalesce like every other text entry point (r15 ADVICE): a NULL
+    // text would otherwise null size(toks), clamp the sequence to [0],
+    // and emit a phantom chunk row the oracle's NULL propagation drops.
+    // Inline rather than via docs() to keep the plan exchange-free —
+    // this is the one documents query with zero algorithmic shuffles.
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     widen(s, docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))

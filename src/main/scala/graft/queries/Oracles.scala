@@ -1663,7 +1663,7 @@ object Oracles {
     "q100_context_chunks" -> {
       val w = Extensions.ChunkWin
       val st = Extensions.ChunkStride
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, len(toks) AS n, toks FROM d),
          |k AS (SELECT doc_id, n, toks, i FROM c,
          |  unnest(generate_series(0,
