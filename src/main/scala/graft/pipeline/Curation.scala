@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.engine.Materialize.PinOps
 import graft.functions.{SimilarityFunctions => Sim, TextFunctions => Txt}
 
 /** The composed corpus-curation workflow — quality gate → exact dedup →
@@ -106,8 +107,15 @@ object Curation {
     * — same flood cap, same runtime-gated broadcast), then drops the
     * CONTAINED side of every pair at or above `thr`: the doc with fewer
     * windows (ties break to the larger doc_id, so reruns agree). The
-    * kept side carries the shared text, so no content leaves the corpus
-    * — only its redundant quotation.
+    * content-preservation guarantee is PER PAIR: each drop has a keeper
+    * carrying the shared windows at decision time — but drops are
+    * decided independently, and containment is not transitive at
+    * threshold, so in an A⊂B, B⊂C chain both A and B can drop while C
+    * holds B's windows but not necessarily all of A's. Resolving drops
+    * iteratively (only drop against a SURVIVING keeper) would close that
+    * gap at the cost of a pair-graph fixpoint; at the measured pair
+    * densities the chain case is rare enough that the single-pass stage
+    * is the deliberate trade.
     *
     * Scale shape: pair volume is bounded by actual duplication (df ∈
     * [2, ContainCap] windows only), the drop set by the pair count, and
@@ -164,17 +172,37 @@ object Curation {
     // earlier gates or shorter than the shingle width have no signature
     // row and default keep (they are dropped by their own gate, never by
     // a phantom near-dup decision).
+    //
+    // With the containment stage ON, the quality/dedup survivor frame
+    // feeds TWO digest passes (minhash signatures here, window digests in
+    // [[containmentFlags]]) — pin it once (r15 verdict #5: the
+    // containment subplan otherwise re-ran the scan + quality expressions
+    // + the digest-keyed row_number window from scratch), and pin the
+    // tiny (doc_id, bool) near-dup flag frame, which is consumed both by
+    // the corpus-wide flag join and by the containment stage's survivor
+    // filter — unpinned, the whole signature/band/bucket-min pass would
+    // run twice. Stage off: one consumer each, no pin.
+    val survivors1 = digested.filter(col("q_ok") && col("dedup_ok"))
+      .select(col("doc_id"), col("text"))
+    val sharedSurvivors =
+      if (containment.isDefined) survivors1.pinned else survivors1
+    val nf = {
+      val f = neardupFlags(sharedSurvivors)
+      if (containment.isDefined) f.pinned else f
+    }
     val nearFlagged = digested
-      .join(neardupFlags(digested.filter(col("q_ok") && col("dedup_ok"))
-        .select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
+      .join(nf, Seq("doc_id"), "left")
       .withColumn("neardup_ok", coalesce(col("neardup_ok"), lit(true)))
     // optional containment collapse over near-dup survivors; docs never
-    // reaching the pair plan (or with the stage off) default keep
+    // reaching the pair plan (or with the stage off) default keep.
+    // Survivor set = pinned survivors minus explicit near-dup drops
+    // (docs absent from nf — no signature — default keep, same as the
+    // corpus-wide left join above).
     val containFlagged = containment match {
       case Some(thr) => nearFlagged
         .join(containmentFlags(
-          nearFlagged.filter(col("q_ok") && col("dedup_ok") && col("neardup_ok"))
-            .select(col("doc_id"), col("text")), thr), Seq("doc_id"), "left")
+          sharedSurvivors.join(nf.filter(!col("neardup_ok")),
+            Seq("doc_id"), "left_anti"), thr), Seq("doc_id"), "left")
         .withColumn("contain_ok", coalesce(col("contain_ok"), lit(true)))
       case None => nearFlagged.withColumn("contain_ok", lit(true))
     }
