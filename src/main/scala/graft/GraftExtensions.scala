@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, MinhashSigs, NgramH60s, PqCodes, RollingHash31, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s, WordNgramMd5s}
+import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, LangBigramHits, MinhashSigs, NgramH60s, NormFingerprint, PqCodes, QualityComponents, RollingHash31, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s, WordNgramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -73,5 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PqCodes(c(0), c(1), c(2), c(3)))
     fn(ext, "bloom_contains", 2, classOf[BloomContains])(c =>
       BloomContains(c(0), c(1)))
+    fn(ext, "lang_bigram_hits", 1, classOf[LangBigramHits])(c =>
+      LangBigramHits(c(0)))
+    fn(ext, "quality_components", 1, classOf[QualityComponents])(c =>
+      QualityComponents(c(0)))
+    fn(ext, "norm_fingerprint", 1, classOf[NormFingerprint])(c =>
+      NormFingerprint(c(0)))
   }
 }

@@ -881,14 +881,27 @@ object Extensions {
     * counts — deterministic cross-engine.
     */
   def q24QualityScore(s: SparkSession, dir: String): DataFrame = {
+    // Native `quality_components` computes all five signals in ONE byte
+    // walk (the chain walks the document once per signal — the
+    // regexp_extract_all alone materializes a match list — 156 s at
+    // sf100). Composable chain stays as the bit-identical fallback;
+    // NativeTextSpec pins parity, including multi-byte text.
     val toks = Txt.tokens(col("text"))
-    val base = t(s, dir, "documents").select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      expr("aggregate(filter(split(text, ' '), t -> t <> ''), 0, (acc, t) -> acc + length(t))").as("sum_len"),
-      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("punct_cnt"),
-      Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).as("stop_occ"),
-      length(col("text")).as("len"))
+    val base =
+      if (s.catalog.functionExists("quality_components"))
+        t(s, dir, "documents")
+          .withColumn("qc", expr("quality_components(text)"))
+          .select(col("doc_id"),
+            col("qc.n_tokens").as("n_tokens"), col("qc.sum_len").as("sum_len"),
+            col("qc.punct_cnt").as("punct_cnt"), col("qc.stop_occ").as("stop_occ"),
+            col("qc.len").as("len"))
+      else t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        expr("aggregate(filter(split(text, ' '), t -> t <> ''), 0, (acc, t) -> acc + length(t))").as("sum_len"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("punct_cnt"),
+        Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).as("stop_occ"),
+        length(col("text")).as("len"))
     base.select(
       col("doc_id"), col("n_tokens"),
       r4(col("sum_len") / col("n_tokens")).as("avg_token_len"),
@@ -924,11 +937,25 @@ object Extensions {
     * q23's stopword classifier, catching languages tokenizers miss.
     */
   def q47LangIdNgram(s: SparkSession, dir: String): DataFrame = {
-    val withHits = docs(s, dir).select(
-      col("doc_id") +:
-        Txt.CharBigramProfiles.map { case (l, p) =>
-          Txt.ngramProfileHits("text", p).as(s"${l}_ng")
-        }: _*)
+    // Native `lang_bigram_hits` scores all four languages in ONE pass
+    // over the text bytes (the chain re-shingles the whole document —
+    // O(len²) of substr re-seeks plus an interpreted filter — once PER
+    // language; q47 was the most expensive map-only row at sf100, 272 s,
+    // and this chain ×4 was all of it). Composable chain stays as the
+    // bit-identical no-extensions fallback; NativeTextSpec pins parity.
+    val withHits =
+      if (s.catalog.functionExists("lang_bigram_hits"))
+        docs(s, dir)
+          .withColumn("ng", expr("lang_bigram_hits(text)"))
+          .select(col("doc_id") +:
+            Txt.CharBigramProfiles.zipWithIndex.map { case ((l, _), j) =>
+              element_at(col("ng"), j + 1).as(s"${l}_ng")
+            }: _*)
+      else docs(s, dir).select(
+        col("doc_id") +:
+          Txt.CharBigramProfiles.map { case (l, p) =>
+            Txt.ngramProfileHits("text", p).as(s"${l}_ng")
+          }: _*)
     withHits.withColumn(
       "detected_lang",
       when(col("en_ng") >= col("es_ng") && col("en_ng") >= col("fr_ng") &&

@@ -251,4 +251,48 @@ class ExpressionThroughputSpec extends SparkSpec {
     // this geometry)
     assertFloor("sorted_inter_size", rows, sec, 200000)
   }
+
+  /** ~300-char docs — the testdata documents' shape — for the fused
+    * text scorers (q47/q24/q26's hot path).
+    */
+  private def docInput(rows: Long) = {
+    val input = spark.range(rows).repartition(4)
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 50), " +
+          "j -> concat('word', cast((id * 31 + j) % 997 as string))))"))
+      .cache()
+    input.count()
+    input
+  }
+
+  test("lang_bigram_hits: ~300-char docs ≥ 50k rows/s") {
+    val rows = 500000L
+    val input = docInput(rows)
+    val sec = timeRun(input.filter(expr("element_at(lang_bigram_hits(text), 1) < 0")))
+    input.unpersist()
+    // one byte walk + a 16KB table lookup per position; healthy is
+    // >1M rows/s (the chain it replaced: 4 languages x O(len^2) substr
+    // shingle arrays through an interpreted filter)
+    assertFloor("lang_bigram_hits", rows, sec, 50000)
+  }
+
+  test("quality_components: ~300-char docs ≥ 50k rows/s") {
+    val rows = 500000L
+    val input = docInput(rows)
+    val sec = timeRun(input.filter(expr("quality_components(text).n_tokens < 0")))
+    input.unpersist()
+    // one byte walk for all five signals; healthy is >1M rows/s (the
+    // chain: five separate passes incl. a regexp_extract_all match list)
+    assertFloor("quality_components", rows, sec, 50000)
+  }
+
+  test("norm_fingerprint: ~300-char docs ≥ 30k rows/s") {
+    val rows = 500000L
+    val input = docInput(rows)
+    val sec = timeRun(input.filter(expr("norm_fingerprint(text) = 'no'")))
+    input.unpersist()
+    // byte map + collapse + one md5 per doc; healthy is >500k rows/s
+    // (the chain: two full-document java.util.regex replaces + md5)
+    assertFloor("norm_fingerprint", rows, sec, 30000)
+  }
 }
