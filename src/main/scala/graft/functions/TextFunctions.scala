@@ -113,14 +113,23 @@ object TextFunctions {
     * on it. The guard lives only here; q24 uses the raw formula, so its
     * oracle arithmetic is untouched.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      qualityScoreFrom(size(toks),
-        size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))),
-        stopwordOccurrences(toks, StopwordsByLang.head._2),
-        length(text)))
-  }
+  def qualityScore(text: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("quality_components"))) {
+      // native single-pass components (NativeTextSpec pins parity with
+      // the chain below); same totalizing zero-token guard, same formula
+      val qc = call_function("quality_components", text)
+      when(qc.getField("n_tokens") === 0, lit(0.0)).otherwise(
+        qualityScoreFrom(qc.getField("n_tokens"), qc.getField("punct_cnt"),
+          qc.getField("stop_occ"), qc.getField("len")))
+    } else {
+      val toks = tokens(text)
+      when(size(toks) === 0, lit(0.0)).otherwise(
+        qualityScoreFrom(size(toks),
+          size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))),
+          stopwordOccurrences(toks, StopwordsByLang.head._2),
+          length(text)))
+    }
 
   /** The raw formula over pre-computed components — for callers (q24)
     * that already materialize token/punctuation/stopword counts as

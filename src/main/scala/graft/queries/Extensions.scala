@@ -914,9 +914,21 @@ object Extensions {
         .as("quality"))
   }
 
-  /** Token counting: whitespace + BPE-ish regex segmentation. */
+  /** Token counting: whitespace + BPE-ish regex segmentation. Native
+    * `quality_components` carries both counts (and the char length) out
+    * of its single byte walk — the regex segmentation alone was most of
+    * q25's 37.6 s at sf100; the composable pair stays as the
+    * bit-identical fallback (NativeTextSpec pins bpe parity).
+    */
   def q25TokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    if (s.catalog.functionExists("quality_components"))
+      t(s, dir, "documents")
+        .withColumn("qc", expr("quality_components(text)"))
+        .select(col("doc_id"),
+          col("qc.n_tokens").as("ws_tokens"),
+          col("qc.bpe_tokens").as("bpe_tokens"),
+          col("qc.len").as("n_chars_m"))
+    else t(s, dir, "documents").select(
       col("doc_id"),
       Txt.tokenCountWs(col("text")).as("ws_tokens"),
       Txt.tokenCountBpe(col("text")).as("bpe_tokens"),
@@ -1614,14 +1626,25 @@ object Extensions {
     */
   def q67Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val grams = widen(s, docs)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"case when size(toks) >= $DecontamGram then " +
-          s"transform(sequence(1, size(toks) - $DecontamGram + 1), " +
-          s"i -> concat_ws(' ', slice(toks, i, $DecontamGram))) " +
-          "else array() end")).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
+    // Gram digests via the native fused walk where registered (the same
+    // `word_ngram_md5s` q95-q99 ride, at DecontamGram width): the chain
+    // materialized every gram STRING and hex-md5'd it — most of q67's
+    // 126 s at sf100 was gram construction, not the join. Digests ride
+    // as BINARY(16) (16 B vs the 32-char hex string on the shuffle and
+    // in the broadcast set); same count semantics — each side maps
+    // gram -> digest identically, and the join compares digests.
+    val grams =
+      if (s.catalog.functionExists("word_ngram_md5s"))
+        widen(s, docs)
+          .select(col("doc_id"),
+            explode(expr(s"word_ngram_md5s(text, $DecontamGram)")).as("h"))
+      else widen(s, docs)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"case when size(toks) >= $DecontamGram then " +
+            s"transform(sequence(1, size(toks) - $DecontamGram + 1), " +
+            s"i -> unhex(md5(concat_ws(' ', slice(toks, i, $DecontamGram))))) " +
+            "else array() end")).as("h"))
     val bench = grams.filter(col("doc_id") % BenchmarkMod === 0)
       .select("h").distinct()
     val hits = grams.filter(col("doc_id") % BenchmarkMod =!= 0)

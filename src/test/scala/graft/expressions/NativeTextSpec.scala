@@ -80,18 +80,19 @@ class NativeTextSpec extends SparkSpec {
       .withColumn("qc", expr("quality_components(text)"))
       .select(col("text"),
         col("qc.n_tokens"), col("qc.sum_len"), col("qc.punct_cnt"),
-        col("qc.stop_occ"), col("qc.len"),
+        col("qc.stop_occ"), col("qc.len"), col("qc.bpe_tokens"),
         size(toks).as("c_tokens"),
         expr("aggregate(filter(split(text, ' '), t -> t <> ''), 0, (acc, t) -> acc + length(t))").as("c_sum"),
         size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("c_punct"),
         Txt.stopwordOccurrences(toks, Txt.StopwordsByLang.head._2).as("c_stop"),
-        length(col("text")).as("c_len"))
+        length(col("text")).as("c_len"),
+        Txt.tokenCountBpe(col("text")).as("c_bpe"))
       .collect()
     rows.foreach { r =>
-      (0 until 5).foreach { k =>
-        assert(r.get(1 + k) == r.get(6 + k),
+      (0 until 6).foreach { k =>
+        assert(r.get(1 + k) == r.get(7 + k),
           s"component $k mismatch on text=${r.get(0)}: " +
-            s"native=${r.get(1 + k)} chain=${r.get(6 + k)}")
+            s"native=${r.get(1 + k)} chain=${r.get(7 + k)}")
       }
     }
   }
