@@ -371,13 +371,29 @@ object Parity {
         r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
         r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
 
+  /** Sketch accuracy for the q43 percentile family: rank error =
+    * 1/this. 1000 (0.1 % rank) is still an order tighter than the 2 %
+    * VALUE envelope the oracle checks, and it matters enormously that
+    * this is NOT Spark's default 10000: the GK summary's per-row
+    * compress cost grows with summary width, and at the default the
+    * "approx" sketch was measured SLOWER than q41's exact sort at sf100
+    * (249.6 s vs 194.5 s, r16 min-of-2) — inverting the sketch's reason
+    * to exist. At 1000 the same two percentiles price in the tens of
+    * seconds. Shared by the envelope and the production variant so the
+    * correctness evidence covers exactly the configuration production
+    * runs.
+    */
+  val PercentileSketchAccuracy = 1000
+
   /** Sketch percentiles (q41's scale twin): approx_percentile trades the
     * exact version's full per-group sort for fixed-size mergeable state.
     * Same envelope formulation as q30 (raw t-digest/KLL estimates differ
     * across engines): the query emits exact p50/p90 plus booleans binding
     * its own sketch to a 2 % relative envelope, which the DuckDB oracle
     * reproduces with its own approx_quantile — the driver hash-checks the
-    * envelope, not the sketch internals.
+    * envelope, not the sketch internals. Both percentiles come from ONE
+    * sketch (the array form): two scalar approx_percentile calls would
+    * each build their own summary over the same column.
     */
   def q43ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -385,12 +401,14 @@ object Parity {
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("e50"),
         expr("percentile(l_extendedprice, 0.9)").as("e90"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), " +
+          s"$PercentileSketchAccuracy)").as("aa"))
       .select(col("l_returnflag"),
         r4(col("e50")).as("p50"), r4(col("e90")).as("p90"),
-        (abs(col("a50") - col("e50")) / col("e50") <= 0.02).as("p50_within_2pct"),
-        (abs(col("a90") - col("e90")) / col("e90") <= 0.02).as("p90_within_2pct"))
+        (abs(element_at(col("aa"), 1) - col("e50")) / col("e50") <= 0.02)
+          .as("p50_within_2pct"),
+        (abs(element_at(col("aa"), 2) - col("e90")) / col("e90") <= 0.02)
+          .as("p90_within_2pct"))
 
   /** q43's PRODUCTION/BENCH surface: the sketch alone. The envelope
     * formulation above is the VERIFICATION twin — it exists to let the
@@ -410,8 +428,11 @@ object Parity {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), " +
+          s"$PercentileSketchAccuracy)").as("aa"))
+      .select(col("l_returnflag"),
+        element_at(col("aa"), 1).as("a50"),
+        element_at(col("aa"), 2).as("a90"))
 
   /** q30's PRODUCTION/BENCH surface: the HLL sketch alone — same split
     * as [[q43ProductionSketch]] (the exact `countDistinct` twin in the
