@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, LangBigramHits, MinhashSigs, NgramH60s, NormFingerprint, PqCodes, QualityComponents, RollingHash31, SimHash16, SortedInterSize, TopKPairs, WordBigramMd5s, WordNgramMd5s}
+import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, JacBandKeys, LangBigramHits, MinhashSigs, NgramH60s, NormFingerprint, PqCodes, QualityComponents, RollingHash31, SimHash16, SortedInterSize, TokenRepStats, TopKPairs, WordBigramMd5s, WordNgramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -79,5 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QualityComponents(c(0)))
     fn(ext, "norm_fingerprint", 1, classOf[NormFingerprint])(c =>
       NormFingerprint(c(0)))
+    fn(ext, "token_rep_stats", 1, classOf[TokenRepStats])(c =>
+      TokenRepStats(c(0)))
   }
 }

@@ -1025,6 +1025,29 @@ object Extensions {
     * lists. No interpreted HOF in the per-token path.
     */
   def q51RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    // Native `token_rep_stats` makes this query MAP-ONLY: the signals
+    // are per-document, but the composable formulation below can only
+    // say "count per (doc, term)" as explode → two stacked groupBys —
+    // twice, plus a join — which shuffles the entire exploded token
+    // corpus (~250 M rows at sf100, 51 s) to compute per-doc scalars.
+    // One in-expression hash map per document deletes all four
+    // exchanges; at 100 TB that is a full-corpus token shuffle that
+    // never happens. Zero-token docs: the exploded plan simply has no
+    // rows for them (they vanish from the output), so the native path
+    // filters w_n > 0; b_n = 0 maps to the chain's NULL-coalesce.
+    if (s.catalog.functionExists("token_rep_stats"))
+      return docs(s, dir)
+        .withColumn("rs", expr("token_rep_stats(text)"))
+        .filter(col("rs.w_n") > 0)
+        .select(col("doc_id"),
+          col("rs.w_n").as("word_count"),
+          r4(lit(1.0) - col("rs.w_distinct").cast("double")
+            / col("rs.w_n").cast("double")).as("dup_word_frac"),
+          r4(col("rs.w_max").cast("double")
+            / col("rs.w_n").cast("double")).as("top_word_frac"),
+          r4(when(col("rs.b_n") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("rs.b_distinct").cast("double")
+              / col("rs.b_n").cast("double"))).as("dup_bigram_frac"))
     def stats(termCol: Column, prefix: String)(df: DataFrame): DataFrame =
       df.select(col("doc_id"), explode(termCol).as("t"))
         .groupBy(col("doc_id"), col("t"))

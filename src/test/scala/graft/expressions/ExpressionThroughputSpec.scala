@@ -286,6 +286,17 @@ class ExpressionThroughputSpec extends SparkSpec {
     assertFloor("quality_components", rows, sec, 50000)
   }
 
+  test("token_rep_stats: ~50-token docs ≥ 20k rows/s") {
+    val rows = 300000L
+    val input = docInput(rows)
+    val sec = timeRun(input.filter(expr("token_rep_stats(text).w_n < 0")))
+    input.unpersist()
+    // two per-doc hash maps; healthy is >300k rows/s — and the floor
+    // guards the per-row cost of an expression whose purpose is deleting
+    // four corpus-wide exchanges (q51)
+    assertFloor("token_rep_stats", rows, sec, 20000)
+  }
+
   test("norm_fingerprint: ~300-char docs ≥ 30k rows/s") {
     val rows = 500000L
     val input = docInput(rows)

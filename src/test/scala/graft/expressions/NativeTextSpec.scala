@@ -110,13 +110,36 @@ class NativeTextSpec extends SparkSpec {
     }
   }
 
+  test("token_rep_stats == independent token/bigram multiset counts") {
+    val rows = df.filter(col("text").isNotNull)
+      .withColumn("rs", expr("token_rep_stats(text)"))
+      .select(col("text"), col("rs.w_n"), col("rs.w_max"), col("rs.w_distinct"),
+        col("rs.b_n"), col("rs.b_max"), col("rs.b_distinct"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val toks = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      val wc = toks.groupBy(identity).view.mapValues(_.size)
+      val bgs = if (toks.size < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bc = bgs.groupBy(identity).view.mapValues(_.size)
+      val expected = Seq(
+        toks.size, if (wc.isEmpty) 0 else wc.values.max, wc.size,
+        bgs.size, if (bc.isEmpty) 0 else bc.values.max, bc.size)
+      val got = (1 to 6).map(r.getInt)
+      assert(got == expected, s"rep stats mismatch on text=$text: " +
+        s"native=$got expected=$expected")
+    }
+  }
+
   test("NULL text nulls every native output, like the chains") {
     val r = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
       .select(
         expr("lang_bigram_hits(text)").as("ng"),
         expr("quality_components(text)").as("qc"),
-        expr("norm_fingerprint(text)").as("fp"))
+        expr("norm_fingerprint(text)").as("fp"),
+        expr("token_rep_stats(text)").as("rs"))
       .head()
-    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 }
