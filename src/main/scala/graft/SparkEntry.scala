@@ -137,6 +137,8 @@ object SparkEntry {
     */
   def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_approx_distinct" -> (Parity.q30ProductionSketch _),
+    "q36_profile_stats" -> (Parity.q36ProductionSketch _),
     "q43_approx_percentiles" -> (Parity.q43ProductionSketch _),
+    "q83_hll_union" -> (Extensions.q83ProductionSketch _),
   )
 }

@@ -24,6 +24,13 @@ object LangBigramHits {
     * ASCII literals.
     */
   private val mask: Array[Byte] = {
+    // Per-pair mask is one byte: (1 << j).toByte silently drops bit 8 on
+    // write, and sign-extension would make `mk & (1 << j)` spuriously
+    // nonzero for j >= 8 whenever bit 7 is set. Fail loud at class init
+    // if the profile table ever outgrows the byte.
+    require(ProfileCount <= 8,
+      s"language bitmask is Array[Byte]: at most 8 profiles supported, " +
+        s"CharBigramProfiles has $ProfileCount — widen mask to Array[Int]")
     val m = new Array[Byte](128 * 128)
     Profiles.zipWithIndex.foreach { case ((lang, profile), j) =>
       profile.foreach { bg =>

@@ -2164,6 +2164,28 @@ object Extensions {
           col("parts").cast("double") <= 0.05).as("parts_within_5pct"))
   }
 
+  /** q83's PRODUCTION/BENCH surface: the staged sketch alone — the
+    * q30/q43 split ([[graft.queries.Parity.q43ProductionSketch]]). The
+    * envelope above computes `countDistinct(l_partkey)` beside the HLL
+    * union so DuckDB can hash-check the estimate's 5 % contract, but
+    * that exact twin's full key-space shuffle is precisely the cost the
+    * staged sketch exists to avoid (it dominated q83's 64.1 s sf100
+    * wall; the sketch side is fixed-state mergeable — per-month sketches
+    * are a few KB each and union is register-max lossless at equal lgK,
+    * HllSketchSpec). Verify keeps hashing [[q83HllUnion]]'s envelope;
+    * Bench and a 100 TB job submit THIS: monthly partial sketches →
+    * flag-level union → estimate, zero exact distinct anywhere. Wired
+    * via [[graft.SparkEntry.benchVariants]].
+    */
+  def q83ProductionSketch(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem").groupBy(
+        col("l_returnflag"),
+        year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    monthly.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("parts_est"))
+  }
+
   /** Ordered funnel (view → click → purchase): per-user first-view, first
     * click strictly after it, first purchase strictly after that —
     * conversion analysis as THREE chained window-mins over ONE
@@ -2759,8 +2781,14 @@ object Extensions {
     * the seam costs no second scan over the modulus wrapper it replaced.
     */
   private[graft] def contaminationPairs(docsTagged: DataFrame): DataFrame = {
+    // Honor passageDigestsOf's non-null-text caller contract HERE, not
+    // just in q99's docs() wrapper: the scaladoc above tells production
+    // callers to union raw train/bench frames, and a NULL text in either
+    // would null the digest array. Coalesce is identity on non-null
+    // text, so q99's oracle hash is unchanged.
     val arr = passageDigestsOf(
-      widenIfNarrow(docsTagged.sparkSession, docsTagged))
+      widenIfNarrow(docsTagged.sparkSession,
+        docsTagged.withColumn("text", coalesce(col("text"), lit("")))))
       .select(col("doc_id"), col("is_bench"), array_distinct(col("hs")).as("hs"))
       .pinned // feeds per-doc counts, the df pass, and both posting sides
     // nw_train comes from the TRAIN side only: with overlapping doc_id

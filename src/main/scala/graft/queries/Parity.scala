@@ -473,6 +473,30 @@ object Parity {
       min(col("l_extendedprice")).as("min_price"),
       max(col("l_extendedprice")).as("max_price"))
 
+  /** q36's PRODUCTION/BENCH surface: the same one-pass profile with the
+    * two exact `countDistinct`s swapped for `approx_count_distinct` —
+    * the q30/q43/q83 envelope split. A profiling sweep rarely needs
+    * `d_orderkey` exact; at 100 TB the distinct-key shuffle it forces
+    * (expand per countDistinct column, then the bare key space on the
+    * wire) is the row's whole cost, while HLL++ partials keep the plan a
+    * single map-side-combined pass like every other aggregate here.
+    * Verify keeps hashing [[q36ProfileStats]]'s exact envelope (exact
+    * profile output is a defensible contract and DuckDB can only
+    * hash-match exact values); Bench and production submit this. Wired
+    * via [[graft.SparkEntry.benchVariants]]. Column names/order match
+    * the envelope one-for-one so the timed shape is the checked shape.
+    */
+  def q36ProductionSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("d_orderkey"),
+      approx_count_distinct(col("l_returnflag"), 0.01).as("d_returnflag"),
+      count(when(col("l_returnflag").isNull, 1)).as("nulls_returnflag"),
+      count(when(col("l_shipdate").isNull, 1)).as("nulls_shipdate"),
+      round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
   /** Multi-level aggregation via CUBE + grouping_id (q28's rollup widened
     * to the full lattice): one pass emits per-(lang,source), per-lang,
     * per-source, and grand-total document stats, with `gid` disambiguating
