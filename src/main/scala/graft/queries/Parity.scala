@@ -154,11 +154,26 @@ object Parity {
     * nation/region are broadcast explicitly; customer is left to AQE.
     */
   def q11StarJoin(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+    q11StarJoinFrom(
+      t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "customer"),
+      t(s, dir, "nation"), t(s, dir, "region"))
+
+  /** q11's join/agg over CALLER-SUPPLIED inputs — the seam that lets the
+    * same flagship query run over raw parquet (the bench shape above) or
+    * over bucketed catalog tables (`tools.BucketedStar`: lineitem+orders
+    * bucketed on orderkey → the fact⋈fact sort-merge join plans with NO
+    * Exchange and NO per-query Sort on either side; the shuffle was paid
+    * once at `Tables.saveBucketed` write time). At 100 TB fact⋈fact on
+    * orderkey is THE bucketing use case — a workload that repeats this
+    * join amortizes one bucketed write across every subsequent run.
+    */
+  def q11StarJoinFrom(li: DataFrame, ord: DataFrame, cust: DataFrame,
+      nat: DataFrame, reg: DataFrame): DataFrame =
+    li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Sessions
+import graft.io.Tables
+import graft.queries.Parity
+
+/** Measured demonstration of the bucketed star join on the flagship q11
+  * (round-16 verdict #3): `Tables.saveBucketed` pre-shuffles lineitem +
+  * orders on orderkey (and customer on custkey), then the SAME q11 code
+  * (`Parity.q11StarJoinFrom`) runs over raw parquet vs the bucketed
+  * tables. Reports, as one JSON line: the one-time bucketing write cost,
+  * per-shape exchange/sort counts from the executed plan, and min-of-N
+  * noop-action walls — the "pay the shuffle once" trade quantified, not
+  * just asserted (BucketedJoinSpec proves the plan shape at test scale;
+  * this prices it at sweep scale).
+  *
+  * Usage: BucketedStar <sfDir> <warehouseDir> [rounds=2]
+  * The warehouse holds one bucketed copy of lineitem/orders/customer
+  * (~input size on disk) — point it at a scratch dir and delete after.
+  */
+object BucketedStar {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def planCounts(df: DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    ("(?i)exchange".r.findAllIn(plan).size,
+      "(?m)^\\s*[+:*-]*\\s*Sort ".r.findAllIn(plan).size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val wh = args(1)
+    val rounds = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", cpus).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Sessions.initialParts(sfDir, cpus.toInt))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def raw(name: String): DataFrame = Tables.load(spark, sfDir, name)
+    def plain(): DataFrame = Parity.q11StarJoin(spark, sfDir)
+    def bucketed(): DataFrame = Parity.q11StarJoinFrom(
+      spark.table("bs_lineitem"), spark.table("bs_orders"),
+      spark.table("bs_customer"), raw("nation"), raw("region"))
+
+    // one-time cost: the shuffle q11 would otherwise pay per run
+    val (_, tWrite) = timed {
+      Tables.saveBucketed(raw("lineitem"), "bs_lineitem", Seq("l_orderkey"), buckets)
+      Tables.saveBucketed(raw("orders"), "bs_orders", Seq("o_orderkey"), buckets)
+      Tables.saveBucketed(raw("customer"), "bs_customer", Seq("c_custkey"), buckets)
+    }
+
+    def run(mk: () => DataFrame): (Seq[Double], Int, Int) = {
+      val walls = (1 to rounds).map { _ => timed(noop(mk()))._2 }
+      val df = mk(); noop(df) // executedPlan counts come from a post-AQE run
+      val (ex, so) = planCounts(df)
+      (walls, ex, so)
+    }
+    // interleave shapes so page-cache/JIT drift hits both equally
+    val results = Seq("plain" -> (plain _), "bucketed" -> (bucketed _))
+      .map { case (label, mk) => label -> run(() => mk()) }
+
+    val fields = results.map { case (label, (walls, ex, so)) =>
+      s""""$label":{"walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""min_sec":${f"${walls.min}%.2f"},"exchanges":$ex,"sorts":$so}"""
+    }
+    println(s"""{"metric":"q11_bucketed_star","sf_dir":"$sfDir","buckets":$buckets,""" +
+      s""""rounds":$rounds,"bucket_write_sec":${f"$tWrite%.1f"},${fields.mkString(",")}}""")
+
+    Seq("bs_lineitem", "bs_orders", "bs_customer")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}
