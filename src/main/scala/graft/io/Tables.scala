@@ -305,9 +305,28 @@ object Tables {
     * exchange-free (Spark reads the bucket spec from the catalog and plans
     * a zero-shuffle sort-merge join). The 100 TB pattern for fact⋈fact
     * joins that repeat across a workload: pay the shuffle once at write.
+    *
+    * The write repartitions to the bucket spec first — WITHOUT it, every
+    * input task writes its own file into every bucket it touches
+    * (tasks × buckets files: a 19 GB input at 16 MB splits produced
+    * 32,001 files for 32 buckets, measured r17), which wrecks scan
+    * planning AND defeats `sortBy`: Spark only elides the join sort when
+    * each bucket is a single sorted file. Repartition uses the same
+    * Murmur3 hash as the bucket spec, so partition i holds exactly
+    * bucket i → one file per bucket, read back sorted. The trade is
+    * write parallelism capped at numBuckets — size numBuckets to the
+    * write cluster, not just the read side.
+    *
+    * Exchange elision on read is unconditional. SORT elision
+    * additionally needs `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering=true` in the READING session (off by default since
+    * SPARK-28595; with one file per bucket — which this writer now
+    * guarantees — it is safe and drops the per-query SMJ sorts too;
+    * BucketedJoinSpec pins both claims).
     */
   def saveBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

@@ -33,7 +33,9 @@ object BucketedStar {
   private def planCounts(df: DataFrame): (Int, Int) = {
     val plan = df.queryExecution.executedPlan.toString
     ("(?i)exchange".r.findAllIn(plan).size,
-      "(?m)^\\s*[+:*-]*\\s*Sort ".r.findAllIn(plan).size)
+      // "Sort [keys...]" operator lines; never matches SortMergeJoin or
+      // SortAggregate (neither is followed by " [")
+      "Sort \\[".r.findAllIn(plan).size)
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +54,9 @@ object BucketedStar {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.warehouse.dir", wh)
+      // trust bucket sort metadata (saveBucketed guarantees one sorted
+      // file per bucket) — elides the SMJ sorts beside the exchanges
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -19,15 +19,24 @@ class BucketedJoinSpec extends SparkSpec {
     try {
       // disable broadcast so the join genuinely tests the shuffle path
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // trust the bucket sort metadata (off by default since SPARK-28595;
+      // safe because saveBucketed guarantees one sorted file per bucket)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected exchange-free join, got:\n$plan")
+      // saveBucketed repartitions to the bucket spec before writing (r17):
+      // ONE sorted file per bucket, so with the ordering flag the sort-
+      // merge join plans without per-query Sort operators either
+      assert(!"Sort \\[".r.findFirstIn(plan).isDefined,
+        s"expected sort-free bucketed join (single sorted file per bucket), got:\n$plan")
       assert(joined.count() == 1000)
       val sample = joined.filter(col("k") === 7L).select("lv", "rv")
         .as[(String, Double)].collect().toSeq
       assert(sample == Seq(("l7", 14.0)))
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS bkt_left")
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
