@@ -74,19 +74,23 @@ object BucketedStar {
       Tables.saveBucketed(raw("customer"), "bs_customer", Seq("c_custkey"), buckets)
     }
 
-    def run(mk: () => DataFrame): (Seq[Double], Int, Int) = {
-      val walls = (1 to rounds).map { _ => timed(noop(mk()))._2 }
-      val df = mk(); noop(df) // executedPlan counts come from a post-AQE run
-      val (ex, so) = planCounts(df)
-      (walls, ex, so)
+    // GENUINELY interleave shapes round-by-round so page-cache/JIT drift
+    // hits both equally (the first cut ran all plain rounds then all
+    // bucketed rounds — the second shape absorbed the box's drift alone)
+    val shapes = Seq("plain" -> (plain _), "bucketed" -> (bucketed _))
+    val walls = scala.collection.mutable.LinkedHashMap(
+      shapes.map { case (l, _) => l -> Vector.empty[Double] }: _*)
+    val lastDf = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    for (_ <- 1 to rounds; (label, mk) <- shapes) {
+      val df = mk()
+      walls(label) :+= timed(noop(df))._2
+      lastDf(label) = df // executedPlan counts come from an executed run
     }
-    // interleave shapes so page-cache/JIT drift hits both equally
-    val results = Seq("plain" -> (plain _), "bucketed" -> (bucketed _))
-      .map { case (label, mk) => label -> run(() => mk()) }
-
-    val fields = results.map { case (label, (walls, ex, so)) =>
-      s""""$label":{"walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
-        s""""min_sec":${f"${walls.min}%.2f"},"exchanges":$ex,"sorts":$so}"""
+    val fields = shapes.map { case (label, _) =>
+      val (ex, so) = planCounts(lastDf(label))
+      val ws = walls(label)
+      s""""$label":{"walls_sec":[${ws.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""min_sec":${f"${ws.min}%.2f"},"exchanges":$ex,"sorts":$so}"""
     }
     println(s"""{"metric":"q11_bucketed_star","sf_dir":"$sfDir","buckets":$buckets,""" +
       s""""rounds":$rounds,"bucket_write_sec":${f"$tWrite%.1f"},${fields.mkString(",")}}""")

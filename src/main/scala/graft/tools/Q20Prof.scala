@@ -43,5 +43,10 @@ object Q20Prof {
       .join(pinned.select(col("source"), col("doc_id"), col("gsz"), col("ghs")),
         Seq("source", "doc_id"))
     t("joined count")(println(joined.count()))
+    // the production plan end-to-end (noop sink, like Bench): the delta
+    // over the phases above is the pair-expansion + exact-verify cost
+    t("full q20 (noop)")(
+      graft.queries.Extensions.q20JaccardPairs(spark, dir)
+        .write.mode("overwrite").format("noop").save())
   }
 }
