@@ -363,28 +363,30 @@ object Parity {
       .agg(count(lit(1)))
       .na.fill(0) // empty cells: 0, matching conditional-aggregation SQL
 
-  /** Exact percentiles per group (sort-based; the approx twin at scale is
+  /** Exact percentiles per group (the approx twin at scale is
     * approx_percentile, mirroring q29/q30's exact/sketch split).
     *
-    * State bound (the price of EXACT): Spark's `percentile` buffers a
-    * per-group value→count map, so aggregate state grows with the
-    * DISTINCT-VALUE cardinality of the measure, not the row count. Fine
-    * here by construction — TPC-H `l_extendedprice` is quantity(1..50) ×
-    * part price, ~10 M distinct values at sf100 (~hundreds of MB across
-    * 32 partial maps, measured zero spill) — and fine at 100 TB for any
-    * measure with bounded distinct values (prices, scores, counts). For
-    * an UNBOUNDED measure (timestamps, raw doubles) this operator is the
-    * wrong tool at the fourth decade: use q87's range-partitioned exact
-    * deciles shape (sort, never a value map) or the q43 sketch. Recorded
-    * in SCALING.md.
+    * Round 17: computed via [[graft.engine.ExactQuantiles.byCounts]]
+    * (distribution aggregation) instead of Spark's `percentile`
+    * aggregate. The built-in buffers a value→count map PER GROUP and
+    * merges every partial map single-threaded on the group's one
+    * reducer — with 3 groups over 600 M rows that serial tail measured
+    * 211.6 s at sf100, the suite's worst row. The distribution plan
+    * (groupBy(flag, price).count → per-flag cumulative window → pick +
+    * interpolate) returns the bit-identical exact answer with every
+    * stage parallel and spill-safe; the former distinct-value state
+    * bound (SCALING.md r16) is gone with the map. Results reproduce
+    * `Percentile`'s interpolation exactly (ExactQuantilesSpec), so the
+    * DuckDB `quantile_cont` oracle is unchanged.
     */
   def q41Percentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
-        r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+    graft.engine.ExactQuantiles.byCounts(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("l_returnflag"),
+        r4(col("p50")).as("p50"), r4(col("p90")).as("p90"),
+        r4(col("p99")).as("p99"))
 
   /** Sketch accuracy for the q43 percentile family: rank error =
     * 1/this. 1000 (0.1 % rank) is still an order tighter than the 2 %
