@@ -13,9 +13,16 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("join of two tables bucketed on the key plans without any Exchange") {
     val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+      .repartition(7) // deliberately misaligned input partitioning
     val right = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "rv")
     Tables.saveBucketed(left, "bkt_left", Seq("k"), 4)
     Tables.saveBucketed(right, "bkt_right", Seq("k"), 4)
+    // the r17 writer contract: exactly ONE data file per bucket, however
+    // the input was partitioned (the old writer wrote tasks×buckets files)
+    val leftDir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "bkt_left")
+    val dataFiles = leftDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles == 4, s"expected 4 bucket files, found $dataFiles in $leftDir")
     try {
       // disable broadcast so the join genuinely tests the shuffle path
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
