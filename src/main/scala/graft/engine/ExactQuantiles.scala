@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Materialize.PinOps
 
 /** Exact interpolated per-group percentiles via DISTRIBUTION aggregation
   * — the scale-out replacement for Spark's `percentile` aggregate on
@@ -19,8 +20,20 @@ import org.apache.spark.sql.functions._
   *      600 M rows to ~30 M (group, value) pairs BEFORE the exchange;
   *      the shuffle carries the distribution, never the rows, and the
   *      aggregation is codegen'd with as many reducers as partitions.
-  *   2. One window pass per group ordered by value: running `__cum` and
-  *      total `__n` share a single hash exchange.
+  *   2. A TWO-PHASE prefix sum for the per-group cumulative, the
+  *      [[Ranking.globalRank]] pattern: range-repartition the
+  *      distribution on (group, value) so every task holds a contiguous
+  *      slice, run the running total WITHIN each (slice, group) cell,
+  *      then close the gap with a tiny per-(slice, group) subtotal
+  *      frame — offsets and group totals come from windows over that
+  *      frame (≤ P + G − 1 rows, P = shuffle partitions, G = groups)
+  *      and broadcast-join back. The heavy sort runs over VALUE RANGES,
+  *      so its parallelism is the partition count, NOT the group count
+  *      — a 3-group query still saturates the cluster. (A plain
+  *      `Window.partitionBy(group)` cumulative would put each group's
+  *      whole distinct set through one task — for few groups over
+  *      unbounded measures that is a serial external-sort tail, the
+  *      exact shape class the operator exists to escape.)
   *   3. Each requested percentile picks its two covering values with
   *      conditional aggregates (a row covers 0-based positions
   *      [cum−cnt, cum)), then interpolates.
@@ -32,38 +45,79 @@ import org.apache.spark.sql.functions._
   * value untouched) — so results are bit-identical to the built-in
   * aggregate (ExactQuantilesSpec pins equality on adversarial
   * distributions), and DuckDB's `quantile_cont` oracle keeps matching.
+  * The cumulative counts feeding it are exact longs, so the two-phase
+  * plan cannot perturb a bit.
   *
-  * Caller contract: NULL values are ignored (like the built-in); a
-  * group whose values are ALL null is dropped rather than emitted with
-  * null percentiles — callers needing those groups should seed them.
+  * Caller contract: NULL values are ignored (like the built-in); by
+  * default a group whose values are ALL null is dropped rather than
+  * emitted with null percentiles — pass `keepAllNullGroups = true` to
+  * left-join the full group set back (null percentiles for the dead
+  * groups) and make the operator a drop-in replacement for the
+  * aggregate's row set.
   *
   * 100 TB shape: one exchange of the (group, value) distribution, one
-  * per-group sort of distinct values. Worst case (all values distinct)
-  * degrades to the same order of work as a range-partitioned sort while
-  * staying spill-safe (hash aggregate + window sort both spill); the
-  * built-in's map state would OOM a reducer first.
+  * pinned range exchange (sampled bounds — both downstream reads must
+  * see the same slice ids), one (slice, group)-cell sort whose
+  * parallelism is the partition count. The broadcast offset frame is
+  * ≤ P + G − 1 rows — for the operator's target regime (few groups,
+  * unbounded measures) that is a handful of rows; at G large enough to
+  * strain a broadcast (millions of groups), per-group parallelism
+  * already saturates any cluster and the built-in aggregate's per-group
+  * state is small — use it instead.
   */
 object ExactQuantiles {
 
   /** @param ps (output column name, percentile in [0,1]) pairs.
+    * @param keepAllNullGroups when true, groups whose values are all
+    *   NULL are emitted with null percentiles (the built-in aggregate's
+    *   row set) at the cost of one extra distinct over the group column.
     * Output: one row per group — `group` column plus one double column
     * per requested percentile, raw (callers apply their own rounding).
     */
   def byCounts(
       df: DataFrame, group: String, value: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      keepAllNullGroups: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1]: $ps")
     val counts = df
       .filter(col(value).isNotNull)
       .groupBy(col(group), col(value))
       .agg(count(lit(1)).as("__cnt"))
-    val wOrd = Window.partitionBy(col(group)).orderBy(col(value))
-    val wAll = Window.partitionBy(col(group))
-    val cum = counts
-      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
-      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    // Phase 1 of the prefix sum: contiguous (group, value) slices. The
+    // range exchange samples to pick bounds, so slice identity is not
+    // deterministic across recomputations — pinned because both the
+    // subtotal frame and the cumulative read it (same rationale as
+    // Ranking.globalRank).
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counts
+      .repartitionByRange(parts, col(group), col(value))
+      .withColumn("__pid", spark_partition_id())
+      .pinned
+    // Phase 2: per-(slice, group) subtotals → running offsets and group
+    // totals. ≤ P + G − 1 rows (each slice is contiguous, so a group
+    // spans a contiguous run of slices); every window here is over ≤ P
+    // rows per group — scale-free.
+    val wOff = Window.partitionBy(col(group)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col(group))
+    val offsets = ranged
+      .groupBy(col("__pid"), col(group)).agg(sum(col("__cnt")).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__sub")).over(wN))
+      .select(col("__pid").as("__opid"), col(group).as("__og"),
+        col("__off"), col("__n"))
+    // The heavy sort: cumulative within each (slice, group) cell. Cell
+    // count ≈ P + G − 1, each cell ≤ one slice — parallelism is the
+    // partition count regardless of how few groups there are.
+    val wLocal = Window.partitionBy(col("__pid"), col(group)).orderBy(col(value))
+    val cum = ranged
+      .withColumn("__lcum", sum(col("__cnt")).over(wLocal))
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(group) <=> col("__og"))
+      .withColumn("__cum", col("__lcum") + col("__off"))
       .withColumn("__cumb", col("__cum") - col("__cnt"))
+      .drop("__opid", "__og")
     // 0-based target position per percentile, exactly Percentile's
     // arithmetic: Double percentage * (Long count − 1), floor/ceil → Long
     def pos(p: Double) = lit(p) * (col("__n") - 1).cast("double")
@@ -77,7 +131,7 @@ object ExactQuantiles {
           .as(s"__hi_$name"))
     } :+ max(col("__n")).as("__n")
     val picked = cum.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
-    val out = ps.foldLeft(picked) { case (d, (name, p)) =>
+    val interp = ps.foldLeft(picked) { case (d, (name, p)) =>
       val po = pos(p)
       val lo = floor(po)
       val hi = ceil(po)
@@ -88,6 +142,11 @@ object ExactQuantiles {
           .otherwise((hi.cast("double") - po) * vLo +
             (po - lo.cast("double")) * vHi))
     }
-    out.select(col(group) +: ps.map { case (name, _) => col(name) }: _*)
+    val out = interp.select(col(group) +: ps.map { case (name, _) => col(name) }: _*)
+    if (!keepAllNullGroups) out
+    else df.select(col(group)).distinct()
+      .join(out.withColumnRenamed(group, "__g"),
+        col(group) <=> col("__g"), "left")
+      .select(col(group) +: ps.map { case (name, _) => col(name) }: _*)
   }
 }

@@ -454,6 +454,13 @@ object Scd2History {
 
   /** First load of the unified layout: current rows into the bucketed
     * table, an empty closed-history root + sidecar beside it.
+    *
+    * `numBuckets` also CAPS the current-table write parallelism:
+    * [[Tables.saveBucketed]] repartitions to one task per bucket (the
+    * one-file-per-bucket contract that read-side sort elision depends
+    * on), so a large history behind a small bucket count funnels its
+    * rewrite through few tasks — size numBuckets to the WRITE cluster,
+    * not just the read side (same guidance at [[mergeBucketed]]).
     */
   def bootstrapBucketed(source: DataFrame, asOf: LocalDate, path: String,
       table: String, keys: Seq[String], numBuckets: Int): Unit = {
@@ -472,6 +479,10 @@ object Scd2History {
     * swap windows and the merge itself is idempotent (an already-applied
     * batch detects no changes, and the delta `exceptAll` absorbs
     * re-emitted expired rows without re-publishing).
+    *
+    * `numBuckets` caps the current-table rewrite's write parallelism
+    * (one task per bucket — see [[bootstrapBucketed]]): size it to the
+    * write cluster; every daily merge pays that rewrite.
     */
   def mergeBucketed(
       spark: SparkSession,

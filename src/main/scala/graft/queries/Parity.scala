@@ -372,9 +372,12 @@ object Parity {
     * merges every partial map single-threaded on the group's one
     * reducer — with 3 groups over 600 M rows that serial tail measured
     * 211.6 s at sf100, the suite's worst row. The distribution plan
-    * (groupBy(flag, price).count → per-flag cumulative window → pick +
-    * interpolate) returns the bit-identical exact answer with every
-    * stage parallel and spill-safe; the former distinct-value state
+    * (groupBy(flag, price).count → range-sliced two-phase cumulative →
+    * pick + interpolate) returns the bit-identical exact answer with
+    * every stage parallel and spill-safe — including the cumulative,
+    * whose round-18 two-phase form sorts value RANGES (parallelism =
+    * partition count) instead of whole groups (parallelism = 3); the
+    * former distinct-value state
     * bound (SCALING.md r16) is gone with the map. Results reproduce
     * `Percentile`'s interpolation exactly (ExactQuantilesSpec), so the
     * DuckDB `quantile_cont` oracle is unchanged.

@@ -1,6 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.Sessions
 import graft.io.Tables
@@ -30,8 +32,42 @@ object BucketedStar {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def planCounts(df: DataFrame): (Int, Int) = {
-    val plan = df.queryExecution.executedPlan.toString
+  /** The EXECUTED plan's string, captured through a
+    * QueryExecutionListener: the noop save runs a cloned QueryExecution,
+    * so `df.queryExecution.executedPlan` would stay isFinalPlan=false
+    * under AQE and miss runtime re-plans (SMJ→BHJ, coalesced reads).
+    * The listener bus is async — poll briefly after the action returns.
+    */
+  private val captured =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def registerCapture(spark: SparkSession): Unit =
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+        captured.set(qe.executedPlan.toString)
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
+
+  private def awaitCapturedPlan(fallback: DataFrame): String = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var p = captured.get()
+    while (p == null && System.nanoTime() < deadline) {
+      Thread.sleep(50); p = captured.get()
+    }
+    if (p == null) fallback.queryExecution.executedPlan.toString else p
+  }
+
+  private def planCounts(planStr: String): (Int, Int) = {
+    // A finalized AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — count only the final one.
+    val plan = {
+      val i = planStr.indexOf("== Final Plan ==")
+      if (i < 0) planStr
+      else {
+        val j = planStr.indexOf("== Initial Plan ==", i)
+        if (j < 0) planStr.substring(i) else planStr.substring(i, j)
+      }
+    }
     ("(?i)exchange".r.findAllIn(plan).size,
       // "Sort [keys...]" operator lines; never matches SortMergeJoin or
       // SortAggregate (neither is followed by " [")
@@ -77,17 +113,19 @@ object BucketedStar {
     // GENUINELY interleave shapes round-by-round so page-cache/JIT drift
     // hits both equally (the first cut ran all plain rounds then all
     // bucketed rounds — the second shape absorbed the box's drift alone)
+    registerCapture(spark)
     val shapes = Seq("plain" -> (plain _), "bucketed" -> (bucketed _))
     val walls = scala.collection.mutable.LinkedHashMap(
       shapes.map { case (l, _) => l -> Vector.empty[Double] }: _*)
-    val lastDf = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val lastPlan = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to rounds; (label, mk) <- shapes) {
       val df = mk()
+      captured.set(null)
       walls(label) :+= timed(noop(df))._2
-      lastDf(label) = df // executedPlan counts come from an executed run
+      lastPlan(label) = awaitCapturedPlan(df) // AQE-final executed plan
     }
     val fields = shapes.map { case (label, _) =>
-      val (ex, so) = planCounts(lastDf(label))
+      val (ex, so) = planCounts(lastPlan(label))
       val ws = walls(label)
       s""""$label":{"walls_sec":[${ws.map(w => f"$w%.2f").mkString(",")}],""" +
         s""""min_sec":${f"${ws.min}%.2f"},"exchanges":$ex,"sorts":$so}"""

@@ -91,7 +91,7 @@ object Scd2Scale {
     val current = spark.table(table).count()
     val all = Scd2History.readAllBucketed(spark, path, table).count()
     // Raw-fd single-line metric, same contract as Bench.
-    val json = s"""{"metric":"scd2_bucketed_sf1","n_keys":$n,"buckets":$buckets,""" +
+    val json = s"""{"metric":"scd2_bucketed_scale","n_keys":$n,"buckets":$buckets,""" +
       s""""bootstrap_s":$bootstrapS,"merge_s":[${mergeS.mkString(",")}],""" +
       s""""exchanges":$exchanges,"current_rows":$current,"history_rows":$all}"""
     new java.io.FileOutputStream(java.io.FileDescriptor.out)

@@ -63,6 +63,38 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got == Map("a" -> 2.0)) // null ignored; "dead" dropped
   }
 
+  test("keepAllNullGroups emits dead groups with null percentiles") {
+    val rows = Seq(("a", java.lang.Double.valueOf(1.0)),
+      ("a", java.lang.Double.valueOf(3.0)),
+      ("dead", null.asInstanceOf[java.lang.Double]),
+      (null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]))
+    val df = rows.toDF("g", "v")
+    val got = ExactQuantiles.byCounts(df, "g", "v", Seq("p50" -> 0.5),
+        keepAllNullGroups = true)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map("a" -> Some(2.0), "dead" -> None, (null: String) -> None))
+  }
+
+  test("null GROUP key with non-null values survives the slice join") {
+    val rows = Seq((null.asInstanceOf[String], java.lang.Double.valueOf(1.0)),
+      (null.asInstanceOf[String], java.lang.Double.valueOf(5.0)),
+      ("a", java.lang.Double.valueOf(2.0)))
+    val df = rows.toDF("g", "v")
+    val got = ExactQuantiles.byCounts(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map((null: String) -> 3.0, "a" -> 2.0))
+  }
+
+  test("few groups, many distinct values: parity across slice boundaries") {
+    // 3 groups × ~4000 distinct values with 32 shuffle partitions forces
+    // every group to span many slices — exercises the two-phase offsets.
+    val rng = new scala.util.Random(99)
+    assertParity(Seq.tabulate(12000) { i =>
+      (s"g${i % 3}", java.lang.Double.valueOf(rng.nextDouble() * 1e9))
+    })
+  }
+
   test("seeded random sweep: ties + scale mix, exact equality") {
     val rng = new scala.util.Random(1717)
     assertParity(Seq.tabulate(5000) { _ =>
