@@ -80,15 +80,22 @@ object ExactQuantiles {
       keepAllNullGroups: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1]: $ps")
+    // The distribution is PINNED before the range exchange:
+    // repartitionByRange SAMPLES its child to pick bounds, and without
+    // the pin that sampling pass re-reads the whole partial-aggregate
+    // exchange and re-runs the final aggregation (measured at sf10: the
+    // 430 MB exchange read twice, +2 s on a 4 s query). Pinning the
+    // ~distinct-pairs frame (tiny next to the partial exchange) makes
+    // the sample read materialized blocks instead.
     val counts = df
       .filter(col(value).isNotNull)
       .groupBy(col(group), col(value))
       .agg(count(lit(1)).as("__cnt"))
+      .pinned
     // Phase 1 of the prefix sum: contiguous (group, value) slices. The
-    // range exchange samples to pick bounds, so slice identity is not
-    // deterministic across recomputations — pinned because both the
-    // subtotal frame and the cumulative read it (same rationale as
-    // Ranking.globalRank).
+    // range exchange's sampled bounds are not deterministic across
+    // recomputations — pinned because both the subtotal frame and the
+    // cumulative read it (same rationale as Ranking.globalRank).
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = counts
       .repartitionByRange(parts, col(group), col(value))
