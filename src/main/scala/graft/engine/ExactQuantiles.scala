@@ -67,6 +67,28 @@ import Materialize.PinOps
   */
 object ExactQuantiles {
 
+  /** Input-size gate between the two cumulative strategies (round 18):
+    * below this optimizer-estimated input size, the per-group cumulative
+    * runs as a single `Window.partitionBy(group)` pass — 3 stages, zero
+    * pins — because the two-phase prefix sum's fixed structure (2 pins,
+    * a sampled range exchange, the offset frame and its broadcast, ~12
+    * stages) costs more than it parallelizes on small data (measured at
+    * sf0.1: 3.23 s two-phase vs ~1.9 s one-phase bench rows; the
+    * one-phase plan was also the r17 shape that measured 24.1 s at
+    * sf100, so the default keeps it through ~10 GB inputs). Above the
+    * gate — the unbounded-measure / 100 TB regime where one group's
+    * distinct set through one window task is a serial external-sort
+    * tail — the range-sliced two-phase takes over (parallelism =
+    * partition count). Both paths produce BIT-IDENTICAL rows
+    * (ExactQuantilesSpec pins equality on adversarial distributions),
+    * so the gate can never change a result, only the plan. Stats
+    * fallback is safe-by-direction: an unknown size estimates huge
+    * (defaultSizeInBytes) and routes to the scale path. Conf override:
+    * `spark.graft.quantiles.twoPhaseMinBytes`.
+    */
+  val TwoPhaseMinBytesConf = "spark.graft.quantiles.twoPhaseMinBytes"
+  val TwoPhaseMinBytesDefault: Long = 10L << 30
+
   /** @param ps (output column name, percentile in [0,1]) pairs.
     * @param keepAllNullGroups when true, groups whose values are all
     *   NULL are emitted with null percentiles (the built-in aggregate's
@@ -80,6 +102,45 @@ object ExactQuantiles {
       keepAllNullGroups: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1]: $ps")
+    val minBytes = df.sparkSession.conf
+      .get(TwoPhaseMinBytesConf, TwoPhaseMinBytesDefault.toString).toLong
+    val inputBytes = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+      .getOrElse(BigInt(Long.MaxValue))
+    if (inputBytes < minBytes)
+      onePhase(df, group, value, ps, keepAllNullGroups)
+    else twoPhase(df, group, value, ps, keepAllNullGroups)
+  }
+
+  /** Small-input cumulative: one `Window.partitionBy(group).orderBy(value)`
+    * running sum over the distribution — the r17 plan shape. Parallelism
+    * of the window stage is the GROUP COUNT, which is exactly why the
+    * size gate exists; below the gate the whole distribution is a few
+    * hundred thousand rows and the window's single pass beats the
+    * two-phase's fixed stage/pin structure. Interpolation/pick stages
+    * are shared with [[twoPhase]], so the arithmetic cannot drift.
+    */
+  private def onePhase(
+      df: DataFrame, group: String, value: String,
+      ps: Seq[(String, Double)], keepAllNullGroups: Boolean): DataFrame = {
+    val counts = df
+      .filter(col(value).isNotNull)
+      .groupBy(col(group), col(value))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col(group))
+    val cum = counts
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(wN))
+      .withColumn("__cumb", col("__cum") - col("__cnt"))
+    finish(df, pickInterpolate(cum, group, value, ps), group, ps, keepAllNullGroups)
+  }
+
+  private def twoPhase(
+      df: DataFrame, group: String, value: String,
+      ps: Seq[(String, Double)],
+      keepAllNullGroups: Boolean): DataFrame = {
     // The distribution is PINNED before the range exchange:
     // repartitionByRange SAMPLES its child to pick bounds, and without
     // the pin that sampling pass re-reads the whole partial-aggregate
@@ -125,6 +186,18 @@ object ExactQuantiles {
       .withColumn("__cum", col("__lcum") + col("__off"))
       .withColumn("__cumb", col("__cum") - col("__cnt"))
       .drop("__opid", "__og")
+    finish(df, pickInterpolate(cum, group, value, ps), group, ps, keepAllNullGroups)
+  }
+
+  /** Shared pick + interpolate over a cumulative-distribution frame with
+    * columns (group, value, __cnt, __cum, __cumb, __n) — BOTH cumulative
+    * strategies route here, so the interpolation arithmetic (the
+    * bit-identity contract with Spark's `Percentile`) exists exactly
+    * once.
+    */
+  private def pickInterpolate(
+      cum: DataFrame, group: String, value: String,
+      ps: Seq[(String, Double)]): DataFrame = {
     // 0-based target position per percentile, exactly Percentile's
     // arithmetic: Double percentage * (Long count − 1), floor/ceil → Long
     def pos(p: Double) = lit(p) * (col("__n") - 1).cast("double")
@@ -149,11 +222,16 @@ object ExactQuantiles {
           .otherwise((hi.cast("double") - po) * vLo +
             (po - lo.cast("double")) * vHi))
     }
-    val out = interp.select(col(group) +: ps.map { case (name, _) => col(name) }: _*)
+    interp.select(col(group) +: ps.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** Shared keepAllNullGroups closing join (see [[byCounts]] scaladoc). */
+  private def finish(
+      df: DataFrame, out: DataFrame, group: String,
+      ps: Seq[(String, Double)], keepAllNullGroups: Boolean): DataFrame =
     if (!keepAllNullGroups) out
     else df.select(col(group)).distinct()
       .join(out.withColumnRenamed(group, "__g"),
         col(group) <=> col("__g"), "left")
       .select(col(group) +: ps.map { case (name, _) => col(name) }: _*)
-  }
 }

@@ -48,6 +48,25 @@ object Tables {
     }
   }
 
+  /** Inferred-schema memo for [[load]], keyed on the file's qualified
+    * path + length + mtime (the [[graft.queries.Extensions]] cbCache
+    * fingerprint discipline: a rewritten file re-infers, same content
+    * reuses). Schema inference on a bare `spark.read.parquet(path)` costs
+    * a footer-reading Spark JOB per call — measured 60–130 ms of
+    * driver+scheduler wall apiece at sf0.1, and a query like q11 pays it
+    * FIVE times (one per table load) before any real work; across the
+    * 99-query bench that was ~10 % of total wall (round-18 profile,
+    * `tools.StageProf`). Passing the memoized schema via
+    * `read.schema(...)` skips inference entirely — METADATA caching only:
+    * every query still scans the parquet data itself, nothing about
+    * results or data freshness changes (mtime/length invalidate), which
+    * is exactly how a production job reading catalog tables behaves (the
+    * catalog serves the schema; the scan reads the data).
+    */
+  private val SchemaCacheMax = 256
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
   /** Read one of the driver's testdata tables (TESTDATA.md).
     *
     * events.ts has shipped in two physical forms across driver data drops:
@@ -61,7 +80,29 @@ object Tables {
     * oracle agree regardless of the drop.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // Fingerprint without a Spark job (one driver-side getFileStatus);
+    // any failure (path races, exotic filesystems) falls back to plain
+    // inference — the cache is an optimization, never a gate.
+    val key = scala.util.Try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      // The nanosAsLong flag changes what inference RETURNS for
+      // TIMESTAMP(NANOS) columns, and test suites spin sessions with
+      // either setting — the flag is part of the schema's identity.
+      val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+      s"${fs.makeQualified(p)}:${st.getLen}:${st.getModificationTime}:nanos=$nanos"
+    }.toOption
+    val df = key match {
+      case Some(k) =>
+        if (schemaCache.size() >= SchemaCacheMax && !schemaCache.containsKey(k))
+          schemaCache.clear()
+        val schema = schemaCache.computeIfAbsent(k,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      case None => spark.read.parquet(path)
+    }
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

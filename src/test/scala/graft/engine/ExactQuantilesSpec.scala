@@ -25,7 +25,20 @@ class ExactQuantilesSpec extends SparkSpec {
         expr(s"percentile(v, ${p}D)").as(n)
       }: _*)
 
-  private def assertParity(rows: Seq[(String, java.lang.Double)]): Unit = {
+  /** Runs `f` once per cumulative strategy (the round-18 size gate would
+    * otherwise route every tiny test frame to the one-phase path and the
+    * two-phase plan would lose its regression coverage): minBytes=0
+    * forces two-phase, minBytes=MaxValue forces one-phase.
+    */
+  private def bothPaths(f: => Unit): Unit = {
+    for (min <- Seq(0L, Long.MaxValue)) {
+      spark.conf.set(ExactQuantiles.TwoPhaseMinBytesConf, min.toString)
+      try f
+      finally spark.conf.unset(ExactQuantiles.TwoPhaseMinBytesConf)
+    }
+  }
+
+  private def assertParity(rows: Seq[(String, java.lang.Double)]): Unit = bothPaths {
     val df = rows.toDF("g", "v")
     val got = ExactQuantiles.byCounts(df, "g", "v", ps)
       .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
@@ -52,7 +65,7 @@ class ExactQuantilesSpec extends SparkSpec {
           ("two", java.lang.Double.valueOf(8.25))))
   }
 
-  test("nulls are ignored; all-null group is dropped (documented)") {
+  test("nulls are ignored; all-null group is dropped (documented)") { bothPaths {
     val rows = Seq(("a", java.lang.Double.valueOf(1.0)),
       ("a", null.asInstanceOf[java.lang.Double]),
       ("a", java.lang.Double.valueOf(3.0)),
@@ -61,9 +74,9 @@ class ExactQuantilesSpec extends SparkSpec {
     val got = ExactQuantiles.byCounts(df, "g", "v", Seq("p50" -> 0.5))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(got == Map("a" -> 2.0)) // null ignored; "dead" dropped
-  }
+  }}
 
-  test("keepAllNullGroups emits dead groups with null percentiles") {
+  test("keepAllNullGroups emits dead groups with null percentiles") { bothPaths {
     val rows = Seq(("a", java.lang.Double.valueOf(1.0)),
       ("a", java.lang.Double.valueOf(3.0)),
       ("dead", null.asInstanceOf[java.lang.Double]),
@@ -74,9 +87,9 @@ class ExactQuantilesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0),
         if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got == Map("a" -> Some(2.0), "dead" -> None, (null: String) -> None))
-  }
+  }}
 
-  test("null GROUP key with non-null values survives the slice join") {
+  test("null GROUP key with non-null values survives the slice join") { bothPaths {
     val rows = Seq((null.asInstanceOf[String], java.lang.Double.valueOf(1.0)),
       (null.asInstanceOf[String], java.lang.Double.valueOf(5.0)),
       ("a", java.lang.Double.valueOf(2.0)))
@@ -84,7 +97,7 @@ class ExactQuantilesSpec extends SparkSpec {
     val got = ExactQuantiles.byCounts(df, "g", "v", Seq("p50" -> 0.5))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(got == Map((null: String) -> 3.0, "a" -> 2.0))
-  }
+  }}
 
   test("few groups, many distinct values: parity across slice boundaries") {
     // 3 groups × ~4000 distinct values with 32 shuffle partitions forces
@@ -106,12 +119,12 @@ class ExactQuantilesSpec extends SparkSpec {
     })
   }
 
-  test("matches q41's own shape on the sf0.001 lineitem") {
+  test("matches q41's own shape on the sf0.001 lineitem") { bothPaths {
     val li = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
     val got = ExactQuantiles.byCounts(li, "g", "v", ps)
       .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
     val want = builtin(li).collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
     assert(got == want)
-  }
+  }}
 }
