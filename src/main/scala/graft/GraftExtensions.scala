@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, FreqItems, HllppDistinct, JacBandKeys, LangBigramHits, MinhashSigs, NgramH60s, NormFingerprint, PqCodes, QualityComponents, RollingHash31, SimHash16, SortedInterSize, TokenRepStats, TopKPairs, WordBigramMd5s, WordNgramMd5s}
+import graft.expressions.{ArgmaxDot, BigramH60s, BloomContains, BloomFilterAgg, BoundedSortedList, CosineSimilarity, ExactMoments, FreqItems, HllppDistinct, JacBandKeys, LangBigramHits, MinhashSigs, NgramH60s, NormFingerprint, PqCodes, QualityComponents, RollingHash31, SimHash16, SortedInterSize, TokenRepStats, TopKPairs, WordBigramMd5s, WordNgramMd5s}
 
 /** Engine extension point, wired via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -83,5 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TokenRepStats(c(0)))
     fn(ext, "hllpp_distinct", 2, classOf[HllppDistinct])(c =>
       HllppDistinct(c(0), c(1)))
+    fn(ext, "exact_moments", 2, classOf[ExactMoments])(c =>
+      ExactMoments(c(0), c(1)))
   }
 }
